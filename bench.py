@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed action-to-completion (collect of the final, already
+small, result set — top-k / aggregate outputs), so the measured cost is the
+distributed plan, not driver-side materialization of bulk data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from toy_vector_db_spark import registry  # noqa: E402
+from toy_vector_db_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship reference query plus the heaviest implemented
+# operators. Extended as the registry grows.
+HEADLINE = [
+    "knn_exact_single",
+    "vec_magnitude",
+    "vec_cosine_dist",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("tvdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = registry.queries()
+    names = [n for n in HEADLINE if n in qmap]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        # force full execution; result sets are small by construction
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""Run EVERY registered query against its DuckDB oracle at the small scale
+factor — the local replica of the driver's t2 correctness gate. Any query
+added to the registry with an oracle is automatically covered here."""
+
+import pytest
+
+from toy_vector_db_spark import registry
+from tests.oracle_utils import assert_oracle_match
+
+_WITH_ORACLE = sorted(registry.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    assert_oracle_match(df, registry.oracle_sql()[name], sf_dir)
+
+
+def test_every_query_runs(spark, sf_dir):
+    for name, fn in registry.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.queries()).issuperset(set(e.oracle_sql()))

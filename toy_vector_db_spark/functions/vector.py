@@ -1,0 +1,115 @@
+"""Vector scalar functions — the engine's expression library.
+
+Reference parity: /root/reference/src/vector.rs (V1-V6 in SURVEY.md §2.2):
+  magnitude           src/vector.rs:4-6
+  dot                 src/vector.rs:9-11
+  cosine_similarity   src/vector.rs:14-16  (clamped at 0 — non-standard!)
+  cosine_distance     src/vector.rs:19-21  (range [0,1] because of the clamp)
+  euclidean_distance  src/vector.rs:23-29
+  distance            src/vector.rs:31-33  (engine-wide alias of cosine_distance)
+
+Every function here is a pure Catalyst ``Column -> Column`` helper built from
+higher-order array functions (``aggregate``/``zip_with``) — no Python UDFs.
+That keeps the hot path JVM-side / codegen-friendly and SQL-expressible for
+the DuckDB oracle. Inputs are float32 arrays (the reference's ``Vec<f32>``);
+we cast to double before arithmetic so distance outputs are stable across
+engines (SURVEY.md §7 risk register #1), matching the oracle's
+``embedding::DOUBLE[]`` cast.
+
+At 100 TB scale these expressions run inside whole-stage codegen over
+columnar parquet scans; the only data read is the embedding column itself
+(column pruning) — no shuffle, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column) -> Column:
+    """Cast an array<float> column to array<double> for stable arithmetic."""
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ (reference: src/vector.rs:9-11).
+
+    The reference zips and stops at the shorter vector (no length check).
+    Spark's ``zip_with`` instead null-pads the shorter side, so the fold
+    coalesces padded products to 0 — arithmetically identical to stopping.
+    """
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+
+
+def magnitude(v: Column) -> Column:
+    """L2 norm sqrt(Σ x²) (reference: src/vector.rs:4-6)."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """max(0, dot/(‖a‖·‖b‖)) — the reference CLAMPS negative similarity to 0
+    (src/vector.rs:15). The clamp is non-standard and must be reproduced
+    exactly for parity; the DuckDB oracle writes ``greatest(0.0, ...)``.
+    """
+    return F.greatest(F.lit(0.0), dot(a, b) / (magnitude(a) * magnitude(b)))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 − clamped cosine similarity → range [0, 1] (src/vector.rs:19-21)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    """sqrt(Σ (xᵢ−yᵢ)²) (src/vector.rs:23-29; defined but unused upstream)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+        )
+    )
+
+
+def distance(a: Column, b: Column) -> Column:
+    """The engine-wide distance metric = cosine distance (src/vector.rs:31-33).
+
+    Single swap point for the metric, exactly like the reference's alias.
+    """
+    return cosine_distance(a, b)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments for the same math. Kept next to the engine
+# expressions so the two can never drift apart silently (SURVEY §7 risk #2:
+# the 0-clamp must appear in BOTH or hashes diverge).
+# ---------------------------------------------------------------------------
+
+def sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def sql_magnitude(v: str) -> str:
+    return f"sqrt({sql_dot(v, v)})"
+
+
+def sql_cosine_similarity(a: str, b: str) -> str:
+    return (
+        f"greatest(0.0, {sql_dot(a, b)} / "
+        f"({sql_magnitude(a)} * {sql_magnitude(b)}))"
+    )
+
+
+def sql_cosine_distance(a: str, b: str) -> str:
+    return f"(1.0 - {sql_cosine_similarity(a, b)})"
+
+
+def sql_euclidean_distance(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))))"
+    )

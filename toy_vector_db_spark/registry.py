@@ -1,0 +1,199 @@
+"""Query registry: every implemented operator exposed as a named query
+(SURVEY.md §2 "query key" column), each with a DuckDB oracle SQL string
+where the semantics are SQL-expressible.
+
+Contract (driver harness, __spark_entry__.py):
+  * queries()[name](spark, sf_dir) -> DataFrame
+  * oracle_sql()[name] -> ANSI SQL over pre-registered DuckDB views of the
+    same parquet tables; column names/aliases must match the Spark output
+    exactly (compare sorts columns by name before hashing).
+
+Float discipline: every computed float column is rounded to ROUND decimal
+places in BOTH engines so order-of-summation drift can never flip the value
+hash (SURVEY §7 risk register #1). Ordering/top-k membership always uses the
+UNROUNDED value with an id tiebreak in both engines (risk #4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions import vector as V
+from toy_vector_db_spark.operators import knn
+from toy_vector_db_spark.session import configure
+from toy_vector_db_spark.sources.ndjson import split_count
+
+ROUND = 6
+SPLIT_RATIO = 0.95  # reference: src/main.rs:66
+QUERY_OFFSET = 29  # reference: query[29], src/main.rs:81
+K = 10  # reference: src/main.rs:78
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 vector scalar functions (V1-V6) — per-row over `embeddings`, with the
+# dot/cosine/euclidean pairs formed by the (vec_id, vec_id+1) self-join so the
+# oracle is a plain equi-join.
+# ---------------------------------------------------------------------------
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
+    return a.join(b, "vec_id")
+
+
+_PAIRS_SQL = (
+    "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"
+)
+
+
+@register(
+    "vec_magnitude",
+    f"""
+    SELECT vec_id, round({V.sql_magnitude('embedding')}, {ROUND}) AS mag
+    FROM embeddings
+    """,
+)
+def q_vec_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(V.magnitude(F.col("embedding")), ROUND).alias("mag")
+    )
+
+
+@register(
+    "vec_dot",
+    f"""
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_dot('a.embedding', 'b.embedding')}, {ROUND}) AS dot
+    {_PAIRS_SQL}
+    """,
+)
+def q_vec_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "vec_id", F.round(V.dot(F.col("va"), F.col("vb")), ROUND).alias("dot")
+    )
+
+
+@register(
+    "vec_cosine_sim",
+    f"""
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_cosine_similarity('a.embedding', 'b.embedding')}, {ROUND}) AS sim
+    {_PAIRS_SQL}
+    """,
+)
+def q_vec_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "vec_id",
+        F.round(V.cosine_similarity(F.col("va"), F.col("vb")), ROUND).alias("sim"),
+    )
+
+
+@register(
+    "vec_cosine_dist",
+    f"""
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_cosine_distance('a.embedding', 'b.embedding')}, {ROUND}) AS dist
+    {_PAIRS_SQL}
+    """,
+)
+def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "vec_id",
+        F.round(V.cosine_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+    )
+
+
+@register(
+    "vec_euclidean_dist",
+    f"""
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_euclidean_distance('a.embedding', 'b.embedding')}, {ROUND}) AS dist
+    {_PAIRS_SQL}
+    """,
+)
+def q_vec_euclidean_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "vec_id",
+        F.round(V.euclidean_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 exact KNN
+# ---------------------------------------------------------------------------
+
+def _split_cut_sql() -> str:
+    """round(0.95 * n) as a DuckDB scalar subquery (src/dataset.rs:20)."""
+    return (
+        f"CAST(round({SPLIT_RATIO} * (SELECT count(*) FROM embeddings)) AS BIGINT)"
+    )
+
+
+_KNN_SINGLE_SQL = f"""
+WITH cut AS (
+  SELECT c, least({QUERY_OFFSET}, (SELECT count(*) FROM embeddings) - c - 1) AS off
+  FROM (SELECT {_split_cut_sql()} AS c)
+),
+q AS (SELECT embedding AS qv FROM embeddings, cut WHERE vec_id = c + off),
+scored AS (
+  SELECT b.vec_id AS vec_id,
+         {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+  FROM embeddings b, q, cut WHERE b.vec_id < c
+)
+SELECT vec_id, round(d, {ROUND}) AS dist
+FROM scored ORDER BY d ASC, vec_id ASC LIMIT {K}
+"""
+
+
+@register("knn_exact_single", _KNN_SINGLE_SQL)
+def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship reference query: top-10 nearest neighbors (clamped cosine) of
+    query point query[29] over the 95% prefix base set (src/main.rs:61-94).
+    Plans as parquet scan → codegen distance → TakeOrderedAndProject(10)."""
+    configure(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = split_count(n, SPLIT_RATIO)
+    # query[29] (src/main.rs:81), clamped to the last query row for tiny SFs
+    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
+    base = emb.where(F.col("vec_id") < cut)
+    res = knn.knn_exact_single(base, qvec, K)
+    return res.select("vec_id", F.round("dist", ROUND).alias("dist"))

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for the harness (local[N]) but configured the
+way a real cluster deployment would be: AQE on, Arrow on, UTC timezone.
+
+At 100 TB the same settings apply cluster-wide; ``shuffle_partitions`` would
+be sized to ~2-3× total executor cores (or left to AQE coalescing), and
+``spark.sql.files.maxPartitionBytes`` tuned so scan tasks stay ~128-256 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "toy_vector_db_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to a session we didn't create (the
+    driver passes its own session into ``queries()`` callables)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
