@@ -21,10 +21,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions import text as TXT
 from toy_vector_db_spark.functions import vector as V
 from toy_vector_db_spark.operators import knn
 from toy_vector_db_spark.session import configure
-from toy_vector_db_spark.sources.ndjson import split_count
+from toy_vector_db_spark.sources import fixtures
+from toy_vector_db_spark.sources.ndjson import read_ndjson, split_count
+
+SCAN_FIXTURE_PATH = fixtures.write_scan_fixture()
 
 ROUND = 6
 SPLIT_RATIO = 0.95  # reference: src/main.rs:66
@@ -197,3 +201,63 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") < cut)
     res = knn.knn_exact_single(base, qvec, K)
     return res.select("vec_id", F.round("dist", ROUND).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans, split, result formatting (S1-S3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_ndjson",
+    f"""
+    SELECT body, len("text-embedding-ada-002") AS dim
+    FROM read_json('{SCAN_FIXTURE_PATH}', format='newline_delimited',
+                   columns={{'body': 'VARCHAR',
+                            'text-embedding-ada-002': 'FLOAT[]'}},
+                   ignore_errors=true)
+    WHERE body IS NOT NULL AND "text-embedding-ada-002" IS NOT NULL
+      -- duckdb coerces mistyped elements to NULL instead of erroring the
+      -- line; serde (and Spark PERMISSIVE) drop the whole row
+      AND len(list_filter("text-embedding-ada-002", x -> x IS NULL)) = 0
+    """,
+)
+def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 NDJSON scan with silent malformed-line drop (src/dataset.rs:8-17).
+    Output body + vector dimension (ints hash stably across engines)."""
+    df = read_ndjson(spark, SCAN_FIXTURE_PATH)
+    return df.select("body", F.size("embedding").alias("dim"))
+
+
+@register(
+    "split_dataset",
+    f"""
+    WITH cut AS (SELECT {_split_cut_sql()} AS c)
+    SELECT vec_id,
+           CASE WHEN vec_id < c THEN 'base' ELSE 'query' END AS part
+    FROM embeddings, cut
+    """,
+)
+def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 deterministic prefix split at round(n*0.95) (src/dataset.rs:19-23)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(emb.count(), SPLIT_RATIO)
+    return emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") < cut, "base").otherwise("query").alias("part"),
+    )
+
+
+@register(
+    "first_sentence",
+    """
+    SELECT doc_id, split_part(text, '.', 1) AS first_sentence
+    FROM documents
+    """,
+)
+def q_first_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 result formatting: truncate body at the first '.'
+    (src/main.rs:36-39, :52)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.first_sentence(F.col("text")).alias("first_sentence")
+    )

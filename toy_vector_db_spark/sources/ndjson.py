@@ -45,9 +45,9 @@ def read_ndjson(
     lines = spark.read.text(path)
     if limit is not None:
         lines = lines.limit(limit)
-    parsed = lines.select(
-        F.from_json(F.col("value"), schema, {"mode": "FAILFAST"}).alias("p")
-    )
+    # PERMISSIVE (default): malformed JSON → NULL struct; missing/mistyped
+    # fields → NULL fields. Both filtered below = serde's silent drop.
+    parsed = lines.select(F.from_json(F.col("value"), schema).alias("p"))
     # from_json yields NULL for malformed rows; also reject rows where any
     # required field is missing (serde requires both fields to be present).
     out = parsed.where(
