@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions import text as TXT
 from toy_vector_db_spark.functions import vector as V
-from toy_vector_db_spark.operators import knn
+from toy_vector_db_spark.operators import evaluation, knn
 from toy_vector_db_spark.session import configure
 from toy_vector_db_spark.sources import fixtures
 from toy_vector_db_spark.sources.ndjson import read_ndjson, split_count
@@ -201,6 +201,203 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") < cut)
     res = knn.knn_exact_single(base, qvec, K)
     return res.select("vec_id", F.round("dist", ROUND).alias("dist"))
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base, queries) prefix split of embeddings with query_id/query_vec
+    naming on the query side."""
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(emb.count(), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return base, qs
+
+
+# Shared oracle CTEs: prefix split + per-query top-k under both metrics.
+_SPLIT_CTE = f"""
+cut AS (SELECT {_split_cut_sql()} AS c),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings, cut WHERE vec_id >= c),
+base AS (SELECT vec_id, embedding FROM embeddings, cut WHERE vec_id < c)
+"""
+
+_COS_SCORED = f"""
+SELECT q.query_id, b.vec_id,
+       {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+FROM base b, q
+"""
+
+_EUC_SCORED = f"""
+SELECT q.query_id, b.vec_id,
+       {V.sql_euclidean_distance('b.embedding', 'q.qv')} AS d
+FROM base b, q
+"""
+
+
+def _topk_cte(scored: str, k: int = K) -> str:
+    return f"""
+SELECT query_id, vec_id, d,
+       row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rank
+FROM ({scored}) QUALIFY rank <= {k}
+"""
+
+
+@register(
+    "knn_exact_batch",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_COS_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 batch form: exact top-10 per query over the whole query split.
+    Broadcast queries × scan base → window top-k (SURVEY §2.3)."""
+    base, qs = _split(spark, sf_dir)
+    res = knn.knn_exact_batch(base, qs, K)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", ROUND).alias("dist"), "rank"
+    )
+
+
+@register(
+    "argmin_dist",
+    f"""
+    WITH {_SPLIT_CTE},
+    scored AS ({_COS_SCORED})
+    SELECT query_id, vec_id AS nearest_id, round(d, {ROUND}) AS min_dist
+    FROM (SELECT query_id, vec_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d ASC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_argmin_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 get_nearest_element (src/hnsw.rs:65-76) as a min_by aggregate."""
+    base, qs = _split(spark, sf_dir)
+    res = knn.argmin_dist(base, qs)
+    return res.select(
+        "query_id", "nearest_id", F.round("min_dist", ROUND).alias("min_dist")
+    )
+
+
+@register(
+    "argmax_dist",
+    f"""
+    WITH {_SPLIT_CTE},
+    scored AS ({_COS_SCORED})
+    SELECT query_id, vec_id AS furthest_id, round(d, {ROUND}) AS max_dist
+    FROM (SELECT query_id, vec_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_argmax_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 get_furthest_element (src/hnsw.rs:78-89) as a max_by aggregate."""
+    base, qs = _split(spark, sf_dir)
+    res = knn.argmax_dist(base, qs)
+    return res.select(
+        "query_id", "furthest_id", F.round("max_dist", ROUND).alias("max_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 evaluation operators (X1-X3): score the euclidean top-k retriever
+# against the cosine top-k retriever — two SQL-expressible result sets, so
+# the whole evaluation pipeline is oracle-checkable end to end.
+# ---------------------------------------------------------------------------
+
+_EVAL_CTE = f"""
+WITH {_SPLIT_CTE},
+cos_topk AS ({_topk_cte(_COS_SCORED)}),
+euc_topk AS ({_topk_cte(_EUC_SCORED)})
+"""
+
+
+def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base, qs = _split(spark, sf_dir)
+    relevant = knn.knn_exact_batch(base, qs, K)  # cosine = engine metric
+    import toy_vector_db_spark.functions.vector as _V
+
+    scored = base.crossJoin(F.broadcast(qs)).withColumn(
+        "dist", _V.euclidean_distance(F.col("embedding"), F.col("query_vec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    retrieved = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    return retrieved, relevant
+
+
+@register(
+    "result_intersection",
+    f"""
+    {_EVAL_CTE}
+    SELECT e.query_id AS query_id, count(c.vec_id) AS n_common
+    FROM euc_topk e
+    LEFT JOIN cos_topk c ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q_result_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 |A ∩ B| per query (src/evaluation.rs:3-5) as a hash semi-join."""
+    retrieved, relevant = _eval_frames(spark, sf_dir)
+    return evaluation.intersection_count(retrieved, relevant)
+
+
+@register(
+    "eval_recall",
+    f"""
+    {_EVAL_CTE},
+    inter AS (
+      SELECT e.query_id, count(c.vec_id) AS n_common
+      FROM euc_topk e
+      LEFT JOIN cos_topk c ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    rel_n AS (SELECT query_id, count(*) AS n_rel FROM cos_topk GROUP BY query_id)
+    SELECT i.query_id AS query_id,
+           round(i.n_common / r.n_rel, {ROUND}) AS recall
+    FROM inter i JOIN rel_n r ON i.query_id = r.query_id
+    """,
+)
+def q_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 recall@10 of the euclidean retriever vs the cosine oracle
+    (src/evaluation.rs:7-10)."""
+    retrieved, relevant = _eval_frames(spark, sf_dir)
+    return evaluation.evaluate_recall(retrieved, relevant)
+
+
+@register(
+    "eval_precision",
+    f"""
+    {_EVAL_CTE},
+    inter AS (
+      SELECT e.query_id, count(c.vec_id) AS n_common
+      FROM euc_topk e
+      LEFT JOIN cos_topk c ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    ret_n AS (SELECT query_id, count(*) AS n_ret FROM euc_topk GROUP BY query_id)
+    SELECT i.query_id AS query_id,
+           round(i.n_common / r.n_ret, {ROUND}) AS precision
+    FROM inter i JOIN ret_n r ON i.query_id = r.query_id
+    """,
+)
+def q_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 precision@10 (src/evaluation.rs:12-15)."""
+    retrieved, relevant = _eval_frames(spark, sf_dir)
+    return evaluation.evaluate_precision(retrieved, relevant)
 
 
 # ---------------------------------------------------------------------------
