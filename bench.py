@@ -25,8 +25,12 @@ from toy_vector_db_spark.session import get_spark  # noqa: E402
 # operators. Extended as the registry grows.
 HEADLINE = [
     "knn_exact_single",
+    "knn_exact_batch",
+    "knn_hnsw",
+    "hnsw_build",
     "vec_magnitude",
     "vec_cosine_dist",
+    "eval_recall",
 ]
 
 

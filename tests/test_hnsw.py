@@ -1,0 +1,84 @@
+"""HNSW gates (SURVEY §5 item 3): recall@10 vs exact KNN ≥ 0.9 — the
+reference's own acceptance metric (src/main.rs:89-93) — plus graph
+invariants and determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import evaluation, hnsw, knn
+from toy_vector_db_spark.sources.ndjson import split_count
+
+
+@pytest.fixture(scope="module")
+def split(embeddings):
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return base.cache(), qs.cache()
+
+
+def test_recall_gate(split):
+    base, qs = split
+    exact = knn.knn_exact_batch(base, qs, 10)
+    approx = hnsw.knn_hnsw(base, qs, 10, num_partitions=8)
+    rec = evaluation.evaluate_recall(approx, exact)
+    mean_recall = rec.agg(F.avg("recall")).first()[0]
+    assert mean_recall >= 0.9, f"mean recall@10 = {mean_recall}"
+
+
+def test_graph_invariants(split):
+    base, _ = split
+    edges = hnsw.build_edges(base, num_partitions=8).cache()
+    stats = (
+        edges.groupBy("layer", "src")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("layer")
+        .agg(F.max("deg").alias("max_deg"), F.count("*").alias("nodes"))
+        .collect()
+    )
+    by_layer = {r.layer: r for r in stats}
+    # degree bound M_max=32 (src/hnsw.rs:157-167)
+    assert all(r.max_deg <= hnsw.M_MAX for r in stats)
+    # layers thin out going up (exponential level distribution)
+    layers = sorted(by_layer)
+    assert layers[0] == 0
+    for lo, hi in zip(layers, layers[1:]):
+        assert by_layer[hi].nodes <= by_layer[lo].nodes
+    # every base point is a node at layer 0 (paper semantics: every insert
+    # connects at layer 0 — the reference's l=0 disconnect quirk is fixed)
+    n_base = base.count()
+    layer0_nodes = edges.where("layer = 0").select("src").distinct().count()
+    assert layer0_nodes == n_base
+    edges.unpersist()
+
+
+def test_build_deterministic(split):
+    base, _ = split
+    s1 = hnsw.build_edges(base, 8).groupBy("layer").count().orderBy("layer").collect()
+    s2 = hnsw.build_edges(base, 8).groupBy("layer").count().orderBy("layer").collect()
+    assert s1 == s2
+
+
+def test_level_distribution():
+    # P(level=0) ≈ 0.75 with mL = 1/ln4 (src/hnsw.rs:91-96)
+    levels = [hnsw.deterministic_level(i) for i in range(20000)]
+    frac0 = levels.count(0) / len(levels)
+    assert 0.72 < frac0 < 0.78
+    assert max(levels) <= hnsw.L - 1
+
+
+def test_local_hnsw_exactish_on_small_set():
+    # beam ef >= n makes HNSW search exhaustive -> must equal brute force
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 16))
+    idx = hnsw.LocalHNSW(vecs)
+    idx.build([hnsw.deterministic_level(i) for i in range(80)])
+    q = rng.normal(size=16)
+    got = [i for _, i in idx.search(q, ef=100)][:5]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(1.0 - np.maximum(sims, 0.0), kind="stable")[:5])
+    assert got == [int(w) for w in want]

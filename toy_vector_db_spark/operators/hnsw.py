@@ -1,0 +1,302 @@
+"""HNSW approximate-nearest-neighbor index, Spark-first.
+
+Reference parity (SURVEY.md §2.4, /root/reference/src/hnsw.rs — Algorithms
+1-5 of Malkov & Yashunin, 338 LoC, single-threaded, one global graph):
+
+  H3  get_layer          src/hnsw.rs:91-96   → deterministic hash-seeded level
+  H6  insert (Alg 1)     src/hnsw.rs:114-169 → per-partition batch build
+  H7  search_layer (Alg2) src/hnsw.rs:171-236 → beam search with heaps
+  H8  select_neighbors   src/hnsw.rs:238-252 → top-M by distance
+  H10 search (Alg 5)     src/hnsw.rs:303-327 → descent + layer-0 beam + rerank
+
+Hyperparameters are the reference's constructor constants
+(src/hnsw.rs:45-50): L=4, M=16, M_max=32, ef=100, ef_construction=200,
+mL=1/ln(4).
+
+Deliberate semantic fixes vs the reference (SURVEY §2.4 H6): the reference's
+connect loop skips layer 0 for points that draw level 0 (~75% of inserts),
+leaving them unreachable; we connect at layers min(L-1, l)..0 per the paper.
+Correctness is judged by recall against the exact operator, exactly how the
+reference validates itself (src/main.rs:89-93).
+
+Spark architecture — the graph walk is data-dependent pointer chasing, not
+dataflow, so it cannot be a DataFrame expression. The scale-out design:
+
+  * hash-partition the base set by id into P independent shards;
+  * each shard builds its own local HNSW inside ``applyInPandas`` (Arrow
+    batches in, numpy kernel, no JVM round-trips) — build is embarrassingly
+    parallel and deterministic (levels come from a per-id splitmix64 hash,
+    insertion order is id order within the shard);
+  * every query beam-searches every shard's graph (fan-out P), emitting ≤ef
+    candidates per shard; a global window top-k with EXACT distances reranks
+    (same rerank shape as the reference's :317-326).
+
+At 100 TB: P grows with the corpus so each shard stays in one executor's
+memory; search cost is P × (ef·log n_shard) distance evals instead of a full
+scan — the IVF routing operator (operators/similarity.py) further prunes the
+fan-out to the shards whose centroids are near the query.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference hyperparameters (src/hnsw.rs:45-50)
+L = 4
+M_CONN = 16
+M_MAX = 32
+EF_SEARCH = 100
+EF_CONSTRUCTION = 200
+ML = 1.0 / math.log(4.0)
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def deterministic_level(vec_id: int, mL: float = ML, max_level: int = L - 1) -> int:
+    """H3 random level floor(-ln(u)·mL) (src/hnsw.rs:91-96) with u drawn from
+    a per-id hash instead of a global RNG — reproducible under any partitioning
+    and insertion parallelism. Capped at L-1 like the reference's layer array."""
+    u = (_splitmix64(vec_id) + 0.5) / 2.0**64
+    return min(int(-math.log(u) * mL), max_level)
+
+
+def _cosine_dist_matrix(q: np.ndarray, vecs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+    """Clamped cosine distance (src/vector.rs:14-21) of one query against a
+    matrix of vectors, vectorized in float64."""
+    qn = np.linalg.norm(q)
+    sims = (vecs @ q) / (norms * qn)
+    return 1.0 - np.maximum(sims, 0.0)
+
+
+class LocalHNSW:
+    """Single-shard HNSW over a numpy matrix. IDs are LOCAL row offsets;
+    callers map back to global ids. Mirrors the reference's state
+    (src/hnsw.rs:9-36): per-layer adjacency dicts + entry point."""
+
+    def __init__(self, vectors: np.ndarray):
+        self.vectors = vectors.astype(np.float64, copy=False)
+        self.norms = np.linalg.norm(self.vectors, axis=1)
+        self.neighbors: list[dict[int, list[int]]] = [dict() for _ in range(L)]
+        self.ep: int | None = None
+        self.top_layer = 0
+
+    # -- distance helpers ---------------------------------------------------
+    def _dist(self, q: np.ndarray, ids) -> np.ndarray:
+        ids = np.asarray(list(ids), dtype=np.int64)
+        return _cosine_dist_matrix(q, self.vectors[ids], self.norms[ids])
+
+    # -- Algorithm 2 (H7): beam search within one layer ----------------------
+    def search_layer(self, q: np.ndarray, eps: list[int], ef: int, lc: int) -> list[tuple[float, int]]:
+        adj = self.neighbors[lc]
+        visited = set(eps)
+        d0 = self._dist(q, eps)
+        # candidates: min-heap by dist; results: max-heap (negated)
+        cand = [(d, e) for d, e in zip(d0.tolist(), eps)]
+        heapq.heapify(cand)
+        res = [(-d, e) for d, e in cand]
+        heapq.heapify(res)
+        while cand:
+            dc, c = heapq.heappop(cand)
+            df_worst = -res[0][0]
+            if dc > df_worst:  # early termination (src/hnsw.rs:192-197)
+                break
+            nbrs = [e for e in adj.get(c, ()) if e not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            dn = self._dist(q, nbrs)
+            for d, e in zip(dn.tolist(), nbrs):
+                if len(res) < ef or d < -res[0][0]:
+                    heapq.heappush(cand, (d, e))
+                    heapq.heappush(res, (-d, e))
+                    if len(res) > ef:  # bounded-beam eviction (:225-229)
+                        heapq.heappop(res)
+        return sorted((-nd, e) for nd, e in res)
+
+    # -- Algorithm 3 (H8): simple neighbor selection -------------------------
+    def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
+        if len(cands) <= m:
+            return list(cands)
+        d = self._dist(q, cands)
+        order = np.argsort(d, kind="stable")[:m]
+        return [cands[i] for i in order]
+
+    # -- Algorithm 1 (H6): insert -------------------------------------------
+    def insert(self, local_id: int, level: int) -> None:
+        q = self.vectors[local_id]
+        if self.ep is None:  # first point = permanent entry point (:125-131)
+            self.ep = local_id
+            self.top_layer = level
+            for lc in range(level + 1):
+                self.neighbors[lc][local_id] = []
+            return
+        ep = [self.ep]
+        # greedy descent through layers above the insert level (:138-144)
+        for lc in range(self.top_layer, level, -1):
+            w = self.search_layer(q, ep, 1, lc)
+            ep = [w[0][1]]
+        # connect at layers min(top, level)..0 — paper semantics (fixes the
+        # reference's off-by-one that skips layer 0, src/hnsw.rs:147)
+        for lc in range(min(self.top_layer, level), -1, -1):
+            w = self.search_layer(q, ep, EF_CONSTRUCTION, lc)
+            cand_ids = [e for _, e in w]
+            nbrs = self._select_neighbors(q, cand_ids, M_CONN)
+            adj = self.neighbors[lc]
+            adj[local_id] = list(nbrs)
+            for e in nbrs:  # bidirectional connect (H5, :107-112)
+                lst = adj.setdefault(e, [])
+                lst.append(local_id)
+                if len(lst) > M_MAX:  # degree-bound prune (:157-167)
+                    adj[e] = self._select_neighbors(self.vectors[e], lst, M_MAX)
+            ep = cand_ids
+        if level > self.top_layer:
+            self.top_layer = level
+            self.ep = local_id
+
+    def build(self, levels: list[int]) -> None:
+        for i, lvl in enumerate(levels):
+            self.insert(i, lvl)
+
+    # -- Algorithm 5 (H10): search -------------------------------------------
+    def search(self, q: np.ndarray, ef: int = EF_SEARCH) -> list[tuple[float, int]]:
+        if self.ep is None:
+            return []
+        ep = [self.ep]
+        for lc in range(self.top_layer, 0, -1):  # greedy descent (:309-312)
+            w = self.search_layer(q, ep, 1, lc)
+            ep = [w[0][1]]
+        return self.search_layer(q, ep, ef, 0)  # layer-0 beam (:315)
+
+
+# ---------------------------------------------------------------------------
+# Spark-level operators
+# ---------------------------------------------------------------------------
+
+def _with_part(base: DataFrame, num_partitions: int, id_col: str) -> DataFrame:
+    """Deterministic shard assignment: pmod(xxhash64(id), P)."""
+    return base.withColumn(
+        "part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions)).cast("int")
+    )
+
+
+def build_edges(
+    base: DataFrame,
+    num_partitions: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """H6 batch build: per-shard HNSW graphs, edges emitted as a DataFrame
+    (part, layer, src, dst) with global ids. Deterministic: shard by id hash,
+    insert in id order, hash-seeded levels."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        vecs = np.stack(pdf[vec_col].to_numpy())
+        idx = LocalHNSW(vecs)
+        idx.build([deterministic_level(int(i)) for i in ids])
+        part = int(pdf["part"].iloc[0])
+        rows = [
+            (part, lc, int(ids[src]), int(ids[dst]))
+            for lc, adj in enumerate(idx.neighbors)
+            for src, dsts in adj.items()
+            for dst in dsts
+        ]
+        return pd.DataFrame(rows, columns=["part", "layer", "src", "dst"])
+
+    parted = _with_part(base.select(id_col, vec_col), num_partitions, id_col)
+    return parted.groupBy("part").applyInPandas(
+        _build, schema="part int, layer int, src long, dst long"
+    )
+
+
+def knn_hnsw(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_partitions: int = 8,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """H10 top-k ANN: build each shard's graph and beam-search all queries
+    against it in ONE applyInPandas pass (build+search fused, like the
+    reference's single-process run), then global exact rerank via window
+    top-k over the ≤ ef·P candidates per query.
+
+    The query set is collected to the driver and shipped in the task closure
+    (it is the small side by construction — same assumption as the broadcast
+    in knn_exact_batch)."""
+    q_pd = queries.select(query_id_col, query_vec_col).toPandas()
+    q_ids = q_pd[query_id_col].to_numpy()
+    q_vecs = np.stack(q_pd[query_vec_col].to_numpy()).astype(np.float64)
+
+    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        vecs = np.stack(pdf[vec_col].to_numpy())
+        idx = LocalHNSW(vecs)
+        idx.build([deterministic_level(int(i)) for i in ids])
+        out_q, out_id, out_d = [], [], []
+        for qid, qv in zip(q_ids, q_vecs):
+            for d, local in idx.search(qv, ef):
+                out_q.append(int(qid))
+                out_id.append(int(ids[local]))
+                out_d.append(float(d))
+        return pd.DataFrame(
+            {query_id_col: out_q, id_col: out_id, "dist": out_d}
+        )
+
+    parted = _with_part(base.select(id_col, vec_col), num_partitions, id_col)
+    cands = parted.groupBy("part").applyInPandas(
+        _search, schema=f"{query_id_col} long, {id_col} long, dist double"
+    )
+    # global rerank on exact distance (same as reference :317-326); dedup in
+    # case a point surfaced from multiple shards is impossible (shards are
+    # disjoint), so rank directly.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+class HNSWIndex:
+    """Index-protocol wrapper mirroring the reference trait
+    (/root/reference/src/index.rs:4-10, src/hnsw.rs:330-338)."""
+
+    def __init__(self, num_partitions: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.df: DataFrame | None = None
+        self.num_partitions = num_partitions
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def insert_many(self, df: DataFrame) -> "HNSWIndex":
+        self.df = df if self.df is None else self.df.unionByName(df)
+        return self
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        assert self.df is not None, "index is empty"
+        return knn_hnsw(self.df, queries, k, self.num_partitions,
+                        id_col=self.id_col, vec_col=self.vec_col)

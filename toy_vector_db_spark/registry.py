@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions import text as TXT
 from toy_vector_db_spark.functions import vector as V
-from toy_vector_db_spark.operators import evaluation, knn
+from toy_vector_db_spark.operators import evaluation, hnsw, knn
 from toy_vector_db_spark.session import configure
 from toy_vector_db_spark.sources import fixtures
 from toy_vector_db_spark.sources.ndjson import read_ndjson, split_count
@@ -305,6 +305,42 @@ def q_argmax_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "furthest_id", F.round("max_dist", ROUND).alias("max_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 HNSW ANN index (H6/H10). Graph construction/search is data-dependent
+# pointer chasing — not SQL-expressible, so these are rows-only checks for
+# the driver; the REAL correctness gate is the reference's own metric,
+# recall@10 ≥ 0.9 vs exact KNN, asserted in tests/test_hnsw.py (the pattern
+# at src/main.rs:89-93).
+# ---------------------------------------------------------------------------
+
+HNSW_PARTITIONS = 8
+
+
+@register("hnsw_build")
+def q_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 batch build; output per-layer graph invariants (node/edge counts,
+    max out-degree ≤ M_max) — deterministic given hash-seeded levels."""
+    base, _ = _split(spark, sf_dir)
+    edges = hnsw.build_edges(base, HNSW_PARTITIONS)
+    deg = edges.groupBy("layer", "src").agg(F.count("*").alias("out_deg"))
+    return (
+        deg.groupBy("layer")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("out_deg").alias("n_edges"),
+            F.max("out_deg").alias("max_out_degree"),
+        )
+        .orderBy("layer")
+    )
+
+
+@register("knn_hnsw")
+def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 ANN top-10 per query: per-shard beam search + global exact rerank."""
+    base, qs = _split(spark, sf_dir)
+    return hnsw.knn_hnsw(base, qs, K, HNSW_PARTITIONS)
 
 
 # ---------------------------------------------------------------------------
