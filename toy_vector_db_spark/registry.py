@@ -48,7 +48,14 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # session timezone/AQE settings, whoever created the session
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -65,6 +72,16 @@ def oracle_sql() -> dict[str, str]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is a nanosecond parquet timestamp, which Spark rejects
+        # by default; read nanos as long and truncate to microseconds —
+        # exactly what DuckDB does when casting TIMESTAMP_NS to its
+        # microsecond TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer division: float division would round-trip int64 nanos
+        # through double and lose sub-microsecond bits
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -191,7 +208,6 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship reference query: top-10 nearest neighbors (clamped cosine) of
     query point query[29] over the 95% prefix base set (src/main.rs:61-94).
     Plans as parquet scan → codegen distance → TakeOrderedAndProject(10)."""
-    configure(spark)
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     cut = split_count(n, SPLIT_RATIO)
@@ -478,6 +494,269 @@ def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.col("vec_id") < cut, "base").otherwise("query").alias("part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational extension suite (SURVEY §2.7) — joins, aggregation, windows,
+# rollup, set ops, date/JSON functions, sessionization over the TPC-H-ish
+# star schema and the events table.
+# ---------------------------------------------------------------------------
+
+_R = 4  # relational.ROUND
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {_R}) AS sum_qty,
+           round(sum(l_extendedprice), {_R}) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {_R}) AS sum_charge,
+           round(avg(l_quantity), {_R}) AS avg_qty,
+           round(avg(l_extendedprice), {_R}) AS avg_price,
+           round(avg(l_discount), {_R}) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.revenue_by_nation(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    f"""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, {_R}) AS o_totalprice,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.top_orders_per_customer(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "sales_rollup",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           round(sum(l_quantity), {_R}) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.sales_rollup(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.customers_without_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "active_customers_by_segment",
+    """
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_active_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.customers_with_orders_semi(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "monthly_order_stats",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {_R}) AS total,
+           round(avg(o_totalprice), {_R}) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.monthly_order_stats(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "order_priority_pivot",
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.order_priority_pivot(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "top_customer_set_difference",
+    """
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      ORDER BY sum(o_totalprice) DESC, o_custkey ASC LIMIT 20)
+    EXCEPT
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      ORDER BY count(*) DESC, o_custkey ASC LIMIT 20)
+    """,
+)
+def q_top_customer_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.top_customer_set_difference(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, session_seq, count(*) AS n_events,
+             round(sum(value), {_R}) AS session_value
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events,
+           round(sum(session_value), {_R}) AS total_value
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.sessionize(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_stats",
+    f"""
+    SELECT event_type, count(*) AS n,
+           round(avg(k), {_R}) AS avg_k, min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.events_json_stats(table(spark, sf_dir, "events"))
+
+
+@register(
+    "tumbling_window_hourly",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+           event_type, count(*) AS n,
+           round(sum(value), {_R}) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.tumbling_window_batch(table(spark, sf_dir, "events"), 60)
+
+
+@register(
+    "running_total_by_supplier",
+    f"""
+    WITH run AS (
+      SELECT l_suppkey,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING), {_R}) AS running_qty
+      FROM lineitem)
+    SELECT l_suppkey, max(running_qty) AS final_qty, count(*) AS n_items
+    FROM run GROUP BY l_suppkey
+    """,
+)
+def q_running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.running_total_by_supplier(table(spark, sf_dir, "lineitem"))
 
 
 @register(
