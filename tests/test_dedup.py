@@ -1,0 +1,40 @@
+"""Dedup suite semantics: the injected near-dup twins must be recovered."""
+
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import dedup
+
+
+def test_minhash_recovers_injected_pairs(spark, documents):
+    corpus = dedup.with_injected_dups(documents.select("doc_id", "text"))
+    pairs = dedup.minhash_lsh_pairs(corpus).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    expected = {(i, i + dedup.DUP_OFFSET) for i in range(dedup.DUP_SLICE)}
+    # every injected twin pair is found...
+    assert expected <= got, f"missed {sorted(expected - got)[:5]}"
+    # ...with high-but-imperfect similarity (suffix perturbation)
+    by_pair = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    for p in expected:
+        assert 0.7 <= by_pair[p] < 1.0
+
+
+def test_exact_dedup_group_sizes(spark, documents):
+    corpus = dedup.with_injected_dups(
+        documents.select("doc_id", "text"), perturb=False
+    )
+    groups = dedup.dedup_exact(corpus)
+    sizes = {r.n_copies: r.cnt for r in
+             groups.groupBy("n_copies").agg(F.count("*").alias("cnt")).collect()}
+    n = documents.count()
+    assert sizes == {1: n - dedup.DUP_SLICE, 2: dedup.DUP_SLICE}
+
+
+def test_simhash_twin_distance(spark, documents):
+    corpus = dedup.with_injected_dups(documents.select("doc_id", "text"))
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=6).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    expected = {(i, i + dedup.DUP_OFFSET) for i in range(dedup.DUP_SLICE)}
+    # suffix perturbation flips few simhash bits; most twins must surface.
+    # (byte-band blocking is recall-bounded by design: a pair with ≤6
+    # flipped bits spread over all 4 bytes is missed — the standard trade)
+    assert len(expected & got) >= int(0.7 * dedup.DUP_SLICE)

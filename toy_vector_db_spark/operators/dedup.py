@@ -1,0 +1,326 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference dedups nothing); these are the
+harness-mandated extension operators, built Spark-first:
+
+  dedup_exact           hash group-by on the raw text
+  dedup_minhash_lsh     word-shingle MinHash signatures → banded LSH
+                        candidate pairs → exact Jaccard verification
+  simhash               per-doc 32-bit SimHash signature (token-hash bit
+                        voting); near-dup pairs via byte-band pigeonhole
+  ngram_jaccard         exact character-n-gram Jaccard, blocked by a group
+                        key to bound the pair count
+
+Scale design notes:
+* MinHash signatures are computed PER ROW with higher-order array
+  expressions (no explode, no shuffle, no Python): shingle → md5-derived
+  64-bit int → 16 universal-hash permutations folded with array_min. The
+  only shuffles in the whole pipeline are the LSH bucket self-join and the
+  final pair dedup — exactly the shuffles the algorithm needs.
+* The hash family is (aᵢ·h + bᵢ) mod p with p = 2³¹−1 and h < p, so every
+  intermediate fits comfortably in int64 in ANY engine — this keeps the
+  DuckDB oracle bit-identical (overflow semantics never come into play).
+* Band count trades recall for candidate volume: 8 bands × 2 rows catches
+  J≈0.5 pairs w.p. ~0.93 while keeping bucket collisions rare.
+* The fixture corpus has no natural duplicates, so dedup queries union the
+  corpus with deterministically perturbed copies of a slice of it
+  (`with_injected_dups`) and must recover exactly those pairs — the query
+  doubles as its own ground-truth check.
+
+The synthetic `documents.text` is lowercase space-separated tokens, so
+tokenization here is a plain split on space (see functions/text.py for the
+general tokenizer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND = 6
+P31 = 2_147_483_647  # 2^31 - 1, prime modulus for the universal hash family
+NUM_PERM = 16
+BANDS = 8  # 8 bands x 2 rows
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+# Fixed permutation coefficients (seeded, inlined identically into the
+# DuckDB oracle SQL) — a_i odd-ish nonzero, b_i arbitrary, all < p.
+_rng = np.random.default_rng(20240813)
+PERM_A = [int(x) for x in _rng.integers(1, P31 - 1, NUM_PERM)]
+PERM_B = [int(x) for x in _rng.integers(0, P31 - 1, NUM_PERM)]
+
+DUP_OFFSET = 10_000_000
+DUP_SLICE = 50  # doc_id < 50 get a perturbed twin
+PERTURB_SUFFIX = " zz9 zz9 zz9"
+
+
+def md5_int(c: Column) -> Column:
+    """First 48 bits of md5 as a non-negative bigint — identical in DuckDB
+    as ('0x' || substr(md5(x),1,12))::BIGINT (verified bit-equal)."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def sql_md5_int(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+
+
+def with_injected_dups(docs: DataFrame, perturb: bool = True) -> DataFrame:
+    """Corpus ∪ twins of the first DUP_SLICE docs. ``perturb=True`` appends
+    a suffix (near-dup: high-but-<1 shingle Jaccard, few SimHash bits flip)
+    for the approximate dedup ops; ``perturb=False`` makes exact copies for
+    exact dedup. Twin ids are original + DUP_OFFSET."""
+    text = F.concat(F.col("text"), F.lit(PERTURB_SUFFIX)) if perturb else F.col("text")
+    twins = docs.where(F.col("doc_id") < DUP_SLICE).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), text.alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def _injected_corpus_sql(perturb: bool) -> str:
+    text = f"text || '{PERTURB_SUFFIX}'" if perturb else "text"
+    return f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {DUP_OFFSET} AS doc_id, {text} AS text
+FROM documents WHERE doc_id < {DUP_SLICE}
+"""
+
+
+SQL_INJECTED_CORPUS = _injected_corpus_sql(perturb=True)
+SQL_INJECTED_CORPUS_EXACT = _injected_corpus_sql(perturb=False)
+
+
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest id. At scale
+    group on md5(text) (fixed-width shuffle key) — emitted here too so the
+    query exercises the real idiom."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("text_hash", "keeper_id", "n_copies")
+    )
+
+
+# -- shingling ---------------------------------------------------------------
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array column (pure Catalyst). Guarded
+    for short texts: Spark's sequence(1, 0) would count DOWN, not produce
+    an empty range like DuckDB's."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(F.size(toks) >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int = 4) -> Column:
+    idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    return F.when(F.length(text) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.substring(text, i, n))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# -- MinHash -----------------------------------------------------------------
+
+def minhash_signature(shingles: Column) -> list[Column]:
+    """16 minhash values, computed per row with array_min over the permuted
+    shingle hashes — no explode, no shuffle."""
+    hashes = F.transform(shingles, lambda s: md5_int(s) % P31)
+    return [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    ]
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
+    Output: (doc_a, doc_b, jaccard) for verified pairs above threshold."""
+    shingled = corpus.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+    sig = shingled.select(
+        "doc_id", "shingles", *minhash_signature(F.col("shingles"))
+    )
+
+    # slim (doc_id, band, sig) frame for the bucket self-join — the wide
+    # shingle arrays are joined back only for the (few) surviving candidates
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{bi * ROWS_PER_BAND + r}")
+                          for r in range(ROWS_PER_BAND)],
+                    ).alias("sig"),
+                )
+                for bi in range(BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"),
+                         F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"),
+                         F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, ROUND))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(corpus: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: tokens → 48-bit hash → per-bit ±1 votes
+    weighted by token multiplicity → sign. Explode + 32 conditional sums:
+    one map-side-combinable shuffle on doc_id."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok")))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band pigeonhole join (a pair within
+    hamming ≤ 6 over 4 bytes must agree on ≥1 whole byte... not guaranteed
+    for 6>3, so this is a recall-bounded candidate generator — the standard
+    trade; verified pairs are exact hamming) → bit_count(xor) filter."""
+    sigs = simhash_signatures(corpus)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("byte_idx"),
+                    F.shiftright(F.col("simhash"), i * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("byte_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.byte_idx", "bk.byte_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+def ngram_jaccard_topk(
+    docs: DataFrame, n: int = 4, k: int = 20, block_col: str = "source"
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over pairs blocked by a group key (bounds
+    the quadratic pair count — the blocking column is the scale lever),
+    ranked top-k most similar."""
+    g = docs.select(
+        "doc_id", F.col(block_col).alias("blk"), char_ngrams(F.col("text"), n).alias("grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (
+            F.size(F.array_intersect("a.grams", "b.grams"))
+            / F.size(F.array_union("a.grams", "b.grams"))
+        ).alias("j"),
+    )
+    return (
+        pairs.orderBy(F.col("j").desc(), "doc_a", "doc_b")
+        .limit(k)
+        .select("doc_a", "doc_b", F.round("j", ROUND).alias("jaccard"))
+    )
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most-similar embedding pairs within a label block (cosine).
+    Blocking on the cluster label bounds the pair count; at 100 TB the
+    block key comes from a coarse quantizer (see similarity.ivf_assign)."""
+    from toy_vector_db_spark.functions import vector as V
+
+    e = embeddings.select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    return (
+        pairs.orderBy(F.col("sim").desc(), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("sim", ROUND).alias("cos_sim"))
+    )

@@ -497,6 +497,85 @@ def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deduplication suite (training-data-pipeline extensions; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_exact")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text hash over the dup-injected corpus: 50 groups of
+    2 copies, rest singletons; keeper = min id."""
+    from toy_vector_db_spark.operators import dedup
+
+    corpus = dedup.with_injected_dups(
+        table(spark, sf_dir, "documents"), perturb=False
+    )
+    return dedup.dedup_exact(corpus)
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → 8×2 banded LSH candidates → exact Jaccard ≥ 0.4.
+    Must recover the injected near-dup twins."""
+    from toy_vector_db_spark.operators import dedup
+
+    corpus = dedup.with_injected_dups(table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(corpus)
+
+
+@register("simhash_signatures")
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash (token-hash bit voting)."""
+    from toy_vector_db_spark.operators import dedup
+
+    return dedup.simhash_signatures(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register("simhash_near_pairs")
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (byte-band candidates, hamming ≤ 6) over the
+    dup-injected corpus."""
+    from toy_vector_db_spark.operators import dedup
+
+    corpus = dedup.with_injected_dups(table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(corpus)
+
+
+@register("ngram_jaccard_topk")
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by exact char-4-gram Jaccard, blocked
+    by source."""
+    from toy_vector_db_spark.operators import dedup
+
+    return dedup.ngram_jaccard_topk(table(spark, sf_dir, "documents"))
+
+
+@register("embedding_near_dups")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs (clamped cosine) within label
+    blocks."""
+    from toy_vector_db_spark.operators import dedup
+
+    return dedup.embedding_near_dups(table(spark, sf_dir, "embeddings"))
+
+
+def _register_dedup_oracles() -> None:
+    from toy_vector_db_spark import oracles_dedup as O
+
+    _ORACLES["dedup_exact"] = O.dedup_exact_sql()
+    _ORACLES["dedup_minhash_lsh"] = O.minhash_lsh_sql()
+    _ORACLES["simhash_signatures"] = O.simhash_signatures_sql()
+    _ORACLES["simhash_near_pairs"] = O.simhash_pairs_sql()
+    _ORACLES["ngram_jaccard_topk"] = O.ngram_jaccard_sql()
+    _ORACLES["embedding_near_dups"] = O.embedding_near_dup_sql()
+
+
+_register_dedup_oracles()
+
+
+# ---------------------------------------------------------------------------
 # Relational extension suite (SURVEY §2.7) — joins, aggregation, windows,
 # rollup, set ops, date/JSON functions, sessionization over the TPC-H-ish
 # star schema and the events table.
