@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst column expressions over `documents` — per-row, zero
+shuffle before the (optional) aggregation, fully DuckDB-oracle-able. At
+100 TB these run inside whole-stage codegen over a column-pruned scan of
+(doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND = 6
+P31 = 2_147_483_647
+
+# tiny per-language marker wordlists for the n-gram/stopword heuristic —
+# deliberately small and inlined identically into the oracle SQL
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "value", "table", "row"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "les"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "los"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "nicht", "mit"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _toks(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (array_intersect with distinct toks).
+    Counting DISTINCT marker hits keeps the oracle expression identical."""
+    toks = F.array_distinct(_toks(text))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predicted language = argmax marker-hit count, 'und' (undetermined)
+    when no list scores > 0; ties broken by language name order."""
+    scores = lang_scores(F.col("text"))
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reverse-sorted order so earlier names win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best_score.cast("int").alias("marker_hits"),
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score:
+    length, token count, mean token length, stopword ratio, digit ratio,
+    unique-token ratio."""
+    text = F.col("text")
+    toks = _toks(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    mean_tok_len = (n_char - (n_tok - 1)) / n_tok  # chars net of separators
+    stop_ratio = (
+        F.size(F.array_intersect(F.array_distinct(toks),
+                                 F.array(*[F.lit(w) for w in STOPWORDS])))
+        / F.size(F.array_distinct(toks))
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(text, "[^0-9]", "")) / n_char
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.1) * stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_char.alias("n_chars"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(mean_tok_len, ROUND).alias("mean_tok_len"),
+        F.round(stop_ratio, ROUND).alias("stop_ratio"),
+        F.round(uniq_ratio, ROUND).alias("uniq_ratio"),
+        F.round(score, ROUND).alias("quality_score"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace split vs alnum-run regex (the
+    BPE-ish lower bound), plus distinct counts."""
+    from toy_vector_db_spark.functions import text as TXT
+
+    return docs.select(
+        "doc_id",
+        TXT.whitespace_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        TXT.token_count(F.col("text")).cast("int").alias("re_tokens"),
+        F.size(F.array_distinct(_toks(F.col("text")))).cast("int").alias("uniq_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over the
+    character stream, acc = (acc·31 + ascii(c)) mod 2³¹−1 — the classic
+    Rabin–Karp shape, expressed as a higher-order fold (per-row, codegen)."""
+    text = F.col("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, 1)),
+    )
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % P31,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

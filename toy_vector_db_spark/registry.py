@@ -576,6 +576,89 @@ _register_dedup_oracles()
 
 
 # ---------------------------------------------------------------------------
+# Similarity search (IVF / LSH scale paths; operators/similarity.py) and
+# text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+@register("ivf_assign")
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid assignment for every base
+    vector (broadcast centroids, argmin window)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    cents = similarity.centroids_df(base)
+    return similarity.ivf_assign(base, cents)
+
+
+@register("knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe 4 of 16 cells per query, exact top-10 within
+    probed cells. Deterministic → fully oracle-checkable."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_ivf(base, qs, K)
+
+
+@register("lsh_buckets")
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket signature per base vector."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.lsh_hyperplane_buckets(base)
+
+
+@register("text_langid")
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-wordlist language-ID heuristic with deterministic tie-breaks."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.lang_id(table(spark, sf_dir, "documents"))
+
+
+@register("text_quality")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.quality_features(table(spark, sf_dir, "documents"))
+
+
+@register("text_token_stats")
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs regex token counts + distinct tokens."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.token_stats(table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (higher-order fold)."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.fingerprint(table(spark, sf_dir, "documents"))
+
+
+def _register_similarity_oracles() -> None:
+    from toy_vector_db_spark import oracles_similarity as O
+
+    _ORACLES["ivf_assign"] = O.ivf_assign_sql(_SPLIT_CTE)
+    _ORACLES["knn_ivf"] = O.knn_ivf_sql(_SPLIT_CTE, K)
+    _ORACLES["lsh_buckets"] = O.lsh_buckets_sql(_SPLIT_CTE)
+    _ORACLES["text_langid"] = O.lang_id_sql()
+    _ORACLES["text_quality"] = O.quality_sql()
+    _ORACLES["text_token_stats"] = O.token_stats_sql()
+    _ORACLES["doc_fingerprint"] = O.fingerprint_sql()
+
+
+_register_similarity_oracles()
+
+
+# ---------------------------------------------------------------------------
 # Relational extension suite (SURVEY §2.7) — joins, aggregation, windows,
 # rollup, set ops, date/JSON functions, sessionization over the TPC-H-ish
 # star schema and the events table.
