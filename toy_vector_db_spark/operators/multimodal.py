@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video as binary columns with
+metadata; the Spark-side contract is (a) binary stays opaque to Catalyst,
+(b) decode/feature-extraction runs as Arrow-batched Python over
+``mapInPandas``, (c) metadata extraction that doesn't need decoding stays
+in codegen'd JVM expressions.
+
+The harness container ships no image/audio libraries, so the decode step is
+STUBBED (``_decode_payload`` raises NotImplementedError; the deterministic
+fake path is used instead) — but the Spark plumbing around it is real and
+tested: schema, batch iteration shape, partition behavior, feature-vector
+output type. Swapping in a real decoder touches ONE function.
+
+The fixture corpus has no binary table, so payloads are derived
+deterministically from documents.text (utf-8 encode) — both engines
+compute the same bytes, keeping the metadata operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Derive a binary payload column (+ mime tag) from the text fixture."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def payload_metadata(docs: DataFrame) -> DataFrame:
+    """Metadata that needs no decode: byte length, sha256, head byte —
+    pure JVM expressions over the binary column."""
+    p = with_payload(docs)
+    return p.select(
+        "doc_id",
+        "mime",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+        F.ascii(F.substring(F.col("payload").cast("string"), 1, 1)).alias("head_byte"),
+    )
+
+
+def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
+    """The REAL decode hook (image/audio/video → pixel/sample array).
+    Container has no decode libs — deliberately unimplemented."""
+    raise NotImplementedError(
+        "media decoding requires imaging/audio libraries not present in "
+        "this environment; production swaps this one function"
+    )
+
+
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in feature extractor: byte-histogram moments.
+    Stable across runs/partitions — lets the distributed plumbing be tested
+    end-to-end without decode libs."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats = np.array(
+        [
+            arr.size,
+            arr.mean(),
+            arr.std(),
+            arr.min(),
+            arr.max(),
+            np.median(arr),
+            float((arr < 64).mean()),
+            float((arr >= 96).mean()),
+        ],
+        dtype=np.float64,
+    )
+    return feats.astype(np.float32)
+
+
+def extract_features(docs: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas — the scale path for any per-payload Python: one pass, no
+    shuffle, batch-vectorized, output schema fixed (id + array<float>)."""
+    p = with_payload(docs)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                if use_real_decoder:
+                    decoded = _decode_payload(bytes(payload), mime)
+                    feats.append(decoded.astype(np.float32)[:FEATURE_DIM])
+                else:
+                    feats.append(_fake_features(bytes(payload)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": [f.tolist() for f in feats]}
+            )
+
+    return p.mapInPandas(_extract, schema="doc_id long, features array<float>")
+
+
+def feature_summary(docs: DataFrame) -> DataFrame:
+    """Aggregate the extracted features — exercises the full pipeline
+    (binary → Python batch → array column → JVM aggregation)."""
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("long").alias("n_bytes"),
+        F.round(F.element_at("features", 2).cast("double"), 3).alias("mean_byte"),
+    )

@@ -31,6 +31,7 @@ from toy_vector_db_spark.sources.ndjson import read_ndjson, split_count
 SCAN_FIXTURE_PATH = fixtures.write_scan_fixture()
 
 ROUND = 6
+_R = 4  # rounding for relational/streaming money-ish aggregates
 SPLIT_RATIO = 0.95  # reference: src/main.rs:66
 QUERY_OFFSET = 29  # reference: query[29], src/main.rs:81
 K = 10  # reference: src/main.rs:78
@@ -659,12 +660,73 @@ _register_similarity_oracles()
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py) and Structured Streaming
+# (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_payload_metadata",
+    """
+    SELECT doc_id, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           ascii(substring(text, 1, 1)) AS head_byte
+    FROM documents
+    """,
+)
+def q_mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata without decoding (length/sha256/head byte) —
+    JVM expressions over the payload."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.payload_metadata(table(spark, sf_dir, "documents"))
+
+
+@register("mm_feature_extract")
+def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode step stubbed deterministically — see multimodal._decode_payload).
+    Rows-only driver check; numeric agreement with the JVM metadata path is
+    asserted in tests."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.feature_summary(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_tumbling_counts",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+           event_type, count(*) AS n,
+           round(sum(value), {_R}) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows THROUGH the streaming engine (file
+    source → memory sink drain) — byte-identical to the batch twin, so the
+    batch SQL is its oracle."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_tumbling_counts(spark, sf_dir)
+
+
+@register("streaming_session_windows")
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user through the streaming
+    engine. Rows-only driver check; equality with the batch lag/cumsum
+    sessionizer is asserted in tests."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_session_windows(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Relational extension suite (SURVEY §2.7) — joins, aggregation, windows,
 # rollup, set ops, date/JSON functions, sessionization over the TPC-H-ish
 # star schema and the events table.
 # ---------------------------------------------------------------------------
-
-_R = 4  # relational.ROUND
 
 
 @register(

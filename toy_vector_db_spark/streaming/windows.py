@@ -1,0 +1,126 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY §2.7) — streaming is a harness-mandated
+extension. Each operator here reads the events parquet THROUGH the
+streaming engine (file source, one-shot drain via processAllAvailable into
+a memory sink) and returns the materialized result as a DataFrame; the
+tumbling-window operator therefore produces byte-identical output to its
+batch twin and shares its DuckDB oracle.
+
+Production swap: readStream source becomes Kafka/queue, the memory sink
+becomes a Delta/parquet sink with checkpointing; watermarks and window
+logic are unchanged. At scale the stateful aggregation shuffles on the
+window/group keys exactly like the batch groupBy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
+
+ROUND = 4
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_input_dir(sf_dir: str) -> str:
+    """The streaming file source requires a DIRECTORY; stage an idempotent
+    copy of the (read-only) events file under the repo fixture dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(FIXTURE_DIR, "stream_events", tag)
+    dst = os.path.join(d, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(src, dst)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(_stream_input_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming query to completion over the static file and return
+    the memory-sink table (one-shot drain: the local test harness pattern)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, sf_dir: str, minutes: int = 60
+) -> DataFrame:
+    """Watermarked tumbling event-time windows, drained to completion —
+    byte-identical to the batch twin (relational.tumbling_window_batch),
+    hence oracle-checkable."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "n",
+        F.round("sv", ROUND).alias("total_value"),
+    )
+
+
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Native session_window aggregation (gap-based), per user: session
+    count and max session size. Semantics note: session_window treats a gap
+    EXACTLY equal to the threshold as a new session (end-exclusive), while
+    the batch lag/cumsum twin (relational.sessionize) splits only on
+    strictly-greater gaps — identical output unless an event lands exactly
+    on the boundary (microsecond data: measure zero, asserted in tests)."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+    )
+    out = _drain_to_memory(sess, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sv"), ROUND).alias("total_value"),
+        )
+    )
