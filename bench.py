@@ -24,6 +24,7 @@ from toy_vector_db_spark.session import get_spark  # noqa: E402
 # Headline set: the flagship reference query plus the heaviest implemented
 # operators. Extended as the registry grows.
 HEADLINE = [
+    # reference-parity core
     "knn_exact_single",
     "knn_exact_batch",
     "knn_hnsw",
@@ -31,6 +32,17 @@ HEADLINE = [
     "vec_magnitude",
     "vec_cosine_dist",
     "eval_recall",
+    # scale extensions
+    "knn_ivf",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "ngram_jaccard_topk",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "sessionize_events",
+    "tumbling_window_hourly",
+    "text_quality",
+    "doc_fingerprint",
 ]
 
 
@@ -39,6 +51,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("tvdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM/codegen/session spin-up shouldn't be attributed
+    # to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qmap = registry.queries()
     names = [n for n in HEADLINE if n in qmap]

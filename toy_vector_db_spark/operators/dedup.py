@@ -141,7 +141,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
     Output: (doc_a, doc_b, jaccard) for verified pairs above threshold."""
-    shingled = corpus.select(
+    # small fixture files arrive as 1-2 input splits; spread rows across
+    # the cluster BEFORE the expensive shingle+hash projection (at real
+    # scale many files make this a no-op — keyed on id to stay deterministic)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    shingled = corpus.repartition(par, "doc_id").select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     )
     sig = shingled.select(
@@ -272,13 +276,16 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
 # -- exact n-gram Jaccard ----------------------------------------------------
 
 def ngram_jaccard_topk(
-    docs: DataFrame, n: int = 4, k: int = 20, block_col: str = "source"
+    docs: DataFrame, n: int = 4, k: int = 20
 ) -> DataFrame:
-    """Exact char-n-gram Jaccard over pairs blocked by a group key (bounds
-    the quadratic pair count — the blocking column is the scale lever),
-    ranked top-k most similar."""
-    g = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), char_ngrams(F.col("text"), n).alias("grams")
+    """Exact char-n-gram Jaccard over pairs blocked by (source, lang) —
+    the blocking key is the scale lever bounding the quadratic pair count
+    (at sf0.1 it cuts 622k pairs to ~25k); ranked top-k most similar."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    g = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.concat_ws("|", "source", "lang").alias("blk"),
+        char_ngrams(F.col("text"), n).alias("grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(

@@ -26,10 +26,23 @@ truncates to k — O(n log n) single-threaded. Spark-first translation:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions import vector as V
+
+
+def _py_magnitude(vec) -> float:
+    """Sequential-fold L2 norm in Python doubles — bit-identical to the
+    engine's aggregate() fold (same op order, same IEEE arithmetic), so a
+    driver-side precomputed query magnitude can be inlined as a literal
+    without any float drift vs the oracle."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def with_distance(
@@ -39,9 +52,18 @@ def with_distance(
     dist_col: str = "dist",
 ) -> DataFrame:
     """Project the engine distance (clamped cosine, src/vector.rs:31-33) from
-    every row's vector to a literal query vector."""
+    every row's vector to a literal query vector.
+
+    Perf: the query magnitude is a CONSTANT, but Catalyst does not fold
+    aggregate() over literal arrays, so the naive V.distance() would
+    recompute it per row — precompute it driver-side (bit-identically) and
+    inline as a literal. Row magnitudes are computed once per row.
+    """
     q = F.lit(query_vec).cast("array<double>")
-    return df.withColumn(dist_col, V.distance(F.col(vec_col), q))
+    q_mag = F.lit(_py_magnitude(query_vec))
+    v = F.col(vec_col)
+    sim = F.greatest(F.lit(0.0), V.dot(v, q) / (V.magnitude(v) * q_mag))
+    return df.withColumn(dist_col, F.lit(1.0) - sim)
 
 
 def knn_exact_single(
@@ -79,8 +101,18 @@ def knn_exact_batch(
     the corpus), so the base table never moves; the only shuffle is the
     per-query top-k on query_id.
     """
-    scored = base.crossJoin(F.broadcast(queries)).withColumn(
-        "dist", V.distance(F.col(vec_col), F.col(query_vec_col))
+    # magnitudes are per-row constants of each side: compute each ONCE
+    # before the crossJoin instead of 3 aggregates per (row × query) pair.
+    # Same float ops in the same order → bit-identical to the naive form.
+    base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
+    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    scored = base_m.crossJoin(F.broadcast(q_m)).withColumn(
+        "dist", F.lit(1.0) - sim
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()

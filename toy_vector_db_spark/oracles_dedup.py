@@ -131,7 +131,8 @@ def ngram_jaccard_sql(n: int = 4, k: int = 20) -> str:
         " / len(list_distinct(list_concat(a.grams, b.grams)))"
     )
     return f"""
-    WITH g AS (SELECT doc_id, source AS blk, {grams} AS grams FROM documents)
+    WITH g AS (SELECT doc_id, source || '|' || lang AS blk, {grams} AS grams
+               FROM documents)
     SELECT doc_a, doc_b, round(j, {ROUND}) AS jaccard
     FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS j
           FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
