@@ -23,11 +23,12 @@ from toy_vector_db_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's end-to-end
-    pipeline (src/main.rs:61-94) — prefix-split the embeddings table, take
-    query point query[29], return its exact top-10 neighbors by clamped
-    cosine distance."""
-    return registry.queries()["knn_exact_single"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the reference's COMPLETE
+    end-to-end pipeline (src/main.rs:61-94) — prefix-split the embeddings
+    table, build exact + HNSW indexes over the base set, search both with
+    query point query[29] (k=10), and score HNSW against exact with
+    recall@10 / precision@10. Returns the one-row evaluation summary."""
+    return registry.flagship_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

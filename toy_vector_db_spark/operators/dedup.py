@@ -38,6 +38,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 ROUND = 6
 P31 = 2_147_483_647  # 2^31 - 1, prime modulus for the universal hash family
 NUM_PERM = 16
@@ -196,7 +198,7 @@ def minhash_lsh_pairs(
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, ROUND))
+        .withColumn("jaccard", rnd(jac, ROUND))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -303,7 +305,7 @@ def ngram_jaccard_topk(
     return (
         pairs.orderBy(F.col("j").desc(), "doc_a", "doc_b")
         .limit(k)
-        .select("doc_a", "doc_b", F.round("j", ROUND).alias("jaccard"))
+        .select("doc_a", "doc_b", rnd("j", ROUND).alias("jaccard"))
     )
 
 
@@ -329,5 +331,5 @@ def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
     return (
         pairs.orderBy(F.col("sim").desc(), "vec_a", "vec_b")
         .limit(k)
-        .select("vec_a", "vec_b", F.round("sim", ROUND).alias("cos_sim"))
+        .select("vec_a", "vec_b", rnd("sim", ROUND).alias("cos_sim"))
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 ROUND = 6
 
 
@@ -55,7 +57,7 @@ def evaluate_recall(
     rel_n = relevant.groupBy(query_col).agg(F.count("*").alias("n_rel"))
     return inter.join(rel_n, query_col).select(
         query_col,
-        F.round(F.col("n_common") / F.col("n_rel"), ROUND).alias("recall"),
+        rnd(F.col("n_common") / F.col("n_rel"), ROUND).alias("recall"),
     )
 
 
@@ -70,5 +72,5 @@ def evaluate_precision(
     ret_n = retrieved.groupBy(query_col).agg(F.count("*").alias("n_ret"))
     return inter.join(ret_n, query_col).select(
         query_col,
-        F.round(F.col("n_common") / F.col("n_ret"), ROUND).alias("precision"),
+        rnd(F.col("n_common") / F.col("n_ret"), ROUND).alias("precision"),
     )

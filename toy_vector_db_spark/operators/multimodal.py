@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 FEATURE_DIM = 8
 
 
@@ -112,5 +114,5 @@ def feature_summary(docs: DataFrame) -> DataFrame:
     return feats.select(
         "doc_id",
         F.element_at("features", 1).cast("long").alias("n_bytes"),
-        F.round(F.element_at("features", 2).cast("double"), 3).alias("mean_byte"),
+        rnd(F.element_at("features", 2).cast("double"), 3).alias("mean_byte"),
     )

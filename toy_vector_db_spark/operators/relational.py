@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 ROUND = 4
 
 
@@ -35,13 +37,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFram
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), ROUND).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), ROUND).alias("sum_base_price"),
-            F.round(F.sum(disc_price), ROUND).alias("sum_disc_price"),
-            F.round(F.sum(charge), ROUND).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), ROUND).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), ROUND).alias("avg_price"),
-            F.round(F.avg("l_discount"), ROUND).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), ROUND).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), ROUND).alias("sum_base_price"),
+            rnd(F.sum(disc_price), ROUND).alias("sum_disc_price"),
+            rnd(F.sum(charge), ROUND).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), ROUND).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), ROUND).alias("avg_price"),
+            rnd(F.avg("l_discount"), ROUND).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -65,7 +67,7 @@ def revenue_by_nation(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(rev), ROUND).alias("revenue"),
+        .agg(rnd(F.sum(rev), ROUND).alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
@@ -79,7 +81,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
         orders.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("o_custkey", "o_orderkey",
-                F.round("o_totalprice", ROUND).alias("o_totalprice"), "rank")
+                rnd("o_totalprice", ROUND).alias("o_totalprice"), "rank")
     )
 
 
@@ -88,7 +90,7 @@ def sales_rollup(lineitem: DataFrame) -> DataFrame:
     carries no NULL grouping cells (cross-engine hash-stable)."""
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), ROUND).alias("sum_qty"),
+        .agg(rnd(F.sum("l_quantity"), ROUND).alias("sum_qty"),
              F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
@@ -131,8 +133,8 @@ def monthly_order_stats(orders: DataFrame) -> DataFrame:
         orders.groupBy(month)
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), ROUND).alias("total"),
-            F.round(F.avg("o_totalprice"), ROUND).alias("avg_price"),
+            rnd(F.sum("o_totalprice"), ROUND).alias("total"),
+            rnd(F.avg("o_totalprice"), ROUND).alias("avg_price"),
         )
     )
 
@@ -186,11 +188,69 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), ROUND).alias("session_value"))
+             rnd(F.sum("value"), ROUND).alias("session_value"))
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"),
              F.max("n_events").alias("max_session_events"),
-             F.round(F.sum("session_value"), ROUND).alias("total_value"))
+             rnd(F.sum("session_value"), ROUND).alias("total_value"))
+    )
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join expressed as a window (Spark has no native as-of): for
+    every purchase event, the most recent click at-or-before it by the same
+    user. One shuffle on user_id; ROWS frame (not RANGE) so tie handling is
+    deterministic under the (ts, event_id) ordering. The merge_asof-style
+    applyInPandas variant is the fallback for non-windowable semantics."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    with_last = events.withColumn(
+        "last_click_us", F.last(click_us, ignorenulls=True).over(w)
+    )
+    # gap emitted as INTEGER microseconds: a seconds-float would hit the
+    # round(double) divergence between engines (Spark rounds the decimal
+    # rendering HALF_UP, DuckDB rounds the binary double)
+    return with_last.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "last_click_us",
+        (F.unix_micros(F.col("ts")) - F.col("last_click_us")).alias("usecs_since_click"),
+    )
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregation (all 4 grouping combinations), grouping cells
+    coalesced to 'ALL'."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_extendedprice"), ROUND).alias("sum_price"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+def order_price_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per priority class (Spark
+    `percentile` ≡ DuckDB `quantile_cont`). At 100 TB swap to
+    percentile_approx (t-digest) — same operator shape, bounded memory."""
+    p = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        rnd(p.getItem(0), ROUND).alias("p25"),
+        rnd(p.getItem(1), ROUND).alias("p50"),
+        rnd(p.getItem(2), ROUND).alias("p75"),
     )
 
 
@@ -202,7 +262,7 @@ def events_json_stats(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("k"), ROUND).alias("avg_k"),
+            rnd(F.avg("k"), ROUND).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -216,7 +276,7 @@ def tumbling_window_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
     return (
         events.groupBy(win, "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), ROUND).alias("total_value"))
+             rnd(F.sum("value"), ROUND).alias("total_value"))
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
             "event_type",
@@ -233,7 +293,7 @@ def running_total_by_supplier(lineitem: DataFrame) -> DataFrame:
                                                 "l_linenumber")
     run = F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        lineitem.withColumn("running_qty", F.round(run, ROUND))
+        lineitem.withColumn("running_qty", rnd(run, ROUND))
         .groupBy("l_suppkey")
         .agg(F.max("running_qty").alias("final_qty"),
              F.count("*").alias("n_items"))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 from toy_vector_db_spark.functions import vector as V
 
 ROUND = 6
@@ -56,7 +58,7 @@ def ivf_assign(base: DataFrame, cents: DataFrame,
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select(id_col, "centroid_id", F.round("d", ROUND).alias("dist"))
+        .select(id_col, "centroid_id", rnd("d", ROUND).alias("dist"))
     )
 
 
@@ -100,7 +102,7 @@ def knn_ivf(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col,
-                F.round("dist", ROUND).alias("dist"), "rank")
+                rnd("dist", ROUND).alias("dist"), "rank")
     )
 
 

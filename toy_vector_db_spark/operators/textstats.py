@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 ROUND = 6
 P31 = 2_147_483_647
 
@@ -89,10 +91,10 @@ def quality_features(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_char.alias("n_chars"),
         n_tok.cast("int").alias("n_tokens"),
-        F.round(mean_tok_len, ROUND).alias("mean_tok_len"),
-        F.round(stop_ratio, ROUND).alias("stop_ratio"),
-        F.round(uniq_ratio, ROUND).alias("uniq_ratio"),
-        F.round(score, ROUND).alias("quality_score"),
+        rnd(mean_tok_len, ROUND).alias("mean_tok_len"),
+        rnd(stop_ratio, ROUND).alias("stop_ratio"),
+        rnd(uniq_ratio, ROUND).alias("uniq_ratio"),
+        rnd(score, ROUND).alias("quality_score"),
     )
 
 

@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.rounding import rnd
+
 from toy_vector_db_spark.functions import text as TXT
 from toy_vector_db_spark.functions import vector as V
 from toy_vector_db_spark.operators import evaluation, hnsw, knn
@@ -69,7 +71,11 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from toy_vector_db_spark.functions.rounding import stabilize_sql_rounding
+
+    # every oracle's round() goes through the cross-engine-stable floor
+    # form (see functions/rounding.py) — single rewrite point
+    return {k: stabilize_sql_rounding(v) for k, v in _ORACLES.items()}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -114,7 +120,7 @@ _PAIRS_SQL = (
 def q_vec_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", F.round(V.magnitude(F.col("embedding")), ROUND).alias("mag")
+        "vec_id", rnd(V.magnitude(F.col("embedding")), ROUND).alias("mag")
     )
 
 
@@ -128,7 +134,7 @@ def q_vec_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vec_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
-        "vec_id", F.round(V.dot(F.col("va"), F.col("vb")), ROUND).alias("dot")
+        "vec_id", rnd(V.dot(F.col("va"), F.col("vb")), ROUND).alias("dot")
     )
 
 
@@ -143,7 +149,7 @@ def q_vec_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        F.round(V.cosine_similarity(F.col("va"), F.col("vb")), ROUND).alias("sim"),
+        rnd(V.cosine_similarity(F.col("va"), F.col("vb")), ROUND).alias("sim"),
     )
 
 
@@ -158,7 +164,7 @@ def q_vec_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        F.round(V.cosine_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+        rnd(V.cosine_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
     )
 
 
@@ -173,7 +179,7 @@ def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_euclidean_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        F.round(V.euclidean_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+        rnd(V.euclidean_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
     )
 
 
@@ -217,7 +223,7 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
     base = emb.where(F.col("vec_id") < cut)
     res = knn.knn_exact_single(base, qvec, K)
-    return res.select("vec_id", F.round("dist", ROUND).alias("dist"))
+    return res.select("vec_id", rnd("dist", ROUND).alias("dist"))
 
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -276,7 +282,7 @@ def q_knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, qs = _split(spark, sf_dir)
     res = knn.knn_exact_batch(base, qs, K)
     return res.select(
-        "query_id", "vec_id", F.round("dist", ROUND).alias("dist"), "rank"
+        "query_id", "vec_id", rnd("dist", ROUND).alias("dist"), "rank"
     )
 
 
@@ -298,7 +304,7 @@ def q_argmin_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, qs = _split(spark, sf_dir)
     res = knn.argmin_dist(base, qs)
     return res.select(
-        "query_id", "nearest_id", F.round("min_dist", ROUND).alias("min_dist")
+        "query_id", "nearest_id", rnd("min_dist", ROUND).alias("min_dist")
     )
 
 
@@ -320,7 +326,7 @@ def q_argmax_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, qs = _split(spark, sf_dir)
     res = knn.argmax_dist(base, qs)
     return res.select(
-        "query_id", "furthest_id", F.round("max_dist", ROUND).alias("max_dist")
+        "query_id", "furthest_id", rnd("max_dist", ROUND).alias("max_dist")
     )
 
 
@@ -358,6 +364,38 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H10 ANN top-10 per query: per-shard beam search + global exact rerank."""
     base, qs = _split(spark, sf_dir)
     return hnsw.knn_hnsw(base, qs, K, HNSW_PARTITIONS)
+
+
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full end-to-end pipeline (M3, src/main.rs:61-94):
+    prefix-split → build exact + HNSW indexes over the base → search both
+    with the reference query point (query[29], k=10) → score HNSW against
+    exact with recall@10 / precision@10 (src/evaluation.rs:7-15).
+    Returns one row: the pipeline's evaluation summary."""
+    configure(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = split_count(n, SPLIT_RATIO)
+    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    base = emb.where(F.col("vec_id") < cut)
+    q1 = emb.where(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn.knn_exact_batch(base, q1, K)
+    approx = hnsw.knn_hnsw(base, q1, K, HNSW_PARTITIONS)
+    rec = evaluation.evaluate_recall(approx, exact)
+    prec = evaluation.evaluate_precision(approx, exact)
+    return (
+        rec.join(prec, "query_id")
+        .select(
+            "query_id",
+            F.lit(int(cut)).alias("n_base"),
+            F.lit(int(n - cut)).alias("n_query"),
+            F.lit(K).alias("k"),
+            "recall",
+            "precision",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -981,6 +1019,94 @@ def q_running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toy_vector_db_spark.operators import relational
 
     return relational.running_total_by_supplier(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "asof_last_click",
+    f"""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_us
+      FROM events)
+    SELECT event_id, user_id, ts_us, last_click_us,
+           ts_us - last_click_us AS usecs_since_click
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via last(ignorenulls) window: most recent click at-or-
+    before each purchase per user."""
+    from toy_vector_db_spark.operators import relational
+
+    return relational.asof_last_click(table(spark, sf_dir, "events"))
+
+
+@register(
+    "sales_cube",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           round(sum(l_extendedprice), {_R}) AS sum_price,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_vector_db_spark.operators import relational
+
+    return relational.sales_cube(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "order_price_percentiles",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.25), {_R}) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), {_R}) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), {_R}) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile ≡ quantile_cont)."""
+    from toy_vector_db_spark.operators import relational
+
+    return relational.order_price_percentiles(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "parquet_sink_roundtrip",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {_R}) AS total,
+           round(avg(o_totalprice), {_R}) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back: the monthly stats written
+    partitioned by month and re-read must hash-match the direct query."""
+    from toy_vector_db_spark.operators import relational, sinks
+
+    monthly = relational.monthly_order_stats(table(spark, sf_dir, "orders"))
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    return sinks.parquet_roundtrip(
+        monthly, spark, f"monthly_{tag}", partition_by="month"
+    )
+
+
+@register("streaming_stateful_user_stats")
+def q_streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState): per-user running
+    totals. Rows-only driver check; equality with the batch groupBy is
+    asserted in tests."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_stateful_user_stats(spark, sf_dir)
 
 
 @register(

@@ -21,6 +21,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.rounding import rnd
 from pyspark.sql import types as T
 
 from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
@@ -96,7 +98,45 @@ def streaming_tumbling_counts(
         F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
         "event_type",
         "n",
-        F.round("sv", ROUND).alias("total_value"),
+        rnd("sv", ROUND).alias("total_value"),
+    )
+
+
+def streaming_stateful_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (n_events, total_value) maintained in GroupState across micro-batches,
+    emitting the updated totals each batch. The one-shot drain makes the
+    final emission equal the batch groupBy — asserted in tests; at scale
+    this is the pattern for arbitrary per-key state machines (fraud scoring,
+    session enrichment) that windowed aggs can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _drain_to_memory(out, "update")
+    return res.select(
+        "user_id", "n_events", rnd("total_value", ROUND).alias("total_value")
     )
 
 
@@ -121,6 +161,6 @@ def streaming_session_windows(
         .agg(
             F.count("*").alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.round(F.sum("sv"), ROUND).alias("total_value"),
+            rnd(F.sum("sv"), ROUND).alias("total_value"),
         )
     )
