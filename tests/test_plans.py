@@ -1,0 +1,65 @@
+"""Plan-property assertions: the 100 TB scale claims, checked in CI.
+
+A regression that turns a broadcast star join into a sort-merge shuffle or
+un-pushes the prefix-split filter would pass value tests and silently wreck
+scale behavior — these tests pin the plans.
+"""
+
+import pytest
+
+from toy_vector_db_spark import registry
+from toy_vector_db_spark.plans import explain
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    # cached fixture tables would substitute InMemoryTableScan for the
+    # parquet scans (Spark cache lookup is plan-based), hiding the
+    # pruning/pushdown these tests assert — inspect plans cache-free
+    spark.catalog.clearCache()
+
+    def p(name):
+        return explain.formatted_plan(registry.queries()[name](spark, sf_dir))
+
+    return p
+
+
+def test_knn_single_plan(plans):
+    plan = plans("knn_exact_single")
+    # top-k compiles to per-partition heaps, not a global sort
+    assert explain.has_take_ordered(plan)
+    # the prefix-split predicate reaches the parquet scan
+    assert any("LessThan(vec_id" in f for f in explain.pushed_filters(plan))
+    # label column pruned: only id + embedding read
+    assert all("label" not in s for s in explain.read_schemas(plan))
+    # narrow plan: no shuffle at all
+    assert explain.count_exchanges(plan) == 0
+
+
+def test_star_join_broadcasts_all_dims(plans):
+    plan = plans("revenue_by_nation")
+    # all four join hops broadcast; the fact table never shuffles
+    assert explain.count_broadcast_joins(plan) >= 4
+    # the only shuffle is the final aggregation
+    assert explain.count_exchanges(plan) <= 1
+
+
+def test_vector_expr_plan_is_narrow(plans):
+    plan = plans("vec_magnitude")
+    assert explain.count_exchanges(plan) == 0
+    assert all("label" not in s for s in explain.read_schemas(plan))
+
+
+def test_batch_knn_single_shuffle(plans):
+    plan = plans("knn_exact_batch")
+    # broadcast of the query split + exactly one shuffle (per-query top-k)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert explain.count_exchanges(plan) == 1
+
+
+def test_tpch_q1_partial_aggregation(plans):
+    plan = plans("tpch_q1_pricing_summary")
+    # map-side partial agg before the single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert explain.count_exchanges(plan) <= 2  # agg + orderBy
+    assert any("l_shipdate" in f for f in explain.pushed_filters(plan))

@@ -281,6 +281,94 @@ def knn_hnsw(
     )
 
 
+def knn_hnsw_routed(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The full 100 TB composition: IVF routing × per-cell HNSW graphs.
+
+    Base vectors are sharded by their IVF cell (operators/similarity.py)
+    instead of id hash; each query is routed to only its nprobe nearest
+    cells. The per-cell graph search runs in a COGROUP applyInPandas —
+    (cell base vectors) × (queries routed to that cell) — so a query's work
+    touches nprobe shards instead of all P. Recall is bounded by the
+    routing (cells containing the true neighbors), the same trade as
+    knn_ivf, but search inside a probed cell is sublinear via the graph.
+    """
+    from pyspark.sql import Window
+
+    from toy_vector_db_spark.operators import similarity
+
+    cents = similarity.centroids_df(base, n_centroids, id_col, vec_col)
+    assign = similarity.ivf_assign(base, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    base_c = base.select(id_col, vec_col).join(assign, id_col)
+
+    from toy_vector_db_spark.functions import vector as V
+
+    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("qd").asc(), F.col("centroid_id").asc()
+    )
+    # alias the routing key on the query side: both frames share the cents
+    # lineage and Spark flags the cogroup keys as an ambiguous self-join
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, F.col("centroid_id").alias("cell"))
+    )
+
+    def _search_cell(base_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if base_pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {query_id_col: pd.Series(dtype="int64"),
+                 id_col: pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        base_pdf = base_pdf.sort_values(id_col, ignore_index=True)
+        ids = base_pdf[id_col].to_numpy()
+        vecs = np.stack(base_pdf[vec_col].to_numpy())
+        idx = LocalHNSW(vecs)
+        idx.build([deterministic_level(int(i)) for i in ids])
+        out_q, out_id, out_d = [], [], []
+        for qid, qv in zip(
+            q_pdf[query_id_col].to_numpy(),
+            q_pdf[query_vec_col].to_numpy(),
+        ):
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
+                out_q.append(int(qid))
+                out_id.append(int(ids[local]))
+                out_d.append(float(d))
+        return pd.DataFrame({query_id_col: out_q, id_col: out_id, "dist": out_d})
+
+    cands = (
+        base_c.groupBy("centroid_id")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(
+            _search_cell, schema=f"{query_id_col} long, {id_col} long, dist double"
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 class HNSWIndex:
     """Index-protocol wrapper mirroring the reference trait
     (/root/reference/src/index.rs:4-10, src/hnsw.rs:330-338)."""

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions.rounding import rnd
@@ -364,6 +364,81 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H10 ANN top-10 per query: per-shard beam search + global exact rerank."""
     base, qs = _split(spark, sf_dir)
     return hnsw.knn_hnsw(base, qs, K, HNSW_PARTITIONS)
+
+
+_SEMANTIC_SEARCH_SQL = f"""
+WITH cut AS (
+  SELECT c, least({QUERY_OFFSET}, (SELECT count(*) FROM embeddings) - c - 1) AS off
+  FROM (SELECT {_split_cut_sql()} AS c)
+),
+q AS (SELECT embedding AS qv FROM embeddings, cut WHERE vec_id = c + off),
+scored AS (
+  SELECT b.vec_id AS vec_id,
+         {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+  FROM embeddings b, q, cut WHERE b.vec_id < c
+),
+topk AS (
+  SELECT vec_id, d, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rank
+  FROM scored ORDER BY d ASC, vec_id ASC LIMIT {K}
+)
+SELECT t.rank, t.vec_id, round(t.d, {ROUND}) AS dist,
+       split_part(doc.text, '.', 1) AS first_sentence
+FROM topk t JOIN documents doc ON doc.doc_id = t.vec_id
+"""
+
+
+@register("semantic_search", _SEMANTIC_SEARCH_SQL)
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user retrieval query: exact top-10 neighbors joined back to the
+    documents table for display (first sentence — the reference's result
+    formatting, src/main.rs:31-57). The top-k side is 10 rows, so the doc
+    join is a broadcast of the RESULT against the documents scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = split_count(n, SPLIT_RATIO)
+    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
+    base = emb.where(F.col("vec_id") < cut)
+    topk = knn.knn_exact_single(base, qvec, K).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())),
+    )
+    docs = table(spark, sf_dir, "documents")
+    return (
+        F.broadcast(topk)
+        .join(docs, topk.vec_id == docs.doc_id)
+        .select(
+            "rank",
+            "vec_id",
+            rnd(F.col("dist"), ROUND).alias("dist"),
+            TXT.first_sentence(F.col("text")).alias("first_sentence"),
+        )
+    )
+
+
+@register(
+    "salted_event_type_stats",
+    f"""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), {_R}) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation ≡ direct groupBy (the oracle) — the
+    explicit hot-key lever."""
+    from toy_vector_db_spark.operators import relational
+
+    return relational.salted_event_type_stats(table(spark, sf_dir, "events"))
+
+
+@register("knn_hnsw_routed")
+def q_knn_hnsw_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed per-cell HNSW (cogroup applyInPandas): the composed 100 TB
+    search path — each query touches nprobe cells, graph search within.
+    Rows-only; recall gate in tests."""
+    base, qs = _split(spark, sf_dir)
+    return hnsw.knn_hnsw_routed(base, qs, K)
 
 
 def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
