@@ -34,6 +34,7 @@ HEADLINE = [
     "eval_recall",
     # scale extensions
     "knn_ivf",
+    "knn_hnsw_routed",
     "dedup_minhash_lsh",
     "simhash_signatures",
     "ngram_jaccard_topk",
