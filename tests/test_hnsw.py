@@ -71,6 +71,22 @@ def test_level_distribution():
     assert max(levels) <= hnsw.L - 1
 
 
+def test_ef_sweep_monotone_recall(split):
+    """Beam width is the recall lever: recall(ef=10) ≤ recall(ef=100), and
+    the narrow beam must still beat random guessing by a wide margin —
+    evidence the graph routes toward true neighbors (not exhaustive scan)."""
+    base, qs = split
+    exact = knn.knn_exact_batch(base, qs, 10)
+    recalls = {}
+    for ef in (10, 100):
+        approx = hnsw.knn_hnsw(base, qs, 10, num_partitions=8, ef=ef)
+        rec = evaluation.evaluate_recall(approx, exact)
+        recalls[ef] = rec.agg(F.avg("recall")).first()[0]
+    assert recalls[10] <= recalls[100] + 1e-9
+    assert recalls[10] >= 0.5  # narrow beam still routes well
+    assert recalls[100] >= 0.9
+
+
 def test_local_hnsw_exactish_on_small_set():
     # beam ef >= n makes HNSW search exhaustive -> must equal brute force
     rng = np.random.default_rng(7)

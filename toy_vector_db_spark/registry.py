@@ -366,6 +366,100 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw.knn_hnsw(base, qs, K, HNSW_PARTITIONS)
 
 
+@register(
+    "distinct_counts",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase in Spark). At 100 TB
+    swap to approx_count_distinct (HLL) — same operator shape, one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, {_R}) AS o_totalprice,
+           round(cust_avg, {_R}) AS cust_avg
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders)
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern decorrelated as a window aggregate —
+    one shuffle on the correlation key instead of a per-row subquery."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            rnd(F.col("o_totalprice"), _R).alias("o_totalprice"),
+            rnd(F.col("cust_avg"), _R).alias("cust_avg"),
+        )
+    )
+
+
+@register(
+    "unpivot_order_counts",
+    """
+    SELECT o_orderpriority, 'O' AS status, count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'F' AS status, count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'P' AS status, count(CASE WHEN o_orderstatus='P' THEN 1 END) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) of the pivoted counts via stack() — wide → long."""
+    from toy_vector_db_spark.operators import relational
+
+    wide = relational.order_priority_pivot(table(spark, sf_dir, "orders"))
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'O', n_o, 'F', n_f, 'P', n_p) AS (status, n)"),
+    )
+
+
+@register(
+    "active_month_intersect",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+    WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def q_active_month_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT set op: months with both F and P orders."""
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    f = orders.where(F.col("o_orderstatus") == "F").select(month)
+    p = orders.where(F.col("o_orderstatus") == "P").select(month)
+    return f.intersect(p)
+
+
 _SEMANTIC_SEARCH_SQL = f"""
 WITH cut AS (
   SELECT c, least({QUERY_OFFSET}, (SELECT count(*) FROM embeddings) - c - 1) AS off
