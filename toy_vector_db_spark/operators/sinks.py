@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
 
 
+def csv_roundtrip(
+    df: DataFrame, spark: SparkSession, name: str
+) -> DataFrame:
+    """CSV sink + schema-preserving read-back (header on, explicit schema on
+    re-read — never inferSchema in production)."""
+    out = os.path.join(FIXTURE_DIR, "sink_out", name)
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(df.schema).option("header", "true").csv(out)
+    return back.select(*[f.name for f in df.schema.fields])
+
+
 def parquet_roundtrip(
     df: DataFrame,
     spark: SparkSession,

@@ -1268,6 +1268,27 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_sink_roundtrip",
+    """
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + read-back of the segment stats — text-format round trip
+    must preserve values exactly (oracle = the upstream query's SQL)."""
+    from toy_vector_db_spark.operators import relational, sinks
+
+    seg = relational.customers_with_orders_semi(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    return sinks.csv_roundtrip(seg, spark, f"segments_csv_{tag}")
+
+
 @register("streaming_stateful_user_stats")
 def q_streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (applyInPandasWithState): per-user running
