@@ -34,4 +34,10 @@ def configure(spark: SparkSession) -> SparkSession:
     driver passes its own session into ``queries()`` callables)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a default 200-partition shuffle over-parallelizes local runs (and
+    # fixes the streaming state-store partition count at query start)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     return spark
