@@ -367,6 +367,36 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_tiers",
+    f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9)
+    )
+    SELECT t.tier, count(*) AS n, round(avg(e.value), {_R}) AS avg_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_event_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events matched to value tiers by interval containment —
+    a non-equi join planned as BroadcastNestedLoopJoin with the tiny tier
+    table broadcast (the fact side never shuffles; at scale a bucketized
+    equi-join on floor(log(value)) removes even the theta-join)."""
+    ev = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n"), rnd(F.avg("value"), _R).alias("avg_value")
+    )
+
+
+@register(
     "distinct_counts",
     """
     SELECT count(DISTINCT l_partkey) AS n_parts,
