@@ -111,6 +111,25 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+N_HASH_BUCKETS = 8
+
+
+def hash_features(docs: DataFrame) -> DataFrame:
+    """Hashing-trick featurizer: token counts hashed into N buckets — the
+    text→vector bridge (featurize, then feed the ANN operators). Per-row
+    Catalyst expressions: one md5 per token, N filtered counts. Emitted as
+    N scalar columns (cross-engine hash-stable)."""
+    from toy_vector_db_spark.operators.dedup import md5_int
+
+    toks = _toks(F.col("text"))
+    buckets = F.transform(toks, lambda t: md5_int(t) % N_HASH_BUCKETS)
+    cols = [
+        F.size(F.filter(buckets, lambda b: b == F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASH_BUCKETS)
+    ]
+    return docs.select("doc_id", *cols)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash over the
     character stream, acc = (acc·31 + ascii(c)) mod 2³¹−1 — the classic

@@ -172,6 +172,19 @@ def token_stats_sql() -> str:
     """
 
 
+def hash_features_sql() -> str:
+    from toy_vector_db_spark.operators.dedup import sql_md5_int
+    from toy_vector_db_spark.operators.textstats import N_HASH_BUCKETS
+
+    toks = "string_split(lower(text), ' ')"
+    cols = ",\n           ".join(
+        f"len(list_filter({toks}, t -> {sql_md5_int('t')} % {N_HASH_BUCKETS}"
+        f" = {i})) AS h{i}"
+        for i in range(N_HASH_BUCKETS)
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def fingerprint_sql() -> str:
     chars = "list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1)))"
     return f"""

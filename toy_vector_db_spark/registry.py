@@ -367,7 +367,104 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "event_value_tiers",
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact join,
+    grouped revenue, top-10 (TakeOrderedAndProject after the agg)."""
+    from toy_vector_db_spark.operators import relational  # noqa: F401
+
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            rnd(F.col("_rev"), _R).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT round(sum(l_extendedprice * l_discount), {_R}) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-filter scan + global agg — the
+    predicate-pushdown showcase (no shuffle but the 1-row agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), _R).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           round(sum(l_quantity), {_R}) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (marginals only — neither rollup nor cube)."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               floor(sum(l_quantity) * {10**_R} + 0.5) / {10**_R} AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@register("event_value_tiers",
     f"""
     WITH tiers(tier, lo, hi) AS (
       VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9)
@@ -881,6 +978,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(table(spark, sf_dir, "documents"))
 
 
+@register("text_hash_features")
+def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token-count features (text→vector bridge)."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.hash_features(table(spark, sf_dir, "documents"))
+
+
 def _register_similarity_oracles() -> None:
     from toy_vector_db_spark import oracles_similarity as O
 
@@ -891,6 +996,7 @@ def _register_similarity_oracles() -> None:
     _ORACLES["text_quality"] = O.quality_sql()
     _ORACLES["text_token_stats"] = O.token_stats_sql()
     _ORACLES["doc_fingerprint"] = O.fingerprint_sql()
+    _ORACLES["text_hash_features"] = O.hash_features_sql()
 
 
 _register_similarity_oracles()
