@@ -92,6 +92,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+_N_CACHE: dict[str, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the (immutable) embeddings fixture, cached per sf_dir —
+    saves one Spark job for every split-based query."""
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = table(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # §2.2 vector scalar functions (V1-V6) — per-row over `embeddings`, with the
 # dot/cosine/euclidean pairs formed by the (vec_id, vec_id+1) self-join so the
@@ -216,7 +228,7 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     query point query[29] over the 95% prefix base set (src/main.rs:61-94).
     Plans as parquet scan → codegen distance → TakeOrderedAndProject(10)."""
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     cut = split_count(n, SPLIT_RATIO)
     # query[29] (src/main.rs:81), clamped to the last query row for tiny SFs
     qid = cut + min(QUERY_OFFSET, n - cut - 1)
@@ -230,7 +242,7 @@ def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(base, queries) prefix split of embeddings with query_id/query_vec
     naming on the query side."""
     emb = table(spark, sf_dir, "embeddings")
-    cut = split_count(emb.count(), SPLIT_RATIO)
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
     base = emb.where(F.col("vec_id") < cut)
     qs = emb.where(F.col("vec_id") >= cut).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -615,7 +627,7 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting, src/main.rs:31-57). The top-k side is 10 rows, so the doc
     join is a broadcast of the RESULT against the documents scan."""
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     cut = split_count(n, SPLIT_RATIO)
     qid = cut + min(QUERY_OFFSET, n - cut - 1)
     qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
@@ -670,7 +682,7 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns one row: the pipeline's evaluation summary."""
     configure(spark)
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     cut = split_count(n, SPLIT_RATIO)
     qid = cut + min(QUERY_OFFSET, n - cut - 1)
     base = emb.where(F.col("vec_id") < cut)
@@ -824,7 +836,7 @@ def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 deterministic prefix split at round(n*0.95) (src/dataset.rs:19-23)."""
     emb = table(spark, sf_dir, "embeddings")
-    cut = split_count(emb.count(), SPLIT_RATIO)
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
     return emb.select(
         "vec_id",
         F.when(F.col("vec_id") < cut, "base").otherwise("query").alias("part"),
