@@ -107,6 +107,57 @@ def extract_features(docs: DataFrame, use_real_decoder: bool = False) -> DataFra
     return p.mapInPandas(_extract, schema="doc_id long, features array<float>")
 
 
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # sample every 4th frame
+_P31 = 2_147_483_647
+
+
+def frame_sample(docs: DataFrame) -> DataFrame:
+    """Frame sampling over a 'video' payload: treat the binary as a stream
+    of FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th frame, emit
+    frame counts + a checksum of the sampled bytes. Runs as Arrow-batched
+    mapInPandas (the real decode/resize hook sits where the checksum is
+    computed — resize is decode-dependent and stubbed with it). The byte
+    math is deterministic, so the operator is SQL-oracle-checkable."""
+    p = with_payload(docs)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_sampled": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                acc = 0
+                n_sampled = 0
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    frame = b[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    acc = (acc + sum(frame)) % _P31
+                    n_sampled += 1
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(n_sampled)
+                out["checksum"].append(acc)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _sample,
+        schema="doc_id long, n_frames long, n_sampled long, checksum long",
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS BIGINT)
+         AS n_sampled,
+       list_sum(list_transform(range(1, length(text) + 1),
+         i -> CASE WHEN (((i - 1) // {FRAME_BYTES}) % {FRAME_STRIDE}) = 0
+                   THEN ascii(substring(text, i, 1)) ELSE 0 END)) % {_P31}
+         AS checksum
+FROM documents
+"""
+
+
 def feature_summary(docs: DataFrame) -> DataFrame:
     """Aggregate the extracted features — exercises the full pipeline
     (binary → Python batch → array column → JVM aggregation)."""

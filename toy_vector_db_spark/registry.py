@@ -1049,6 +1049,24 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.feature_summary(table(spark, sf_dir, "documents"))
 
 
+@register("mm_frame_sample")
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas (every 4th
+    16-byte frame, checksummed)."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.frame_sample(table(spark, sf_dir, "documents"))
+
+
+def _register_mm_oracles() -> None:
+    from toy_vector_db_spark.operators.multimodal import FRAME_SAMPLE_SQL
+
+    _ORACLES["mm_frame_sample"] = FRAME_SAMPLE_SQL
+
+
+_register_mm_oracles()
+
+
 @register(
     "streaming_tumbling_counts",
     f"""
