@@ -87,6 +87,18 @@ def test_ef_sweep_monotone_recall(split):
     assert recalls[100] >= 0.9
 
 
+def test_shard_count_robustness(split):
+    """Recall holds across shard counts (the scale lever): P=4 and P=16
+    both stay above the gate — resharding a growing corpus doesn't change
+    the quality contract."""
+    base, qs = split
+    exact = knn.knn_exact_batch(base, qs, 10)
+    for p in (4, 16):
+        approx = hnsw.knn_hnsw(base, qs, 10, num_partitions=p)
+        rec = evaluation.evaluate_recall(approx, exact).agg(F.avg("recall")).first()[0]
+        assert rec >= 0.9, f"P={p}: recall {rec}"
+
+
 def test_local_hnsw_exactish_on_small_set():
     # beam ef >= n makes HNSW search exhaustive -> must equal brute force
     rng = np.random.default_rng(7)

@@ -215,13 +215,17 @@ def asof_last_click(events: DataFrame) -> DataFrame:
     )
     # gap emitted as INTEGER microseconds: a seconds-float would hit the
     # round(double) divergence between engines (Spark rounds the decimal
-    # rendering HALF_UP, DuckDB rounds the binary double)
+    # rendering HALF_UP, DuckDB rounds the binary double). Purchases with no
+    # prior click get a -1 sentinel instead of NULL: NULL floats become NaN
+    # in arrow/pandas and NaN != NaN breaks exact cross-engine compares.
     return with_last.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
-        "last_click_us",
-        (F.unix_micros(F.col("ts")) - F.col("last_click_us")).alias("usecs_since_click"),
+        F.coalesce(F.col("last_click_us"), F.lit(-1)).alias("last_click_us"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.col("last_click_us"), F.lit(-1)
+        ).alias("usecs_since_click"),
     )
 
 

@@ -990,6 +990,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(table(spark, sf_dir, "documents"))
 
 
+@register(
+    "curation_filter",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             0.4 * least(len(string_split(lower(text), ' ')) / 50.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                      / len(string_split(lower(text), ' ')))
+             + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                      / length(text))
+             + 0.1 * (len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                          ['the','a','of','and','to','value','table','row'])) * 1.0
+                      / len(list_distinct(string_split(lower(text), ' '))))
+               AS score
+      FROM documents)
+    SELECT count(*) AS n_retained,
+           coalesce(round(avg(score), {ROUND}), -1) AS avg_score,
+           coalesce(round(avg({V.sql_magnitude('e.embedding')}), {ROUND}), -1) AS avg_mag
+    FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+    WHERE q.score >= 0.7 AND q.lang = 'en'
+    """,
+)
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality-score the corpus, keep
+    high-quality English docs, join their embeddings (doc_id = vec_id) —
+    the filter→featurize→select shape of a training-data run. At 100 TB
+    the quality filter is pushed into the scan and the join key is the
+    storage partition key."""
+    from toy_vector_db_spark.operators import textstats
+
+    docs = table(spark, sf_dir, "documents")
+    # quality_features rounds its score; the filter needs the unrounded
+    # value to match the oracle, so rebuild from the same expression pieces
+    toks = F.split(F.lower(F.col("text")), " ")
+    dtoks = F.array_distinct(toks)
+    stop = F.array(*[F.lit(w) for w in textstats.STOPWORDS])
+    score = (
+        F.lit(0.4) * F.least(F.size(toks) / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.size(dtoks) / F.size(toks))
+        + F.lit(0.2) * (F.lit(1.0) - F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length(F.col("text")))
+        + F.lit(0.1) * (F.size(F.array_intersect(dtoks, stop)) / F.size(dtoks))
+    )
+    kept = docs.select("doc_id", "lang", score.alias("score")).where(
+        (F.col("score") >= 0.7) & (F.col("lang") == "en")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    joined = kept.join(emb, kept.doc_id == emb.vec_id)
+    # -1 sentinel when nothing is retained: NULL→NaN breaks exact compares
+    return joined.agg(
+        F.count("*").alias("n_retained"),
+        F.coalesce(rnd(F.avg("score"), ROUND), F.lit(-1.0)).alias("avg_score"),
+        F.coalesce(
+            rnd(F.avg(V.magnitude(F.col("embedding"))), ROUND), F.lit(-1.0)
+        ).alias("avg_mag"),
+    )
+
+
 @register("text_hash_features")
 def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick token-count features (text→vector bridge)."""
@@ -1366,8 +1423,9 @@ def q_running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS last_click_us
       FROM events)
-    SELECT event_id, user_id, ts_us, last_click_us,
-           ts_us - last_click_us AS usecs_since_click
+    SELECT event_id, user_id, ts_us,
+           coalesce(last_click_us, -1) AS last_click_us,
+           coalesce(ts_us - last_click_us, -1) AS usecs_since_click
     FROM w WHERE event_type = 'purchase'
     """,
 )
