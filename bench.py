@@ -18,17 +18,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from toy_vector_db_spark import registry  # noqa: E402
 from toy_vector_db_spark.session import get_spark  # noqa: E402
 
 # Headline set: the flagship reference query plus the heaviest implemented
 # operators. Extended as the registry grows.
 HEADLINE = [
-    # reference-parity core
+    # reference-parity core. hnsw_build runs BEFORE knn_hnsw: build is
+    # timed once, then searches reuse the session-cached index — the same
+    # build/search measurement split as the reference (src/main.rs:20-43).
     "knn_exact_single",
     "knn_exact_batch",
-    "knn_hnsw",
     "hnsw_build",
+    "knn_hnsw",
     "vec_magnitude",
     "vec_cosine_dist",
     "eval_recall",
@@ -53,9 +57,18 @@ def main() -> None:
     spark = get_spark("tvdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM/codegen/session spin-up shouldn't be attributed
-    # to the first query
+    # untimed warmup: JVM/codegen spin-up, the parquet reader, the shuffle
+    # machinery, and the Python/Arrow worker pool are per-process fixed
+    # costs, not query costs — pay them before the clock starts
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(1).collect()
+    spark.range(100).groupBy((F.col("id") % 4).alias("g")).count().collect()
+    (
+        spark.range(64)
+        .groupBy((F.col("id") % 2).alias("g"))
+        .applyInPandas(lambda p: p, schema="id long")
+        .count()
+    )
 
     qmap = registry.queries()
     names = [n for n in HEADLINE if n in qmap]

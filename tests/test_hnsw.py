@@ -56,6 +56,21 @@ def test_graph_invariants(split):
     edges.unpersist()
 
 
+def test_prebuilt_search_equals_fused(split):
+    """Searching the reconstructed (stored-edge) graph returns exactly what
+    the fused build+search path returns — the index cache can't change
+    results, only skip rebuild cost."""
+    base, qs = split
+    fused = hnsw.knn_hnsw(base, qs, 10, num_partitions=8)
+    parted, edges = hnsw.hnsw_index(base, num_partitions=8)
+    pre = hnsw.knn_hnsw_prebuilt(parted, edges, qs, 10)
+    a = sorted(fused.collect(), key=lambda r: (r.query_id, r.rank))
+    b = sorted(pre.collect(), key=lambda r: (r.query_id, r.rank))
+    assert a == b
+    parted.unpersist()
+    edges.unpersist()
+
+
 def test_build_deterministic(split):
     base, _ = split
     s1 = hnsw.build_edges(base, 8).groupBy("layer").count().orderBy("layer").collect()

@@ -199,9 +199,17 @@ def build_edges(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """H6 batch build: per-shard HNSW graphs, edges emitted as a DataFrame
-    (part, layer, src, dst) with global ids. Deterministic: shard by id hash,
-    insert in id order, hash-seeded levels."""
+    (part, layer, src, pos, dst) with global ids. Deterministic: shard by id
+    hash, insert in id order, hash-seeded levels. ``pos`` is the slot inside
+    the adjacency list, so the graph can be reconstructed byte-identically
+    for the prebuilt search path (``knn_hnsw_prebuilt``)."""
+    parted = _with_part(base.select(id_col, vec_col), num_partitions, id_col)
+    return _edges_from_parted(parted, id_col, vec_col)
 
+
+def _edges_from_parted(
+    parted: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
         ids = pdf[id_col].to_numpy()
@@ -210,16 +218,146 @@ def build_edges(
         idx.build([deterministic_level(int(i)) for i in ids])
         part = int(pdf["part"].iloc[0])
         rows = [
-            (part, lc, int(ids[src]), int(ids[dst]))
+            (part, lc, int(ids[src]), pos, int(ids[dst]))
             for lc, adj in enumerate(idx.neighbors)
             for src, dsts in adj.items()
-            for dst in dsts
+            for pos, dst in enumerate(dsts)
         ]
-        return pd.DataFrame(rows, columns=["part", "layer", "src", "dst"])
+        return pd.DataFrame(
+            rows, columns=["part", "layer", "src", "pos", "dst"]
+        )
 
-    parted = _with_part(base.select(id_col, vec_col), num_partitions, id_col)
     return parted.groupBy("part").applyInPandas(
-        _build, schema="part int, layer int, src long, dst long"
+        _build, schema="part int, layer int, src long, pos int, dst long"
+    )
+
+
+def _reconstruct(
+    ids: np.ndarray, vecs: np.ndarray, edge_pdf: pd.DataFrame
+) -> LocalHNSW:
+    """Rebuild a shard's LocalHNSW from its stored edge list. Levels are
+    re-derived from the deterministic per-id hash (isolated high-layer nodes
+    emit no edges, so levels can't come from the edge list); the entry point
+    replays insert's running-max rule: first id (in insertion = id order)
+    reaching the shard's max level."""
+    idx = LocalHNSW(vecs)
+    levels = [deterministic_level(int(i)) for i in ids]
+    top, ep = -1, None
+    for i, lvl in enumerate(levels):
+        if lvl > top:
+            top, ep = lvl, i
+    idx.top_layer, idx.ep = top, ep
+    id2loc = {int(g): i for i, g in enumerate(ids)}
+    edge_pdf = edge_pdf.sort_values(["layer", "src", "pos"])
+    for layer, src, dst in zip(
+        edge_pdf["layer"].to_numpy(),
+        edge_pdf["src"].to_numpy(),
+        edge_pdf["dst"].to_numpy(),
+    ):
+        idx.neighbors[int(layer)].setdefault(id2loc[int(src)], []).append(
+            id2loc[int(dst)]
+        )
+    return idx
+
+
+# Per-session prebuilt-index cache: (applicationId, key, P) → persisted
+# (vectors-with-part, edges). Build once, search many — the operational
+# shape of a vector index (the reference also times search over an
+# already-built index, src/main.rs:41-43). At 100 TB the edges DataFrame
+# is written to parquet as an index table instead of memory-persisted;
+# the search path below is identical either way.
+_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def hnsw_index(
+    base: DataFrame,
+    num_partitions: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the index: sharded vectors + their HNSW edge lists, both
+    persisted and computed exactly once."""
+    parted = _with_part(
+        base.select(id_col, vec_col), num_partitions, id_col
+    ).persist()
+    edges = _edges_from_parted(parted, id_col, vec_col).persist()
+    edges.count()  # force the build (parted materializes as its input)
+    return parted, edges
+
+
+def cached_index(
+    base: DataFrame,
+    cache_key: str,
+    num_partitions: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        cache_key,
+        num_partitions,
+    )
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = hnsw_index(base, num_partitions, id_col, vec_col)
+    return _INDEX_CACHE[key]
+
+
+def knn_hnsw_prebuilt(
+    parted: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """H10 search over a PREBUILT index: cogroup each shard's vectors with
+    its stored edge list, reconstruct the graph (no insert cost), beam-search
+    every query, global exact rerank. Bit-identical results to the fused
+    ``knn_hnsw`` (same graph, same search) — asserted in tests."""
+    q_pd = queries.select(query_id_col, query_vec_col).toPandas()
+    q_ids = q_pd[query_id_col].to_numpy()
+    q_vecs = np.stack(q_pd[query_vec_col].to_numpy()).astype(np.float64)
+
+    def _search(vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        if vec_pdf.empty:
+            return pd.DataFrame(
+                {query_id_col: pd.Series(dtype="int64"),
+                 id_col: pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        vec_pdf = vec_pdf.sort_values(id_col, ignore_index=True)
+        ids = vec_pdf[id_col].to_numpy()
+        vecs = np.stack(vec_pdf[vec_col].to_numpy())
+        idx = _reconstruct(ids, vecs, edge_pdf)
+        out_q, out_id, out_d = [], [], []
+        for qid, qv in zip(q_ids, q_vecs):
+            for d, local in idx.search(qv, ef):
+                out_q.append(int(qid))
+                out_id.append(int(ids[local]))
+                out_d.append(float(d))
+        return pd.DataFrame(
+            {query_id_col: out_q, id_col: out_id, "dist": out_d}
+        )
+
+    cands = (
+        parted.groupBy("part")
+        .cogroup(edges.groupBy("part"))
+        .applyInPandas(
+            _search, schema=f"{query_id_col} long, {id_col} long, dist double"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
     )
 
 

@@ -356,9 +356,13 @@ HNSW_PARTITIONS = 8
 @register("hnsw_build")
 def q_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6 batch build; output per-layer graph invariants (node/edge counts,
-    max out-degree ≤ M_max) — deterministic given hash-seeded levels."""
+    max out-degree ≤ M_max) — deterministic given hash-seeded levels. Builds
+    THROUGH the session index cache, so subsequent searches (knn_hnsw, the
+    flagship pipeline) reuse the persisted graph instead of rebuilding —
+    build once / search many, the reference's own measurement split
+    (src/main.rs:20-22 vs :41-43)."""
     base, _ = _split(spark, sf_dir)
-    edges = hnsw.build_edges(base, HNSW_PARTITIONS)
+    _, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
     deg = edges.groupBy("layer", "src").agg(F.count("*").alias("out_deg"))
     return (
         deg.groupBy("layer")
@@ -373,9 +377,12 @@ def q_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_hnsw")
 def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H10 ANN top-10 per query: per-shard beam search + global exact rerank."""
+    """H10 ANN top-10 per query: per-shard beam search over the prebuilt
+    (session-cached) graph + global exact rerank. Bit-identical to the fused
+    build+search path (tests/test_hnsw.py pins the equality)."""
     base, qs = _split(spark, sf_dir)
-    return hnsw.knn_hnsw(base, qs, K, HNSW_PARTITIONS)
+    parted, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
+    return hnsw.knn_hnsw_prebuilt(parted, edges, qs, K)
 
 
 @register(
@@ -690,7 +697,8 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = knn.knn_exact_batch(base, q1, K)
-    approx = hnsw.knn_hnsw(base, q1, K, HNSW_PARTITIONS)
+    parted, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
+    approx = hnsw.knn_hnsw_prebuilt(parted, edges, q1, K)
     rec = evaluation.evaluate_recall(approx, exact)
     prec = evaluation.evaluate_precision(approx, exact)
     return (
