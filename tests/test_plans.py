@@ -63,3 +63,13 @@ def test_tpch_q1_partial_aggregation(plans):
     assert plan.count("HashAggregate") >= 2
     assert explain.count_exchanges(plan) <= 2  # agg + orderBy
     assert any("l_shipdate" in f for f in explain.pushed_filters(plan))
+
+
+def test_bucketed_join_is_exchange_free(plans):
+    plan = plans("bucketed_join_revenue")
+    # both scans read bucket files directly (co-located by hash(orderkey))
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    # the join itself needs NO shuffle on either side: the ONLY exchange
+    # in the query is the final 5-row aggregate
+    assert explain.count_exchanges(plan) == 1

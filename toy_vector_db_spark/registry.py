@@ -728,20 +728,50 @@ euc_topk AS ({_topk_cte(_EUC_SCORED)})
 
 
 def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """One cross-join pass scoring BOTH metrics, then two top-k windows over
+    the same query_id partitioning. Because the two window subtrees share an
+    identical child plan (same projection, same exchange key), Spark's
+    ReuseExchange executes the base×queries product ONCE; the earlier
+    two-pass form (separate cosine and euclidean cross joins) scanned it
+    twice. Distance expressions are unchanged (cosine = knn_exact_batch's
+    cached-magnitude form), so values stay bit-identical to the oracle."""
     base, qs = _split(spark, sf_dir)
-    relevant = knn.knn_exact_batch(base, qs, K)  # cosine = engine metric
     import toy_vector_db_spark.functions.vector as _V
-
-    scored = base.crossJoin(F.broadcast(qs)).withColumn(
-        "dist", _V.euclidean_distance(F.col("embedding"), F.col("query_vec"))
-    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    retrieved = (
-        scored.withColumn("rank", F.row_number().over(w))
+    base_m = base.withColumn("_v_mag", _V.magnitude(F.col("embedding")))
+    q_m = qs.withColumn("_q_mag", _V.magnitude(F.col("query_vec")))
+    sim = F.greatest(
+        F.lit(0.0),
+        _V.dot(F.col("embedding"), F.col("query_vec"))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    scored = (
+        base_m.crossJoin(F.broadcast(q_m))
+        .withColumn("cos_dist", F.lit(1.0) - sim)
+        .withColumn(
+            "euc_dist",
+            _V.euclidean_distance(F.col("embedding"), F.col("query_vec")),
+        )
+        # prune the wide vectors BEFORE the shuffle: the windows only need
+        # ids + the two scalars
+        .select("query_id", "vec_id", "cos_dist", "euc_dist")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_dist").asc(), F.col("vec_id").asc()
+    )
+    w_euc = Window.partitionBy("query_id").orderBy(
+        F.col("euc_dist").asc(), F.col("vec_id").asc()
+    )
+    relevant = (
+        scored.withColumn("rank", F.row_number().over(w_cos))
         .where(F.col("rank") <= K)
-        .select("query_id", "vec_id", "dist", "rank")
+        .select("query_id", "vec_id", F.col("cos_dist").alias("dist"), "rank")
+    )
+    retrieved = (
+        scored.withColumn("rank", F.row_number().over(w_euc))
+        .where(F.col("rank") <= K)
+        .select("query_id", "vec_id", F.col("euc_dist").alias("dist"), "rank")
     )
     return retrieved, relevant
 
@@ -1497,6 +1527,32 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").split("/")[-1]
     return sinks.parquet_roundtrip(
         monthly, spark, f"monthly_{tag}", partition_by="month"
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    f"""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-sink co-located join: both fact tables written bucketed on
+    orderkey, then sort-merge-joined with NO exchange and NO sort (plan
+    pinned in tests/test_plans.py). The storage-layout lever for repeated
+    fact-fact joins at 100 TB."""
+    from toy_vector_db_spark.operators import sinks
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    return sinks.bucketed_revenue_by_priority(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        spark,
+        tag,
     )
 
 
