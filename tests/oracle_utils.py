@@ -37,6 +37,19 @@ def assert_oracle_match(spark_df, sql: str, sf_dir: str, rel: float = 0.0):
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     for col in got.columns:
+        # The driver's value hash is type-sensitive: an int64 Spark column vs
+        # a float64 oracle column fails even when every value matches (hit in
+        # round 1: DuckDB HUGEINT -> fetchdf float64). Mirror that here by
+        # requiring both sides to share a dtype kind (int-like vs float-like).
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        num = {"i", "u", "f"}
+        if gk in num or wk in num:
+            g_int = gk in {"i", "u"}
+            w_int = wk in {"i", "u"}
+            assert g_int == w_int, (
+                f"dtype kind mismatch on {col}: spark={got[col].dtype} "
+                f"oracle={want[col].dtype} — driver hash would reject this"
+            )
         g, w = got[col].tolist(), want[col].tolist()
         for i, (a, b) in enumerate(zip(g, w)):
             if isinstance(a, float) or isinstance(b, float):

@@ -145,15 +145,21 @@ def frame_sample(docs: DataFrame) -> DataFrame:
     )
 
 
+# NOTE: char-based (ascii()/length) vs the operator's byte-based sum — valid
+# because the documents fixture is ASCII-only (verified: octet_length==length
+# for every row at sf0.001/0.01/0.1). Non-ASCII corpora would need a byte-
+# level oracle. The CAST(... AS BIGINT) is load-bearing: DuckDB's list_sum
+# returns HUGEINT, which fetchdf() materializes as float64 and breaks the
+# driver's type-sensitive value hash even when every value matches.
 FRAME_SAMPLE_SQL = f"""
 SELECT doc_id,
        CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
        CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS BIGINT)
          AS n_sampled,
-       list_sum(list_transform(range(1, length(text) + 1),
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
          i -> CASE WHEN (((i - 1) // {FRAME_BYTES}) % {FRAME_STRIDE}) = 0
                    THEN ascii(substring(text, i, 1)) ELSE 0 END)) % {_P31}
-         AS checksum
+         AS BIGINT) AS checksum
 FROM documents
 """
 
