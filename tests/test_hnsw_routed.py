@@ -25,6 +25,19 @@ def test_routed_recall_floor(spark, embeddings):
     assert rec >= 0.4, f"routed recall@10 = {rec}"
 
 
+def test_routed_prebuilt_bit_identical_to_fused(spark, embeddings):
+    """The prebuilt per-cell graph (routed_index → reconstruct) must search
+    exactly like the fused build-per-call path: same cells, same graphs,
+    same beams — row-for-row identical output including distances."""
+    base, qs = _split(embeddings)
+    fused = hnsw.knn_hnsw_routed(base, qs, 10)
+    cells, edges, cents = hnsw.routed_index(base)
+    pre = hnsw.knn_hnsw_routed_prebuilt(cells, edges, cents, qs, 10)
+    f = sorted(map(tuple, fused.collect()))
+    p = sorted(map(tuple, pre.collect()))
+    assert f == p
+
+
 def test_routed_matches_ivf_bound(spark, embeddings):
     """With ef ≥ cell size the in-cell graph search is exhaustive, so the
     routed HNSW must return exactly what exact-search-within-probed-cells

@@ -65,6 +65,35 @@ def test_tpch_q1_partial_aggregation(plans):
     assert any("l_shipdate" in f for f in explain.pushed_filters(plan))
 
 
+def test_ivf_assign_partial_agg_no_window(plans):
+    plan = plans("ivf_assign")
+    # argmin = min-of-struct aggregate with map-side combine (struct min
+    # compiles to partial+final SortAggregate), NOT a row_number window:
+    # the exchange carries one row per vector instead of one per
+    # vector×centroid (round-1 scale fix)
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 2
+
+
+def test_simhash_signatures_zero_shuffle(plans):
+    # per-row higher-order-array votes: no explode, no groupBy — the
+    # signature plan contains no exchange at all (round-1 scale fix)
+    plan = plans("simhash_signatures")
+    assert explain.count_exchanges(plan) == 0
+    assert "Generate" not in plan  # no explode
+
+
+def test_lsh_buckets_base_path_shuffle_free(plans):
+    plan = plans("lsh_buckets")
+    # bucket computed per-row via aggregate over the broadcast plane array;
+    # no window, no groupBy of base rows — the only exchange is the
+    # SinglePartition collect of the 12-row planes side, never a hash or
+    # range repartition of the base
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_bucketed_join_is_exchange_free(plans):
     plan = plans("bucketed_join_revenue")
     # both scans read bucket files directly (co-located by hash(orderkey))

@@ -211,23 +211,34 @@ SIMHASH_BITS = 32
 
 def simhash_signatures(corpus: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: tokens → 48-bit hash → per-bit ±1 votes
-    weighted by token multiplicity → sign. Explode + 32 conditional sums:
-    one map-side-combinable shuffle on doc_id."""
-    toks = corpus.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).withColumn("h", md5_int(F.col("tok")))
+    weighted by token multiplicity → sign.
+
+    Computed entirely PER ROW with the same higher-order-array idiom as
+    ``minhash_signature``: hash the token array once, then 32 ``aggregate``
+    folds vote each bit — no explode, no groupBy, ZERO shuffle (round-1 fix:
+    explode+groupBy shuffled token-level rows on doc_id). Integer votes sum
+    exactly, so the result is bit-identical to the grouped formulation the
+    DuckDB oracle uses."""
+    hs = corpus.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), md5_int).alias("hs"),
+    )
+    def _vote(b: int):
+        # PySpark inspects lambda arity, so bind b via a closure factory
+        # (a `b=b` default would make the merge function ternary)
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
     votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
+        F.aggregate("hs", F.lit(0).cast("long"), _vote(b))
         for b in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy("doc_id").agg(*votes)
     sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    return hs.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:

@@ -302,39 +302,83 @@ def cached_index(
     return _INDEX_CACHE[key]
 
 
-def knn_hnsw_prebuilt(
+def _replicate_queries(
+    queries: DataFrame,
+    parts: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Fan each query out to every shard id WITHOUT driver-side collection:
+    crossJoin with the (tiny, broadcast) part-id table. The query side stays
+    a distributed DataFrame end-to-end — |Q|×P rows flow through the cogroup
+    exchange, which is the fan-out inherent to searching all shards, spread
+    over executors instead of serialized into every task closure."""
+    return (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(parts))
+    )
+
+
+def _prebuilt_search(
     parted: DataFrame,
     edges: DataFrame,
-    queries: DataFrame,
+    routed_queries: DataFrame,
     k: int,
-    ef: int = EF_SEARCH,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
+    ef: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
 ) -> DataFrame:
-    """H10 search over a PREBUILT index: cogroup each shard's vectors with
-    its stored edge list, reconstruct the graph (no insert cost), beam-search
-    every query, global exact rerank. Bit-identical results to the fused
-    ``knn_hnsw`` (same graph, same search) — asserted in tests."""
-    q_pd = queries.select(query_id_col, query_vec_col).toPandas()
-    q_ids = q_pd[query_id_col].to_numpy()
-    q_vecs = np.stack(q_pd[query_vec_col].to_numpy()).astype(np.float64)
+    """Shared search core over a PREBUILT index: cogroup each shard's
+    vectors with its stored edge list AND the queries routed to it,
+    reconstruct the graph (no insert cost), beam-search every query,
+    global exact rerank.
 
-    def _search(vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+    ``routed_queries`` is any distributed (part, query_id, query_vec)
+    frame — full fan-out for hash shards, nprobe cells for IVF routing.
+    Cogroup takes exactly two sides, so the edge list and the routed query
+    set ride in ONE tagged auxiliary frame (edge rows carry null query
+    columns and vice versa) — nothing is collected to the driver."""
+    q_tagged = routed_queries.select(
+        "part",
+        F.lit(None).cast("int").alias("layer"),
+        F.lit(None).cast("long").alias("src"),
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("long").alias("dst"),
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).cast("array<double>").alias("qvec"),
+    )
+    aux = edges.select(
+        "part", "layer", "src", "pos", "dst",
+        F.lit(None).cast("long").alias("qid"),
+        F.lit(None).cast("array<double>").alias("qvec"),
+    ).unionByName(q_tagged)
+
+    def _search(vec_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {query_id_col: pd.Series(dtype="int64"),
+             id_col: pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="float64")}
+        )
         if vec_pdf.empty:
-            return pd.DataFrame(
-                {query_id_col: pd.Series(dtype="int64"),
-                 id_col: pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
+            return empty
+        q_pdf = aux_pdf[aux_pdf["qid"].notna()]
+        if q_pdf.empty:
+            return empty
+        # null query columns make the int edge columns arrive as float —
+        # restore int64 after splitting the tagged frame
+        edge_pdf = (
+            aux_pdf[aux_pdf["src"].notna()][["layer", "src", "pos", "dst"]]
+            .astype("int64")
+        )
         vec_pdf = vec_pdf.sort_values(id_col, ignore_index=True)
         ids = vec_pdf[id_col].to_numpy()
         vecs = np.stack(vec_pdf[vec_col].to_numpy())
         idx = _reconstruct(ids, vecs, edge_pdf)
         out_q, out_id, out_d = [], [], []
-        for qid, qv in zip(q_ids, q_vecs):
-            for d, local in idx.search(qv, ef):
+        for qid, qv in zip(q_pdf["qid"].to_numpy(), q_pdf["qvec"].to_numpy()):
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -344,7 +388,7 @@ def knn_hnsw_prebuilt(
 
     cands = (
         parted.groupBy("part")
-        .cogroup(edges.groupBy("part"))
+        .cogroup(aux.groupBy("part"))
         .applyInPandas(
             _search, schema=f"{query_id_col} long, {id_col} long, dist double"
         )
@@ -361,6 +405,32 @@ def knn_hnsw_prebuilt(
     )
 
 
+def knn_hnsw_prebuilt(
+    parted: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """H10 search over a PREBUILT hash-sharded index. Bit-identical results
+    to the fused ``knn_hnsw`` (same graph, same search) — asserted in
+    tests. Queries fan out to all shards as a distributed frame."""
+    routed = _replicate_queries(
+        queries,
+        parted.select("part").distinct(),
+        query_id_col,
+        query_vec_col,
+    )
+    return _prebuilt_search(
+        parted, edges, routed, k, ef,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+
+
 def knn_hnsw(
     base: DataFrame,
     queries: DataFrame,
@@ -373,26 +443,37 @@ def knn_hnsw(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """H10 top-k ANN: build each shard's graph and beam-search all queries
-    against it in ONE applyInPandas pass (build+search fused, like the
-    reference's single-process run), then global exact rerank via window
+    against it in ONE cogroup applyInPandas pass (build+search fused, like
+    the reference's single-process run), then global exact rerank via window
     top-k over the ≤ ef·P candidates per query.
 
-    The query set is collected to the driver and shipped in the task closure
-    (it is the small side by construction — same assumption as the broadcast
-    in knn_exact_batch)."""
-    q_pd = queries.select(query_id_col, query_vec_col).toPandas()
-    q_ids = q_pd[query_id_col].to_numpy()
-    q_vecs = np.stack(q_pd[query_vec_col].to_numpy()).astype(np.float64)
+    The query side stays a distributed DataFrame: queries are fanned out to
+    every shard id via a broadcast crossJoin and arrive through the cogroup
+    exchange — no driver-side collection, no per-task closure shipping
+    (round-1 scale fix; the routed variant below prunes this fan-out)."""
+    spark = base.sparkSession
+    part_ids = spark.range(num_partitions).select(
+        F.col("id").cast("int").alias("part")
+    )
+    q_repl = _replicate_queries(queries, part_ids, query_id_col, query_vec_col)
 
-    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _search(pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {query_id_col: pd.Series(dtype="int64"),
+                 id_col: pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
         pdf = pdf.sort_values(id_col, ignore_index=True)
         ids = pdf[id_col].to_numpy()
         vecs = np.stack(pdf[vec_col].to_numpy())
         idx = LocalHNSW(vecs)
         idx.build([deterministic_level(int(i)) for i in ids])
         out_q, out_id, out_d = [], [], []
-        for qid, qv in zip(q_ids, q_vecs):
-            for d, local in idx.search(qv, ef):
+        for qid, qv in zip(
+            q_pdf[query_id_col].to_numpy(), q_pdf[query_vec_col].to_numpy()
+        ):
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -401,8 +482,12 @@ def knn_hnsw(
         )
 
     parted = _with_part(base.select(id_col, vec_col), num_partitions, id_col)
-    cands = parted.groupBy("part").applyInPandas(
-        _search, schema=f"{query_id_col} long, {id_col} long, dist double"
+    cands = (
+        parted.groupBy("part")
+        .cogroup(q_repl.groupBy("part"))
+        .applyInPandas(
+            _search, schema=f"{query_id_col} long, {id_col} long, dist double"
+        )
     )
     # global rerank on exact distance (same as reference :317-326); dedup in
     # case a point surfaced from multiple shards is impossible (shards are
@@ -504,6 +589,97 @@ def knn_hnsw_routed(
         cands.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+def routed_index(
+    base: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the ROUTED index: vectors sharded by IVF cell (shard key
+    = centroid_id, not id hash), per-cell HNSW edge lists, and the centroid
+    table — all persisted and computed once. The 100 TB shape: the edges
+    frame is the index table (written as parquet partitioned by cell in a
+    real deployment); search touches only nprobe cells per query."""
+    from toy_vector_db_spark.operators import similarity
+
+    cents = similarity.centroids_df(base, n_centroids, id_col, vec_col).persist()
+    assign = similarity.ivf_assign(base, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    cells = (
+        base.select(id_col, vec_col)
+        .join(assign, id_col)
+        .withColumn("part", F.col("centroid_id").cast("int"))
+        .select(id_col, vec_col, "part")
+        .persist()
+    )
+    edges = _edges_from_parted(cells, id_col, vec_col).persist()
+    edges.count()  # force the build
+    return cells, edges, cents
+
+
+def cached_routed_index(
+    base: DataFrame,
+    cache_key: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        "routed",
+        cache_key,
+        n_centroids,
+    )
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = routed_index(base, n_centroids, id_col, vec_col)
+    return _INDEX_CACHE[key]
+
+
+def knn_hnsw_routed_prebuilt(
+    cells: DataFrame,
+    edges: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-routed search over a PREBUILT per-cell graph: route each query to
+    its nprobe nearest centroids (broadcast the tiny centroid table), then
+    reconstruct + beam-search only the probed cells via the shared cogroup
+    core. Build cost is paid once (``routed_index``), not per invocation
+    (round-1 fix: the fused path rebuilt every cell graph every run).
+    Bit-identical to the fused ``knn_hnsw_routed`` — asserted in tests."""
+    from pyspark.sql import Window
+
+    from toy_vector_db_spark.functions import vector as V
+
+    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("qd").asc(), F.col("centroid_id").asc()
+    )
+    routed = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("centroid_id").cast("int").alias("part"),
+        )
+    )
+    return _prebuilt_search(
+        cells, edges, routed, k, ef,
+        id_col, vec_col, query_id_col, query_vec_col,
     )
 
 

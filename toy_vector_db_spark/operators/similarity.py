@@ -48,17 +48,21 @@ def centroids_df(base: DataFrame, n: int = N_CENTROIDS,
 def ivf_assign(base: DataFrame, cents: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid (clamped cosine).
-    Broadcast the tiny centroid table; argmin via window rank — the scan
-    never shuffles, output is (vec_id, centroid_id, round(dist))."""
+    Broadcast the tiny centroid table; argmin via min-of-struct aggregate
+    with (d, centroid_id) lexicographic tiebreak — identical selection to a
+    row_number window, but the partial aggregation combines map-side, so
+    the exchange carries one row per vector instead of one per
+    vector×centroid (round-1 fix: the window shuffled base×C rows)."""
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "d", V.distance(F.col(vec_col), F.col("centroid_vec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(),
-                                           F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "centroid_id", rnd("d", ROUND).alias("dist"))
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m")
+    )
+    return best.select(
+        id_col,
+        F.col("m.centroid_id").alias("centroid_id"),
+        rnd(F.col("m.d"), ROUND).alias("dist"),
     )
 
 
@@ -113,21 +117,35 @@ def lsh_hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sign-bit LSH signature for cosine similarity: bit_j = [dot(v, h_j) > 0]
-    with h_j = the j-th base vector; bucket = Σ bit_j·2^j. One broadcast of
-    the planes, per-row codegen'd dot products, no shuffle."""
+    with h_j = the j-th base vector; bucket = Σ bit_j·2^j.
+
+    The H planes are collapsed into ONE array-of-structs row and broadcast,
+    so the whole bucket is a single per-row ``aggregate`` over that array —
+    no explode, no groupBy: the only movement is the one-row broadcast
+    (round-1 fix: the groupBy-sum shuffled base×H rows)."""
     planes = base.where(F.col(id_col) < n_planes).select(
         F.col(id_col).alias("plane_id"), F.col(vec_col).alias("plane_vec")
     )
-    scored = base.crossJoin(F.broadcast(planes)).withColumn(
-        "bit",
-        F.when(V.dot(F.col(vec_col), F.col("plane_vec")) > 0,
-               F.lit(1)).otherwise(F.lit(0)),
+    planes_row = planes.agg(
+        F.array_sort(
+            F.collect_list(F.struct("plane_id", "plane_vec"))
+        ).alias("planes")
     )
-    bucket = F.sum(
-        F.col("bit") * F.pow(F.lit(2.0), F.col("plane_id")).cast("long")
-    ).cast("long")
+
+    def _bucket(acc, p):
+        # 2^plane_id via pow: shiftleft takes only a literal shift amount;
+        # double pow is exact far beyond H=12
+        return acc + F.when(
+            V.dot(F.col(vec_col), p["plane_vec"]) > 0,
+            F.pow(F.lit(2.0), p["plane_id"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
     return (
-        scored.groupBy(id_col)
-        .agg(bucket.alias("bucket"))
-        .select(id_col, "bucket")
+        base.crossJoin(F.broadcast(planes_row))
+        .select(
+            id_col,
+            F.aggregate(
+                "planes", F.lit(0).cast("long"), _bucket
+            ).alias("bucket"),
+        )
     )
