@@ -38,6 +38,7 @@ HEADLINE = [
     "eval_recall",
     # scale extensions
     "knn_ivf",
+    "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",
     "simhash_signatures",
@@ -45,7 +46,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "sessionize_events",
-    "tumbling_window_hourly",
+    "streaming_tumbling_counts",
     "text_quality",
     "doc_fingerprint",
 ]
@@ -71,7 +72,13 @@ def main() -> None:
     )
 
     qmap = registry.queries()
-    names = [n for n in HEADLINE if n in qmap]
+    if "--all" in sys.argv:
+        # regression guard for queries outside the headline set (and outside
+        # the driver's correctness window): bench EVERY registered query so
+        # a slowdown in an unbenched operator can't hide between rounds
+        names = list(qmap)
+    else:
+        names = [n for n in HEADLINE if n in qmap]
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

@@ -165,11 +165,32 @@ FROM documents
 
 
 def feature_summary(docs: DataFrame) -> DataFrame:
-    """Aggregate the extracted features — exercises the full pipeline
-    (binary → Python batch → array column → JVM aggregation)."""
+    """Project the EXACT-integer features (size, min, max byte) out of the
+    extracted feature vector — exercises the full pipeline (binary → Python
+    batch → array column → JVM projection) while staying driver-oracle-able:
+    these values are integers ≤ 2^24, exactly representable in the float32
+    feature slots, so no float-rounding divergence is possible. The float
+    moments (mean/std/median) are covered by the tolerance-based twin test
+    (tests/test_multimodal_streaming.py), not the exact-hash oracle."""
     feats = extract_features(docs)
     return feats.select(
         "doc_id",
         F.element_at("features", 1).cast("long").alias("n_bytes"),
-        rnd(F.element_at("features", 2).cast("double"), 3).alias("mean_byte"),
+        F.element_at("features", 4).cast("long").alias("min_byte"),
+        F.element_at("features", 5).cast("long").alias("max_byte"),
     )
+
+
+# Exact-integer oracle for feature_summary (see its docstring). ASCII-only
+# fixture invariant as for FRAME_SAMPLE_SQL: ascii codes == payload bytes.
+# COALESCE guards the empty-text row (list_min/list_max of [] is NULL;
+# _fake_features returns zeros).
+FEATURE_EXTRACT_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_min(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS min_byte,
+       CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS max_byte
+FROM documents
+"""

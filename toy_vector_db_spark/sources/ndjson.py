@@ -41,9 +41,26 @@ def read_ndjson(
 
     At scale: ``spark.read.text`` is a splittable line scan; ``from_json`` is
     a codegen'd JVM expression — the whole pipeline is one narrow stage.
+
+    SINGLE-FILE PRECONDITION for ``limit``: an unordered LIMIT is the file
+    prefix only when the scan's partitions enumerate in line order. For ONE
+    file that holds (splits of a single file pack in byte-offset order, and
+    GlobalLimit drains partitions in index order); across MANY files Spark
+    packs splits by size, not path, so "first n lines" would be
+    enumeration-dependent. The reference itself defines limit over a single
+    file stream (src/dataset.rs:8-17) — multi-file + limit has no reference
+    semantics to match, so we refuse it rather than silently diverge.
     """
     lines = spark.read.text(path)
     if limit is not None:
+        n_files = lines.inputFiles()
+        if len(n_files) > 1:
+            raise ValueError(
+                f"read_ndjson(limit=...) requires a single input file for "
+                f"deterministic prefix semantics; {path!r} matched "
+                f"{len(n_files)} files. Read without limit, or add an "
+                f"explicit line-ordinal column to the data."
+            )
         lines = lines.limit(limit)
     # PERMISSIVE (default): malformed JSON → NULL struct; missing/mistyped
     # fields → NULL fields. Both filtered below = serde's silent drop.
