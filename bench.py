@@ -41,8 +41,10 @@ HEADLINE = [
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",
+    "dup_clusters",
     "simhash_signatures",
     "ngram_jaccard_topk",
+    "bm25_topk",
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "sessionize_events",

@@ -18,6 +18,30 @@ def test_minhash_recovers_injected_pairs(spark, documents):
         assert 0.7 <= by_pair[p] < 1.0
 
 
+def test_dup_clusters_resolve_twins(spark, documents):
+    """Every injected twin must land in its original's cluster with the
+    original (smaller id) as keeper; the clustering must be a partition
+    (every doc exactly once) and every cluster must keep exactly one doc."""
+    corpus = dedup.with_injected_dups(documents.select("doc_id", "text"))
+    rows = dedup.dup_clusters(corpus).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(by_doc) == corpus.count()
+    for i in range(dedup.DUP_SLICE):
+        twin = by_doc[i + dedup.DUP_OFFSET]
+        assert twin.cluster_id == by_doc[i].cluster_id
+        assert not twin.is_keeper
+    # exactly one keeper per cluster, and it is the cluster min
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid
+        assert min(m.doc_id for m in members) == cid
+
+
 def test_exact_dedup_group_sizes(spark, documents):
     corpus = dedup.with_injected_dups(
         documents.select("doc_id", "text"), perturb=False

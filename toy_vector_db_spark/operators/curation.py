@@ -1,0 +1,185 @@
+"""Corpus-curation operators for training-data pipelines: stratified
+quality filtering and BM25 retrieval.
+
+No reference counterpart (harness-mandated extension family). Both are
+pure Catalyst plans:
+
+  stratified_quality_filter   "keep the top p% by quality WITHIN each
+                              source/domain" — the standard curation move
+                              that a global threshold gets wrong (one
+                              high-quality domain would crowd out all
+                              others). One shuffle on the stratum key.
+  bm25_topk                   Okapi BM25 scoring of every document against
+                              a term list; corpus statistics (N, avgdl,
+                              per-term df) are one tiny aggregate
+                              broadcast back — the scan side never
+                              shuffles; top-k via TakeOrderedAndProject.
+
+Float discipline: ordering/selection always uses unrounded doubles with
+doc_id tiebreaks; only displayed columns are rounded (functions/rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.rounding import rnd
+from toy_vector_db_spark.operators.textstats import quality_score_col
+
+ROUND = 6
+
+K1 = 1.2  # BM25 term-frequency saturation
+B = 0.75  # BM25 length normalization
+BM25_TERMS = ["vector", "merge", "window"]  # fixture-vocabulary query
+BM25_K = 25
+
+
+def stratified_quality_filter(docs: DataFrame, frac: float = 0.25) -> DataFrame:
+    """Top ceil(frac·n) docs by quality score PER SOURCE.
+
+    Rank with (unrounded score DESC, doc_id ASC) so selection is
+    deterministic and cross-engine exact; the per-source count rides the
+    same window partition, so the whole operator is ONE shuffle on the
+    stratum key. At 100 TB the stratum key is the natural partition column
+    of a curated corpus — the window becomes a per-partition sort."""
+    s = docs.select(
+        "doc_id", "source", quality_score_col(F.col("text")).alias("qs")
+    )
+    by_src = Window.partitionBy("source")
+    w = by_src.orderBy(F.col("qs").desc(), F.col("doc_id").asc())
+    ranked = s.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_src", F.count("*").over(by_src)
+    )
+    return (
+        ranked.where(
+            F.col("rk") <= F.ceil(F.lit(frac) * F.col("n_src")).cast("int")
+        )
+        .select(
+            "doc_id",
+            "source",
+            rnd("qs", ROUND).alias("quality_score"),
+            F.col("rk").cast("int").alias("rank_in_source"),
+        )
+    )
+
+
+STRATIFIED_FILTER_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         0.4 * least(len(string_split(lower(text), ' ')) / 50.0, 1.0)
+         + 0.3 * (len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                  / len(string_split(lower(text), ' ')))
+         + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                        / length(text))
+         + 0.1 * (len(list_intersect(
+                      list_distinct(string_split(lower(text), ' ')),
+                      ['the', 'a', 'of', 'and', 'to', 'value', 'table', 'row']))
+                  * 1.0 / len(list_distinct(string_split(lower(text), ' '))))
+           AS qs
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, qs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY qs DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM s)
+SELECT doc_id, source, round(qs, {ROUND}) AS quality_score,
+       CAST(rk AS INT) AS rank_in_source
+FROM ranked WHERE rk <= CAST(ceil(0.25 * n_src) AS INT)
+"""
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """Okapi BM25 top-k over the corpus for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Corpus statistics (N, avgdl, one df per term) reduce to a SINGLE tiny
+    aggregate row cross-joined (broadcast) back onto the scan — per-row
+    scoring stays in codegen, the scan never shuffles, and the top-k is a
+    TakeOrderedAndProject on (unrounded score DESC, doc_id). At 100 TB the
+    stats row is a one-pass metadata aggregate any search system
+    precomputes."""
+    import math
+
+    terms = BM25_TERMS if terms is None else terms
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+
+    # Corpus stats collected driver-side (ONE tiny row) so idf's ln() runs
+    # in Python/libm — the same libm DuckDB's ln() links, whereas the JVM's
+    # Math.log (fdlibm lineage) can differ by an ulp and flip the rounded
+    # hash. Same pattern as knn.with_distance's precomputed query
+    # magnitude: inline driver-computed doubles as literals, keep per-row
+    # math (+ * /, IEEE-identical everywhere) in codegen.
+    row = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(
+                (_tf(F.col("toks"), t) > 0).cast("long")
+            ).cast("double").alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs, avgdl = row["n_docs"], row["avgdl"]
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df = row[f"df_{i}"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tf = _tf(F.col("toks"), t)
+        denom = tf + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+        score = score + F.lit(idf) * (tf * (K1 + 1.0)) / denom
+
+    scored = base.select("doc_id", score.alias("s"))
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", rnd("s", ROUND).alias("bm25"))
+    )
+
+
+def _bm25_sql_terms(terms: list[str]) -> tuple[str, str]:
+    tf = lambda t: f"len(list_filter(toks, x -> x = '{t}'))"  # noqa: E731
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN {tf(t)} > 0 THEN 1 ELSE 0 END) * 1.0 AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+            f" * ({tf(t)} * {K1 + 1.0})"
+            f" / ({tf(t)} + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+        )
+    return dfs, " + ".join(parts)
+
+
+def bm25_sql(terms: list[str] | None = None, k: int = BM25_K) -> str:
+    terms = BM25_TERMS if terms is None else terms
+    dfs, score = _bm25_sql_terms(terms)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl,
+         {dfs}
+      FROM base)
+    SELECT doc_id, round(s, {ROUND}) AS bm25
+    FROM (SELECT doc_id, {score} AS s FROM base, stats)
+    ORDER BY s DESC, doc_id ASC
+    LIMIT {k}
+    """

@@ -245,8 +245,24 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band pigeonhole join (a pair within
     hamming ≤ 6 over 4 bytes must agree on ≥1 whole byte... not guaranteed
     for 6>3, so this is a recall-bounded candidate generator — the standard
-    trade; verified pairs are exact hamming) → bit_count(xor) filter."""
-    sigs = simhash_signatures(corpus)
+    trade; verified pairs are exact hamming) → bit_count(xor) filter.
+
+    Pair dedup uses the FIRST-MATCHING-BAND rule instead of a distinct: a
+    joined row survives only if no earlier byte index also matched, a pure
+    per-row bitwise predicate. A pair agreeing on m bands joins m times but
+    is emitted exactly once — same output as DISTINCT (the oracle keeps
+    DISTINCT) with ZERO dedup shuffle. On skewed fixtures this is the
+    difference between shuffling |candidates| rows (millions here — the
+    tiny synthetic vocabulary clusters signatures into mega-buckets) and
+    shuffling nothing."""
+    # materialize signatures ONCE: the self-join would otherwise duplicate
+    # the whole signature subtree (md5 + 32 higher-order folds per doc,
+    # interpreted lambdas — the expensive part) into both join branches.
+    # One row per doc — negligible memory at any shard size. Spread the
+    # 1-2 fixture input splits across the cluster first (the minhash idiom;
+    # a no-op on many-file production input).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash_signatures(corpus.repartition(par, "doc_id")).persist()
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -263,26 +279,107 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.byte_idx", "bk.byte_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+
+    def _match(j: int):
+        return (
+            F.shiftright(F.col("a.simhash"), j * 8).bitwiseAND(F.lit(255))
+            == F.shiftright(F.col("b.simhash"), j * 8).bitwiseAND(F.lit(255))
+        )
+
+    no_earlier_match = F.lit(True)
+    for j in range(3):
+        no_earlier_match = no_earlier_match & (
+            (F.col("a.byte_idx") <= j) | ~_match(j)
+        )
+
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.byte_idx") == F.col("b.byte_idx"))
             & (F.col("a.byte_val") == F.col("b.byte_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(no_earlier_match & (ham <= max_hamming))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+
+
+# -- duplicate-cluster resolution (connected components) ---------------------
+
+CC_MAX_ITERS = 12
+
+
+def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS and pick one keeper per cluster
+    — the step that turns pairwise dedup output into an actual keep/drop
+    decision for a training corpus.
+
+    Connected components over the verified MinHash-LSH pair graph via
+    iterative min-label propagation: every doc starts labeled with its own
+    id; each round every doc takes the min label among itself and its
+    neighbors; fixpoint = component-min label. Pure DataFrame ops per
+    round (join + groupBy-min, both map-side combinable); rounds needed =
+    cluster diameter (near-dup clusters are shallow — the loop exits early
+    via a cheap changed-count action). cluster_id = min doc_id in the
+    component; keeper = the doc that IS the min.
+
+    At 100 TB: this is the standard large-graph CC loop (the alternating
+    big-star/small-star optimization drops in unchanged if diameters grow);
+    the edge list is |verified pairs|, orders of magnitude smaller than the
+    corpus, and singleton docs never enter the loop — they join back at the
+    end with themselves as keeper."""
+    pairs = minhash_lsh_pairs(corpus, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    # only docs that appear in >= 1 pair participate in the iteration
+    members = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = members.withColumn("cluster_id", F.col("doc_id")).persist()
+
+    for _ in range(CC_MAX_ITERS):
+        nbr = edges.join(
+            labels, edges["dst"] == labels["doc_id"]
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    clustered = labels
+    singles = (
+        corpus.select("doc_id")
+        .join(members, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
     return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        clustered.unionByName(singles)
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
     )
 
 

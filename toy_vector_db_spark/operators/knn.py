@@ -124,6 +124,28 @@ def knn_exact_batch(
     )
 
 
+def _scored_product(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """base × broadcast(queries) with the clamped-cosine distance, side
+    magnitudes computed once per row/query (see knn_exact_batch)."""
+    base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
+    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    return base_m.crossJoin(F.broadcast(q_m)).withColumn(
+        "dist", F.lit(1.0) - sim
+    )
+
+
 def argmin_dist(
     base: DataFrame,
     queries: DataFrame,
@@ -133,9 +155,12 @@ def argmin_dist(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Nearest element per query (reference H1, src/hnsw.rs:65-76) as a
-    ``min_by`` aggregate — no window needed, map-side partial aggregation."""
-    scored = base.crossJoin(F.broadcast(queries)).withColumn(
-        "dist", V.distance(F.col(vec_col), F.col(query_vec_col))
+    ``min_by`` aggregate — no window needed, map-side partial aggregation.
+    Magnitudes factored out per side before the cross join (the
+    knn_exact_batch idiom: one aggregate per row+query instead of three per
+    pair; identical float ops in identical order, so oracle-bit-identical)."""
+    scored = _scored_product(
+        base, queries, id_col, vec_col, query_id_col, query_vec_col
     )
     return scored.groupBy(query_id_col).agg(
         F.min_by(F.struct(F.col(id_col), F.col("dist")), F.struct("dist", id_col))
@@ -154,8 +179,8 @@ def argmax_dist(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Furthest element per query (reference H2, src/hnsw.rs:78-89)."""
-    scored = base.crossJoin(F.broadcast(queries)).withColumn(
-        "dist", V.distance(F.col(vec_col), F.col(query_vec_col))
+    scored = _scored_product(
+        base, queries, id_col, vec_col, query_id_col, query_vec_col
     )
     return scored.groupBy(query_id_col).agg(
         F.max_by(

@@ -63,6 +63,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """The UNROUNDED composite quality score as a column expression —
+    exposed separately so rank/threshold operators can order by the raw
+    value (cross-engine ordering must never use rounded values)."""
+    toks = _toks(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    stop_ratio = (
+        F.size(F.array_intersect(F.array_distinct(toks),
+                                 F.array(*[F.lit(w) for w in STOPWORDS])))
+        / F.size(F.array_distinct(toks))
+    )
+    digit_ratio = F.length(F.regexp_replace(text, "[^0-9]", "")) / n_char
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.1) * stop_ratio
+    )
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Per-doc quality features + composite score:
     length, token count, mean token length, stopword ratio, digit ratio,
@@ -81,12 +103,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         F.length(F.regexp_replace(text, "[^0-9]", "")) / n_char
     )
     uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
-    score = (
-        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * uniq_ratio
-        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
-        + F.lit(0.1) * stop_ratio
-    )
+    score = quality_score_col(text)
     return docs.select(
         "doc_id",
         n_char.alias("n_chars"),

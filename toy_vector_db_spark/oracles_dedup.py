@@ -44,7 +44,9 @@ def dedup_exact_sql() -> str:
     """
 
 
-def minhash_lsh_sql(threshold: float = 0.4) -> str:
+def _minhash_pair_ctes(threshold: float) -> str:
+    """WITH-body computing `vpairs` = the verified MinHash-LSH near-dup
+    pairs — shared by the pairs oracle and the cluster oracle."""
     perms = ",\n           ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P31})) AS m{i}"
         for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
@@ -59,7 +61,7 @@ def minhash_lsh_sql(threshold: float = 0.4) -> str:
         for bi in range(BANDS)
     )
     return f"""
-    WITH corpus AS ({SQL_INJECTED_CORPUS}),
+    corpus AS ({SQL_INJECTED_CORPUS}),
     tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
     hashes AS (SELECT doc_id,
@@ -69,12 +71,40 @@ def minhash_lsh_sql(threshold: float = 0.4) -> str:
     bands AS ({band_selects}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b, round({_JACCARD}, {ROUND}) AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE round({_JACCARD}, {ROUND}) >= {threshold}
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    vpairs AS (SELECT c.doc_a, c.doc_b, round({_JACCARD}, {ROUND}) AS jaccard
+               FROM cand c
+               JOIN sh sa ON sa.doc_id = c.doc_a
+               JOIN sh sb ON sb.doc_id = c.doc_b
+               WHERE round({_JACCARD}, {ROUND}) >= {threshold})
+    """
+
+
+def minhash_lsh_sql(threshold: float = 0.4) -> str:
+    return f"""
+    WITH {_minhash_pair_ctes(threshold)}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
+    """
+
+
+def dup_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components of the verified-pair graph as a recursive CTE:
+    `reach` enumerates every label reachable from a node along edges;
+    min(reachable) = the component-min cluster id. Mirrors the Spark
+    min-label-propagation fixpoint exactly."""
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes(threshold)},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_keeper
+    FROM reach GROUP BY node
     """
 
 

@@ -81,20 +81,20 @@ _PRIORITY = [
     "result_intersection", "eval_recall", "eval_precision",
     "scan_ndjson", "split_dataset", "first_sentence",
     # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
-    "dedup_exact", "dedup_minhash_lsh", "simhash_signatures",
-    "simhash_near_pairs", "ngram_jaccard_topk", "embedding_near_dups",
-    "ivf_assign", "knn_ivf", "lsh_buckets", "knn_hnsw_routed",
-    "semantic_search", "text_langid", "text_quality", "text_token_stats",
-    "doc_fingerprint", "text_hash_features", "curation_filter",
+    "dedup_exact", "dedup_minhash_lsh", "dup_clusters",
+    "simhash_signatures", "simhash_near_pairs", "ngram_jaccard_topk",
+    "embedding_near_dups", "ivf_assign", "knn_ivf", "lsh_buckets",
+    "knn_hnsw_routed", "semantic_search", "text_langid", "text_quality",
+    "text_token_stats", "doc_fingerprint", "text_hash_features",
+    "curation_filter", "stratified_quality_filter", "bm25_topk",
     "mm_payload_metadata", "mm_feature_extract", "mm_frame_sample",
     # -- structured streaming --
     "streaming_tumbling_counts", "streaming_session_windows",
     "streaming_stateful_user_stats",
     # -- relational extensions: one representative per operator family --
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "grouping_sets_sales", "sessionize_events",
-    "asof_last_click", "order_price_percentiles", "events_json_stats",
-    "parquet_sink_roundtrip", "bucketed_join_revenue",
+    "tpch_q6_forecast_revenue", "sessionize_events",
+    "asof_last_click", "parquet_sink_roundtrip", "bucketed_join_revenue",
 ]
 
 
@@ -532,18 +532,27 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_event_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: events matched to value tiers by interval containment —
-    a non-equi join planned as BroadcastNestedLoopJoin with the tiny tier
-    table broadcast (the fact side never shuffles; at scale a bucketized
-    equi-join on floor(log(value)) removes even the theta-join)."""
+    """Range join: events matched to value tiers by interval containment.
+    The theta-join is DERIVED AWAY before it exists: the interval bounds are
+    static, so each row computes its tier key with a per-row CASE and the
+    tiers dim joins back as a broadcast HASH join — the bucketized-equi-join
+    rewrite that replaces a BroadcastNestedLoopJoin's per-row interval scan
+    (row-at-a-time, no codegen) at any scale. Rows outside every interval
+    get a null key and drop in the inner join, preserving exact range-join
+    semantics (the oracle keeps the explicit interval join)."""
     ev = table(spark, sf_dir, "events")
     tiers = spark.createDataFrame(
         [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
         "tier string, lo double, hi double",
     )
-    joined = ev.join(
-        F.broadcast(tiers),
-        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    v = F.col("value")
+    tier_key = (
+        F.when((v >= 0.0) & (v < 10.0), F.lit("low"))
+        .when((v >= 10.0) & (v < 100.0), F.lit("mid"))
+        .when((v >= 100.0) & (v < 1e9), F.lit("high"))
+    )
+    joined = ev.withColumn("tier_key", tier_key).join(
+        F.broadcast(tiers), F.col("tier_key") == F.col("tier")
     )
     return joined.groupBy("tier").agg(
         F.count("*").alias("n"), rnd(F.avg("value"), _R).alias("avg_value")
@@ -971,6 +980,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(corpus)
 
 
+@register("dup_clusters")
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into clusters (iterative connected
+    components) with one keeper per cluster — the keep/drop decision of a
+    dedup pipeline. Oracle = recursive-CTE transitive closure."""
+    from toy_vector_db_spark.operators import dedup
+
+    corpus = dedup.with_injected_dups(table(spark, sf_dir, "documents"))
+    return dedup.dup_clusters(corpus)
+
+
 @register("simhash_signatures")
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash (token-hash bit voting)."""
@@ -1014,6 +1034,7 @@ def _register_dedup_oracles() -> None:
 
     _ORACLES["dedup_exact"] = O.dedup_exact_sql()
     _ORACLES["dedup_minhash_lsh"] = O.minhash_lsh_sql()
+    _ORACLES["dup_clusters"] = O.dup_clusters_sql()
     _ORACLES["simhash_signatures"] = O.simhash_signatures_sql()
     _ORACLES["simhash_near_pairs"] = O.simhash_pairs_sql()
     _ORACLES["ngram_jaccard_topk"] = O.ngram_jaccard_sql()
@@ -1154,6 +1175,35 @@ def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toy_vector_db_spark.operators import textstats
 
     return textstats.hash_features(table(spark, sf_dir, "documents"))
+
+
+@register("stratified_quality_filter")
+def q_stratified_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 25% by quality score WITHIN each source — per-stratum
+    curation (one shuffle on the stratum key)."""
+    from toy_vector_db_spark.operators import curation
+
+    return curation.stratified_quality_filter(table(spark, sf_dir, "documents"))
+
+
+@register("bm25_topk")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 documents for a fixed term bag; corpus stats
+    (N, avgdl, df) reduce driver-side and inline as literals so idf's ln()
+    is libm on both engines."""
+    from toy_vector_db_spark.operators import curation
+
+    return curation.bm25_topk(table(spark, sf_dir, "documents"))
+
+
+def _register_curation_oracles() -> None:
+    from toy_vector_db_spark.operators import curation
+
+    _ORACLES["stratified_quality_filter"] = curation.STRATIFIED_FILTER_SQL
+    _ORACLES["bm25_topk"] = curation.bm25_sql()
+
+
+_register_curation_oracles()
 
 
 def _register_similarity_oracles() -> None:
@@ -1613,6 +1663,21 @@ def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = sf_dir.rstrip("/").split("/")[-1]
     return sinks.csv_roundtrip(seg, spark, f"segments_csv_{tag}")
+
+
+@register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type); one-shot drain ≡ batch COUNT(DISTINCT)."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_dedup_counts(spark, sf_dir)
 
 
 @register("streaming_stateful_user_stats")

@@ -140,6 +140,27 @@ def streaming_stateful_user_stats(
     )
 
 
+def streaming_dedup_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) — the pipeline pattern for at-least-once sources
+    (replayed events collapse; state expires at the watermark instead of
+    growing forever, the property plain dropDuplicates lacks). The emitted
+    first-occurrence rows depend on arrival order, so the operator returns
+    the order-insensitive projection: surviving-key counts per event_type —
+    with a one-shot drain that equals batch COUNT(DISTINCT user_id), the
+    oracle."""
+    ev = _events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = _drain_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_users")
+    )
+
+
 def streaming_session_windows(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
