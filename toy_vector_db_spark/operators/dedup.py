@@ -419,6 +419,35 @@ def ngram_jaccard_topk(
 
 # -- embedding near-dup ------------------------------------------------------
 
+def embedding_near_dups_lsh(embeddings: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most-similar embedding pairs WITHIN LSH buckets — the scale
+    variant of ``embedding_near_dups``: the block key is the random-
+    hyperplane signature (a data-independent coarse quantizer) instead of
+    the supervised label, so pair candidates are O(Σ bucket²) regardless of
+    corpus labels. 2^H buckets is the lever: more planes → smaller blocks
+    → fewer candidates, lower recall across bucket boundaries."""
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators.similarity import lsh_hyperplane_buckets
+
+    b = lsh_hyperplane_buckets(embeddings)
+    e = embeddings.select("vec_id", "embedding").join(b, "vec_id")
+    a, c = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    return (
+        pairs.orderBy(F.col("sim").desc(), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", rnd("sim", ROUND).alias("cos_sim"))
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
     """Top-k most-similar embedding pairs within a label block (cosine).
     Blocking on the cluster label bounds the pair count; at 100 TB the

@@ -1,0 +1,43 @@
+"""Sketch-based approximate aggregation: the 100 TB answer to DISTINCT and
+exact percentiles, whose shuffle/state cost grows with cardinality.
+
+  sketch_event_stats   per event_type: HLL++ approximate distinct users
+                       (rsd 2%) + approximate p50/p95 of value — constant
+                       state per group regardless of cardinality, fully
+                       mergeable map-side (the whole point of a sketch at
+                       scale: no exact-distinct re-shuffle, no full sort).
+
+No exact-value oracle is possible: Spark's HLL++/KLL-style sketches and
+DuckDB's differ by design, so the driver records a rows-only check and the
+REAL gate is the local tolerance test (tests/test_sketches.py) asserting
+each approximation lands within its documented error bound of the exact
+answer computed by the same engine. Results are deterministic: sketch
+merges are commutative/associative, independent of partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.rounding import rnd
+
+ROUND = 4
+RSD = 0.02  # HLL++ target relative standard deviation
+PCT_ACC = 10000  # approx_percentile accuracy parameter
+
+
+def sketch_event_stats(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id", RSD).alias("approx_users"),
+            rnd(
+                F.percentile_approx("value", 0.5, PCT_ACC), ROUND
+            ).alias("approx_p50"),
+            rnd(
+                F.percentile_approx("value", 0.95, PCT_ACC), ROUND
+            ).alias("approx_p95"),
+        )
+        .select("event_type", "n", "approx_users", "approx_p50", "approx_p95")
+    )

@@ -171,6 +171,32 @@ def ngram_jaccard_sql(n: int = 4, k: int = 20) -> str:
     """
 
 
+def embedding_near_dup_lsh_sql(k: int = 20) -> str:
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators.similarity import N_HYPERPLANES
+
+    dot = V.sql_dot("b.embedding", "p.plane_vec")
+    sim = V.sql_cosine_similarity("x.embedding", "y.embedding")
+    return f"""
+    WITH planes AS (SELECT vec_id AS plane_id, embedding AS plane_vec
+                    FROM embeddings WHERE vec_id < {N_HYPERPLANES}),
+    bits AS (SELECT b.vec_id, p.plane_id,
+                    CASE WHEN {dot} > 0 THEN 1 ELSE 0 END AS bit
+             FROM embeddings b, planes p),
+    buckets AS (SELECT vec_id,
+                       CAST(sum(bit * CAST(power(2, plane_id) AS BIGINT))
+                            AS BIGINT) AS bucket
+                FROM bits GROUP BY vec_id),
+    e AS (SELECT emb.vec_id, emb.embedding, bu.bucket
+          FROM embeddings emb JOIN buckets bu USING (vec_id))
+    SELECT vec_a, vec_b, round(s, {ROUND}) AS cos_sim
+    FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {sim} AS s
+          FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    ORDER BY s DESC, vec_a ASC, vec_b ASC
+    LIMIT {k}
+    """
+
+
 def embedding_near_dup_sql(k: int = 20) -> str:
     from toy_vector_db_spark.functions import vector as V
 

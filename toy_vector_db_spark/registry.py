@@ -1029,6 +1029,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(table(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_near_dups_lsh")
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant: pair candidates blocked by the random-hyperplane LSH
+    bucket (data-independent quantizer) instead of the supervised label."""
+    from toy_vector_db_spark.operators import dedup
+
+    return dedup.embedding_near_dups_lsh(table(spark, sf_dir, "embeddings"))
+
+
 def _register_dedup_oracles() -> None:
     from toy_vector_db_spark import oracles_dedup as O
 
@@ -1039,6 +1048,7 @@ def _register_dedup_oracles() -> None:
     _ORACLES["simhash_near_pairs"] = O.simhash_pairs_sql()
     _ORACLES["ngram_jaccard_topk"] = O.ngram_jaccard_sql()
     _ORACLES["embedding_near_dups"] = O.embedding_near_dup_sql()
+    _ORACLES["embedding_near_dups_lsh"] = O.embedding_near_dup_lsh_sql()
 
 
 _register_dedup_oracles()
@@ -1663,6 +1673,41 @@ def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = sf_dir.rstrip("/").split("/")[-1]
     return sinks.csv_roundtrip(seg, spark, f"segments_csv_{tag}")
+
+
+@register("sketch_event_stats")
+def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct + approximate percentiles per event_type
+    — constant sketch state per group at any cardinality. Rows-only driver
+    check (cross-engine sketches differ by design); accuracy-vs-exact gated
+    in tests/test_sketches.py."""
+    from toy_vector_db_spark.operators import sketches
+
+    return sketches.sketch_event_stats(table(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_sliding_counts",
+    f"""
+    WITH k(k) AS (VALUES (0), (1)),
+    w AS (SELECT event_type, value,
+                 (epoch_us(ts) // 1800000000) * 1800 - k.k * 1800 AS start_s
+          FROM events, k)
+    SELECT strftime(make_timestamp(start_s * 1000000), '%Y-%m-%d %H:%M')
+             AS win_start,
+           event_type, count(*) AS n,
+           round(sum(value), {_R}) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 60-min/30-min event-time windows through the streaming
+    engine; every event contributes to exactly 2 windows. Oracle expands
+    each event into its k = duration/slide window starts with Spark's
+    floor-alignment."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_sliding_counts(spark, sf_dir)
 
 
 @register(

@@ -140,6 +140,29 @@ def streaming_stateful_user_stats(
     )
 
 
+def streaming_sliding_counts(
+    spark: SparkSession, sf_dir: str, minutes: int = 60, slide: int = 30
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: 60-minute windows every 30
+    minutes — each event lands in duration/slide = 2 overlapping windows.
+    The oracle replicates Spark's window alignment exactly: start =
+    floor(t_us / slide_us)·slide − k·slide for k in 0..duration/slide−1."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes", f"{slide} minutes"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "n",
+        rnd("sv", ROUND).alias("total_value"),
+    )
+
+
 def streaming_dedup_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
