@@ -38,6 +38,8 @@ HEADLINE = [
     "eval_recall",
     # scale extensions
     "knn_ivf",
+    "pq_codes",
+    "knn_pq_rerank",
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",

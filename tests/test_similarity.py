@@ -28,6 +28,32 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     assert rec_full == 1.0, f"full-probe recall = {rec_full}"
 
 
+def test_pq_codes_shape_and_adc_quality(spark, embeddings):
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = similarity.pq_codes(base).collect()
+    assert len(codes) == base.count()
+    for r in codes:
+        for m in range(similarity.PQ_M):
+            assert 0 <= r[f"c{m}"] < similarity.PQ_K
+    # pure compressed-domain ADC ranking: quantization noise on these
+    # heavily-overlapping clusters caps it low, but it must beat the
+    # ~10/475 ≈ 0.02 random baseline decisively
+    exact = knn.knn_exact_batch(base, qs, 10)
+    adc = similarity.knn_pq_adc(base, qs, 10)
+    rec = evaluation.evaluate_recall(adc, exact).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.08, f"PQ-ADC mean recall@10 = {rec}"
+    # the serving pipeline (ADC prune -> exact rerank) must reach the same
+    # data-limited ceiling as IVF on this fixture (~0.46 at R=8k)
+    rr = similarity.knn_pq_rerank(base, qs, 10)
+    rec_rr = evaluation.evaluate_recall(rr, exact).agg(F.avg("recall")).first()[0]
+    assert rec_rr >= 0.4, f"PQ rerank mean recall@10 = {rec_rr}"
+
+
 def test_lsh_bucket_range(spark, embeddings):
     buckets = similarity.lsh_hyperplane_buckets(embeddings).collect()
     assert all(0 <= r.bucket < 2**similarity.N_HYPERPLANES for r in buckets)

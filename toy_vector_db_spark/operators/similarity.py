@@ -110,6 +110,228 @@ def knn_ivf(
     )
 
 
+# -- Product Quantization (PQ) ----------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace
+
+
+def _normalize(v) -> "F.Column":
+    """v / ‖v‖ as an expression — after this, squared euclidean is
+    2 − 2·cos: rank-equivalent to cosine distance, which is what makes
+    euclidean PQ-ADC a valid index for the engine's cosine metric."""
+    mag = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+        )
+    )
+    return F.transform(v, lambda x: x / mag)
+
+
+def _py_normalize(vec: list[float]) -> list[float]:
+    """Driver-side twin of _normalize: sequential-fold magnitude (the
+    _py_magnitude op order) then elementwise divide — bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    mag = math.sqrt(acc)
+    return [x / mag for x in vec]
+
+
+def _pq_codebook(base: DataFrame, id_col: str, vec_col: str) -> list[list[float]]:
+    """The K codebook vectors (first K base rows — the deterministic
+    stand-in for per-subspace k-means, like centroids_df), collected
+    driver-side and NORMALIZED: K×D doubles, a few KB, inlined as literals
+    so the per-row argmin is pure codegen with zero joins."""
+    rows = (
+        base.where(F.col(id_col) < PQ_K)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    return [_py_normalize(list(r[0])) for r in rows]
+
+
+def _sq_dist(a, b) -> "F.Column":
+    """Squared euclidean as a left fold — same op order as the engine's
+    euclidean_distance (minus the sqrt), so DuckDB's list_sum matches."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+
+
+# (appId, plan hash) → persisted normalized-vector frame. Normalization is
+# referenced by EVERY argmin struct entry, and Spark's CollapseProject would
+# re-inline the subtree into all 64 uses (higher-order functions evaluate
+# interpreted, outside codegen subexpression elimination) — materializing
+# the normalized column once turns ~260k interpreted ops/row into ~1k.
+_NV_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _normalized_base(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _NV_CACHE:
+        par = base.sparkSession.sparkContext.defaultParallelism
+        v = F.col(vec_col).cast("array<double>")
+        mag = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+            )
+        )
+        # two materialization steps: magnitude computed ONCE per row (a
+        # transform lambda referencing the mag subtree would re-evaluate
+        # it per ELEMENT — interpreted HOFs get no codegen subexpression
+        # elimination), then the division over the materialized magnitude.
+        # repartition spreads the fixture's single input split first.
+        with_mag = (
+            base.repartition(par, id_col)
+            .select(id_col, v.alias("_vd"), mag.alias("_m"))
+            .persist()
+        )
+        with_mag.count()
+        nb = with_mag.select(
+            id_col,
+            F.transform("_vd", lambda x: x / F.col("_m")).alias("_nv"),
+        ).persist()
+        nb.count()
+        with_mag.unpersist()
+        _NV_CACHE[key] = nb
+    return _NV_CACHE[key]
+
+
+def pq_codes(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into PQ_M subspaces
+    and store the id of the nearest sub-codeword per subspace — D floats
+    compress to M small ints (here 64×4B → 4×1B: 64×). The per-subspace
+    argmin is an array_min over (distance², k) structs against literal
+    sub-centroids — per-row expressions over the materialized normalized
+    vector, no join, no shuffle."""
+    cents = _pq_codebook(base, id_col, vec_col)
+    d = len(cents[0])
+    sub = d // PQ_M
+    nb = _normalized_base(base, id_col, vec_col)
+    cols = [F.col(id_col)]
+    for m in range(PQ_M):
+        v_m = F.slice(F.col("_nv"), m * sub + 1, sub)
+        cands = F.array(*[
+            F.struct(
+                _sq_dist(v_m, F.lit(cents[k][m * sub: (m + 1) * sub])).alias("d"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(PQ_K)
+        ])
+        cols.append(F.array_min(cands).getField("k").cast("int").alias(f"c{m}"))
+    return nb.select(*cols)
+
+
+def knn_pq_adc(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: approx dist²(q, v) =
+    Σ_m dist²(sub_m(q), codeword[code_m(v)]). The base side is only its
+    codes (M bytes/vector — the compressed corpus is what scans at 100 TB);
+    codewords are literals, queries broadcast, one shuffle for the
+    per-query top-k. Recall is bounded by quantization error — the trade
+    PQ makes for a 64× smaller scan."""
+    cents = _pq_codebook(base, id_col, vec_col)
+    d = len(cents[0])
+    sub = d // PQ_M
+    codes = pq_codes(base, id_col, vec_col)
+    # normalize the query side BEFORE the broadcast: the exchange
+    # materializes its child, so the normalization runs once per query row
+    # instead of once per (candidate × use) in the joined projection
+    q_n = queries.select(
+        query_id_col,
+        _normalize(F.col(query_vec_col).cast("array<double>")).alias("_nqv"),
+    )
+
+    approx = F.lit(0.0)
+    for m in range(PQ_M):
+        q_m = F.slice(F.col("_nqv"), m * sub + 1, sub)
+        # codeword lookup: literal array-of-arrays indexed by the code
+        book_m = F.array(*[
+            F.lit(cents[kk][m * sub: (m + 1) * sub]) for kk in range(PQ_K)
+        ])
+        approx = approx + _sq_dist(
+            q_m, F.element_at(book_m, F.col(f"c{m}") + 1)
+        )
+
+    cand = codes.crossJoin(F.broadcast(q_n)).withColumn("ad2", approx)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, rnd("ad2", ROUND).alias("approx_dist2"), "rank"
+        )
+    )
+
+
+def knn_pq_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The standard PQ serving pipeline: ADC over the compressed codes
+    prunes the corpus to R = 8k candidates per query, then EXACT cosine
+    re-ranks only the survivors. At 100 TB the full-precision vectors are
+    fetched for R rows per query instead of scanned — the scan touches
+    M bytes/vector. Recall here matches knn_ivf's on this fixture (~0.46
+    at R=80: the synthetic clusters overlap; both indexes hit the same
+    data-limited ceiling, gated in tests)."""
+    if rerank_r is None:
+        rerank_r = 8 * k
+    cand = knn_pq_adc(
+        base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
+    ).select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col).alias("_qid"), query_vec_col
+    )
+    scored = (
+        cand.join(base.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
+        .withColumn("dist", V.distance(F.col(vec_col), F.col(query_vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    )
+
+
 def lsh_hyperplane_buckets(
     base: DataFrame,
     n_planes: int = N_HYPERPLANES,

@@ -80,6 +80,138 @@ def knn_ivf_sql(split_cte: str, k: int) -> str:
     """
 
 
+def _sq_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _pq_layout() -> tuple[int, int, int, int]:
+    from toy_vector_db_spark.operators.similarity import PQ_K, PQ_M
+
+    dim = 64  # fixture embedding dim (verified constant across SFs)
+    return PQ_M, PQ_K, dim, dim // PQ_M
+
+
+def _norm_sql(v: str) -> str:
+    """v/‖v‖ — mirrors similarity._normalize (list_dot_product ≡ the
+    engine's sequential fold, established by the V1-V5 oracles)."""
+    return (
+        f"list_transform(({v})::DOUBLE[],"
+        f" x -> x / sqrt(list_dot_product(({v})::DOUBLE[], ({v})::DOUBLE[])))"
+    )
+
+
+def _pq_common_ctes(split_cte: str) -> str:
+    m_, k_, _, sub = _pq_layout()
+    d_cols = ",\n             ".join(
+        _sq_dist_sql(
+            f"(b.nv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"(c.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+        )
+        + f" AS d{m}"
+        for m in range(m_)
+    )
+    code_cols = ",\n           ".join(
+        f"CAST(min(struct_pack(d := d{m}, k := k))['k'] AS INT) AS c{m}"
+        for m in range(m_)
+    )
+    return f"""
+    {split_cte},
+    cents AS (SELECT vec_id AS k, {_norm_sql('embedding')} AS cv
+              FROM base WHERE vec_id < {k_}),
+    nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    scored AS (
+      SELECT b.vec_id, c.k,
+             {d_cols}
+      FROM nb b, cents c),
+    codes AS (SELECT vec_id, {code_cols}
+              FROM scored GROUP BY vec_id)
+    """
+
+
+def pq_codes_sql(split_cte: str) -> str:
+    m_ = _pq_layout()[0]
+    cols = ", ".join(f"c{m}" for m in range(m_))
+    return f"""
+    WITH {_pq_common_ctes(split_cte)}
+    SELECT vec_id, {cols} FROM codes
+    """
+
+
+def knn_pq_adc_sql(split_cte: str, k: int) -> str:
+    m_, _, _, sub = _pq_layout()
+    joins = "\n      ".join(
+        f"JOIN cents x{m} ON x{m}.k = co.c{m}" for m in range(m_)
+    )
+    adc = " + ".join(
+        _sq_dist_sql(
+            f"(nq.nv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"(x{m}.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+        )
+        for m in range(m_)
+    )
+    return f"""
+    WITH {_pq_common_ctes(split_cte)},
+    nq AS (SELECT query_id, {_norm_sql('qv')} AS nv FROM q),
+    cand AS (
+      SELECT nq.query_id, co.vec_id, {adc} AS ad2
+      FROM codes co
+      {joins}, nq),
+    ranked AS (
+      SELECT query_id, vec_id, ad2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad2 ASC, vec_id ASC) AS rank
+      FROM cand)
+    SELECT query_id, vec_id, round(ad2, {ROUND}) AS approx_dist2,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int) -> str:
+    m_, _, _, sub = _pq_layout()
+    joins = "\n      ".join(
+        f"JOIN cents x{m} ON x{m}.k = co.c{m}" for m in range(m_)
+    )
+    adc = " + ".join(
+        _sq_dist_sql(
+            f"(nq.nv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"(x{m}.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+        )
+        for m in range(m_)
+    )
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    return f"""
+    WITH {_pq_common_ctes(split_cte)},
+    nq AS (SELECT query_id, {_norm_sql('qv')} AS nv FROM q),
+    cand AS (
+      SELECT nq.query_id, co.vec_id, {adc} AS ad2
+      FROM codes co
+      {joins}, nq),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

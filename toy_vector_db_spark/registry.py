@@ -83,7 +83,8 @@ _PRIORITY = [
     # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
     "dedup_exact", "dedup_minhash_lsh", "dup_clusters",
     "simhash_signatures", "simhash_near_pairs", "ngram_jaccard_topk",
-    "embedding_near_dups", "ivf_assign", "knn_ivf", "lsh_buckets",
+    "embedding_near_dups", "ivf_assign", "knn_ivf", "knn_pq_adc",
+    "lsh_buckets",
     "knn_hnsw_routed", "semantic_search", "text_langid", "text_quality",
     "text_token_stats", "doc_fingerprint", "text_hash_features",
     "curation_filter", "stratified_quality_filter", "bm25_topk",
@@ -93,7 +94,7 @@ _PRIORITY = [
     "streaming_stateful_user_stats",
     # -- relational extensions: one representative per operator family --
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "sessionize_events",
+    "sessionize_events",
     "asof_last_click", "parquet_sink_roundtrip", "bucketed_join_revenue",
 ]
 
@@ -1081,6 +1082,37 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(base, qs, K)
 
 
+@register("pq_codes")
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the base split: 64 floats → 4
+    sub-codeword ids (64× compression); per-row literal-codebook argmin."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.pq_codes(base)
+
+
+@register("knn_pq_adc")
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 per query — the compressed-corpus ANN
+    scan (codes + literal codebook; queries broadcast; one top-k shuffle)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_pq_adc(base, qs, K)
+
+
+@register("knn_pq_rerank")
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving pipeline: ADC prune to 8k candidates, exact cosine
+    re-rank of the survivors — full-precision vectors touched for R rows
+    per query instead of the whole corpus."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_pq_rerank(base, qs, K)
+
+
 @register("lsh_buckets")
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket signature per base vector."""
@@ -1221,6 +1253,9 @@ def _register_similarity_oracles() -> None:
 
     _ORACLES["ivf_assign"] = O.ivf_assign_sql(_SPLIT_CTE)
     _ORACLES["knn_ivf"] = O.knn_ivf_sql(_SPLIT_CTE, K)
+    _ORACLES["pq_codes"] = O.pq_codes_sql(_SPLIT_CTE)
+    _ORACLES["knn_pq_adc"] = O.knn_pq_adc_sql(_SPLIT_CTE, K)
+    _ORACLES["knn_pq_rerank"] = O.knn_pq_rerank_sql(_SPLIT_CTE, K, 8 * K)
     _ORACLES["lsh_buckets"] = O.lsh_buckets_sql(_SPLIT_CTE)
     _ORACLES["text_langid"] = O.lang_id_sql()
     _ORACLES["text_quality"] = O.quality_sql()
