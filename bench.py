@@ -56,6 +56,18 @@ HEADLINE = [
 ]
 
 
+# The r1 headline set (minus the since-trimmed tumbling_window_hourly):
+# summed separately so round-over-round totals compare like-for-like even
+# as the headline list grows with new operators.
+R1_COMPARABLE = [
+    "knn_exact_single", "knn_exact_batch", "hnsw_build", "knn_hnsw",
+    "vec_magnitude", "vec_cosine_dist", "eval_recall", "knn_ivf",
+    "knn_hnsw_routed", "dedup_minhash_lsh", "simhash_signatures",
+    "ngram_jaccard_topk", "tpch_q1_pricing_summary", "revenue_by_nation",
+    "sessionize_events", "text_quality", "doc_fingerprint",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -92,6 +104,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    r1_total = round(
+        sum(t for n, t in timings.items() if n in R1_COMPARABLE), 3
+    )
     print(
         json.dumps(
             {
@@ -99,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_comparable_total": r1_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1219,6 +1219,44 @@ def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.hash_features(table(spark, sf_dir, "documents"))
 
 
+@register("chunk_documents")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks (stride 24) per document — context-window
+    preparation; per-row sequence+slice+posexplode."""
+    from toy_vector_db_spark.operators import chunking
+
+    return chunking.chunk_documents(table(spark, sf_dir, "documents"))
+
+
+@register("pii_scrub")
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email-pattern redaction over a corpus with deterministically injected
+    synthetic PII; output proves complete removal (n_remaining = 0)."""
+    from toy_vector_db_spark.operators import chunking
+
+    return chunking.pii_scrub(table(spark, sf_dir, "documents"))
+
+
+@register("token_batch_packing")
+def q_token_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing within each source (512-token batches;
+    per-stratum window cumsum)."""
+    from toy_vector_db_spark.operators import chunking
+
+    return chunking.token_batch_packing(table(spark, sf_dir, "documents"))
+
+
+def _register_chunking_oracles() -> None:
+    from toy_vector_db_spark.operators import chunking
+
+    _ORACLES["chunk_documents"] = chunking.CHUNK_SQL
+    _ORACLES["pii_scrub"] = chunking.PII_SCRUB_SQL
+    _ORACLES["token_batch_packing"] = chunking.TOKEN_PACKING_SQL
+
+
+_register_chunking_oracles()
+
+
 @register("stratified_quality_filter")
 def q_stratified_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the top 25% by quality score WITHIN each source — per-stratum
