@@ -90,6 +90,65 @@ FROM ranked WHERE rk <= CAST(ceil(0.25 * n_src) AS INT)
 """
 
 
+SAMPLE_HASH_MOD = 1 << 20
+
+
+def source_mixture_sample(docs: DataFrame) -> DataFrame:
+    """Temperature-flattened mixture sampling across sources (the
+    multilingual-LM recipe with α = 0.5): target share ∝ n_s^α, realized
+    as deterministic hash-sampling with keep-rate r_s = sqrt(n_min/n_s) —
+    the smallest source keeps everything, larger sources are √-downsampled.
+
+    Determinism discipline: the keep decision is md5(doc_id) mod 2^20
+    compared against r_s·2^20, and α is FIXED at 0.5 so the rate is a
+    single sqrt — IEEE-exact in every engine, unlike pow(), whose libm
+    implementations can differ by an ulp and flip boundary rows. Emits the
+    per-source audit (corpus size, rate, sampled size)."""
+    from toy_vector_db_spark.operators.dedup import md5_int
+
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_src",
+        F.sqrt(F.col("n_min") / F.col("n_src")).alias("rate"),
+    )
+    u = md5_int(F.col("doc_id").cast("string")) % SAMPLE_HASH_MOD
+    kept = docs.select("doc_id", "source", u.alias("u")).join(
+        F.broadcast(rates), "source"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_src").alias("n_docs"),
+            rnd(F.first("rate"), ROUND).alias("rate"),
+            F.sum(
+                (F.col("u") < F.col("rate") * SAMPLE_HASH_MOD).cast("long")
+            ).alias("n_sampled"),
+        )
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_src FROM documents
+                GROUP BY source),
+rates AS (SELECT source, n_src,
+                 sqrt((SELECT min(n_src) FROM counts) * 1.0 / n_src) AS rate
+          FROM counts),
+kept AS (
+  SELECT d.source, r.n_src, r.rate,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+                   ::BIGINT % {SAMPLE_HASH_MOD}
+                   < r.rate * {SAMPLE_HASH_MOD}
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r USING (source))
+SELECT source, CAST(min(n_src) AS BIGINT) AS n_docs,
+       round(min(rate), {ROUND}) AS rate,
+       CAST(sum(keep) AS BIGINT) AS n_sampled
+FROM kept GROUP BY source
+"""
+
+
 def _tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
 

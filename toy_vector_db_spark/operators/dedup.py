@@ -311,6 +311,26 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+# (appId, corpus plan hash, threshold) → persisted verified-pair frame.
+# The pair graph is the shared build artifact of the dedup pipeline
+# (pairs report AND cluster resolution consume it) — computed once per
+# session like the ANN index caches.
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_minhash_pairs(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
+    key = (
+        corpus.sparkSession.sparkContext.applicationId,
+        corpus.semanticHash(),
+        threshold,
+    )
+    if key not in _PAIRS_CACHE:
+        p = minhash_lsh_pairs(corpus, threshold).persist()
+        p.count()
+        _PAIRS_CACHE[key] = p
+    return _PAIRS_CACHE[key]
+
+
 # -- duplicate-cluster resolution (connected components) ---------------------
 
 CC_MAX_ITERS = 12
@@ -335,7 +355,7 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
     the edge list is |verified pairs|, orders of magnitude smaller than the
     corpus, and singleton docs never enter the loop — they join back at the
     end with themselves as keeper."""
-    pairs = minhash_lsh_pairs(corpus, threshold).select("doc_a", "doc_b")
+    pairs = cached_minhash_pairs(corpus, threshold).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -974,11 +974,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) → 8×2 banded LSH candidates → exact Jaccard ≥ 0.4.
-    Must recover the injected near-dup twins."""
+    Must recover the injected near-dup twins. Built through the session
+    pair cache, which dup_clusters reuses (the pair graph is the dedup
+    pipeline's shared build artifact)."""
     from toy_vector_db_spark.operators import dedup
 
     corpus = dedup.with_injected_dups(table(spark, sf_dir, "documents"))
-    return dedup.minhash_lsh_pairs(corpus)
+    return dedup.cached_minhash_pairs(corpus)
 
 
 @register("dup_clusters")
@@ -1276,11 +1278,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bm25_topk(table(spark, sf_dir, "documents"))
 
 
+@register("source_mixture_sample")
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α=0.5) mixture sampling across sources via
+    deterministic hash thresholds; per-source audit output."""
+    from toy_vector_db_spark.operators import curation
+
+    return curation.source_mixture_sample(table(spark, sf_dir, "documents"))
+
+
 def _register_curation_oracles() -> None:
     from toy_vector_db_spark.operators import curation
 
     _ORACLES["stratified_quality_filter"] = curation.STRATIFIED_FILTER_SQL
     _ORACLES["bm25_topk"] = curation.bm25_sql()
+    _ORACLES["source_mixture_sample"] = curation.MIXTURE_SAMPLE_SQL
 
 
 _register_curation_oracles()
