@@ -94,6 +94,28 @@ def test_lsh_buckets_base_path_shuffle_free(plans):
     assert "rangepartitioning" not in plan
 
 
+def test_bm25_take_ordered(plans):
+    # per-row scoring over inlined corpus stats; top-k compiles to
+    # per-partition heaps, not a global sort
+    plan = plans("bm25_topk")
+    assert explain.has_take_ordered(plan)
+
+
+def test_chunk_documents_no_shuffle(plans):
+    # sequence + slice + posexplode is row-local: chunking never shuffles
+    plan = plans("chunk_documents")
+    assert explain.count_exchanges(plan) == 0
+
+
+def test_token_packing_single_stratum_shuffle(plans):
+    # one exchange for the per-source window; the batch aggregate reuses
+    # the same partitioning (AQE/ensure-requirements may add a coalesce,
+    # never a second wide exchange on a different key)
+    plan = plans("token_batch_packing")
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(source") >= 1
+
+
 def test_bucketed_join_is_exchange_free(plans):
     plan = plans("bucketed_join_revenue")
     # both scans read bucket files directly (co-located by hash(orderkey))
