@@ -47,10 +47,15 @@ def test_exact_dedup_group_sizes(spark, documents):
         documents.select("doc_id", "text"), perturb=False
     )
     groups = dedup.dedup_exact(corpus)
-    sizes = {r.n_copies: r.cnt for r in
-             groups.groupBy("n_copies").agg(F.count("*").alias("cnt")).collect()}
+    rows = groups.groupBy("n_copies").agg(F.count("*").alias("cnt")).collect()
     n = documents.count()
-    assert sizes == {1: n - dedup.DUP_SLICE, 2: dedup.DUP_SLICE}
+    # conservation: every doc lands in exactly one group
+    assert sum(r.n_copies * r.cnt for r in rows) == n + dedup.DUP_SLICE
+    # every injected twin is grouped with its original; the larger SFs
+    # also contain NATURAL exact-dup collisions (synthetic text), so
+    # assert a floor instead of an exact histogram
+    multi = sum(r.cnt for r in rows if r.n_copies >= 2)
+    assert multi >= dedup.DUP_SLICE
 
 
 def test_simhash_twin_distance(spark, documents):

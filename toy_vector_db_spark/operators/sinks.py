@@ -112,9 +112,14 @@ def bucketed_revenue_by_priority(
     # force sort-merge: a broadcast would also be shuffle-free here but
     # hides the co-location property this operator exists to demonstrate
     joined = li.hint("merge").join(od, li["l_orderkey"] == od["o_orderkey"])
+    # revenue rounded to WHOLE units, not 4 decimals: this is the largest
+    # money sum in the suite (~6e9 at sf0.1 over ~10^5 doubles), where
+    # engine-dependent partial-sum order drifts the unrounded value by
+    # ~1e-4 — far beyond a 4-decimal rounding step. Whole-unit rounding
+    # keeps the cross-engine comparison stable at any tested scale.
     return joined.groupBy("o_orderpriority").agg(
         rnd(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )

@@ -11,8 +11,11 @@ No exact-value oracle is possible: Spark's HLL++/KLL-style sketches and
 DuckDB's differ by design, so the driver records a rows-only check and the
 REAL gate is the local tolerance test (tests/test_sketches.py) asserting
 each approximation lands within its documented error bound of the exact
-answer computed by the same engine. Results are deterministic: sketch
-merges are commutative/associative, independent of partitioning."""
+answer computed by the same engine. Determinism: results are identical
+run-to-run on the same data; the HLL distinct estimate is additionally
+invariant under repartitioning (commutative/associative merges), while
+percentile_approx's summary compression is merge-order-sensitive — its
+value is stable per partitioning, not across partitionings."""
 
 from __future__ import annotations
 

@@ -1715,9 +1715,9 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bucketed_join_revenue",
-    f"""
+    """
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
