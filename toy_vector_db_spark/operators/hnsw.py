@@ -378,7 +378,13 @@ def _prebuilt_search(
         idx = _reconstruct(ids, vecs, edge_pdf)
         out_q, out_id, out_d = [], [], []
         for qid, qv in zip(q_pdf["qid"].to_numpy(), q_pdf["qvec"].to_numpy()):
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
+            # emit only this shard's top-k (not top-ef): the global top-k
+            # is a subset of per-shard top-ks, and search() returns
+            # (dist, local) sorted by dist with ties broken by local index
+            # == global id order (ids are sorted) — exactly the global
+            # rerank's ordering, so truncation is bit-identical while
+            # cutting the rerank exchange ef/k-fold (round-2 verdict fix)
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -445,7 +451,8 @@ def knn_hnsw(
     """H10 top-k ANN: build each shard's graph and beam-search all queries
     against it in ONE cogroup applyInPandas pass (build+search fused, like
     the reference's single-process run), then global exact rerank via window
-    top-k over the ≤ ef·P candidates per query.
+    top-k over the ≤ k·P candidates per query (each shard emits only its
+    local top-k — the global top-k is provably inside that union).
 
     The query side stays a distributed DataFrame: queries are fanned out to
     every shard id via a broadcast crossJoin and arrive through the cogroup
@@ -473,7 +480,9 @@ def knn_hnsw(
         for qid, qv in zip(
             q_pdf[query_id_col].to_numpy(), q_pdf[query_vec_col].to_numpy()
         ):
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
+            # per-shard top-k emission (see _prebuilt_search): bit-identical
+            # to emitting all ef candidates, ef/k× smaller rerank exchange
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -569,7 +578,9 @@ def knn_hnsw_routed(
             q_pdf[query_id_col].to_numpy(),
             q_pdf[query_vec_col].to_numpy(),
         ):
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef):
+            # per-cell top-k emission (see _prebuilt_search): bit-identical
+            # to emitting all ef candidates, ef/k× smaller rerank exchange
+            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
