@@ -36,8 +36,12 @@ HEADLINE = [
     "vec_magnitude",
     "vec_cosine_dist",
     "eval_recall",
-    # scale extensions
+    # scale extensions. ivf_train / pq_train run BEFORE their consumers:
+    # quantizer training is timed once (build/search split), then
+    # assignment/search keys reuse the session-cached trained tables.
+    "ivf_train",
     "knn_ivf",
+    "pq_train",
     "pq_codes",
     "knn_pq_rerank",
     "hnsw_routed_build",

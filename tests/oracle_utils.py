@@ -9,6 +9,7 @@ import math
 import duckdb
 import pandas as pd
 
+from toy_vector_db_spark.functions.rounding import stabilize_sql_rounding
 from toy_vector_db_spark.registry import TABLES
 
 
@@ -30,7 +31,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def assert_oracle_match(spark_df, sql: str, sf_dir: str, rel: float = 0.0):
     got = _canon(spark_df.toPandas())
     con = duck_con(sf_dir)  # keep alive until fetch completes
-    want = _canon(con.sql(sql).fetchdf())
+    # every oracle's round() goes through the cross-engine-stable floor
+    # form here too: registry.oracle_sql() already rewrites its own SQL,
+    # but ad-hoc test oracles (tests/test_relational_extras.py) run
+    # through this gate directly — without the rewrite, DuckDB's native
+    # round() diverges from the engine's rnd() on exact decimal halves
+    # (the twice-hit divergence class rounding.py documents). Idempotent:
+    # the floor form contains no round() calls.
+    want = _canon(con.sql(stabilize_sql_rounding(sql)).fetchdf())
     con.close()
     assert list(got.columns) == list(want.columns), (
         f"schema mismatch: spark={list(got.columns)} oracle={list(want.columns)}"

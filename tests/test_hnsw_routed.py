@@ -44,7 +44,10 @@ def test_routed_matches_ivf_bound(spark, embeddings):
     (knn_ivf) returns — isolates routing from graph quality."""
     base, qs = _split(embeddings)
     routed = hnsw.knn_hnsw_routed(base, qs, 10, ef=500)
-    ivf = similarity.knn_ivf(base, qs, 10)
+    # both sides on the TRAINED quantizer (the routed path trains since
+    # round 3) so this isolates graph quality, not centroid choice
+    cents = similarity.cached_trained_centroids(base)
+    ivf = similarity.knn_ivf(base, qs, 10, cents=cents)
     r = {(x.query_id, x.vec_id) for x in routed.collect()}
     v = {(x.query_id, x.vec_id) for x in ivf.collect()}
     assert r == v

@@ -16,14 +16,25 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     )
     exact = knn.knn_exact_batch(base, qs, 10)
     # partial probing (4/16 cells ≈ 25% of the base scanned): recall is
-    # data-limited on these heavily-overlapping synthetic clusters (~0.46;
-    # measured 0.51 even with Lloyd-refined centroids) — assert the floor
-    ivf = similarity.knn_ivf(base, qs, 10)
+    # data-limited on these heavily-overlapping synthetic clusters. The
+    # TRAINED quantizer (round-3) lifts the first-K-rows stand-in's
+    # ceiling: measured 0.46 → 0.55 at sf0.001, 0.49 → 0.52 at sf0.1.
+    cents = similarity.cached_trained_centroids(base)
+    ivf = similarity.knn_ivf(base, qs, 10, cents=cents)
     rec = evaluation.evaluate_recall(ivf, exact).agg(F.avg("recall")).first()[0]
-    assert rec >= 0.4, f"IVF mean recall@10 = {rec}"
+    assert rec >= 0.5, f"IVF mean recall@10 = {rec}"
+    # the trained quantizer must not be WORSE than the stand-in at the
+    # same nprobe — the point of training (round-2 verdict item 3)
+    standin = similarity.knn_ivf(base, qs, 10)
+    rec_standin = (
+        evaluation.evaluate_recall(standin, exact).agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= rec_standin - 1e-9, f"trained {rec} < stand-in {rec_standin}"
     # probing ALL cells must recover exact search exactly — the structural
     # correctness property of IVF
-    full = similarity.knn_ivf(base, qs, 10, nprobe=similarity.N_CENTROIDS)
+    full = similarity.knn_ivf(
+        base, qs, 10, nprobe=similarity.N_CENTROIDS, cents=cents
+    )
     rec_full = evaluation.evaluate_recall(full, exact).agg(F.avg("recall")).first()[0]
     assert rec_full == 1.0, f"full-probe recall = {rec_full}"
 
@@ -42,11 +53,12 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
             assert 0 <= r[f"c{m}"] < similarity.PQ_K
     # recall floors are measured per fixture scale: the rerank budget
     # R = 8k is a fixed serving knob, so the scanned FRACTION (and with
-    # it recall) shrinks as the base grows — 17% of the sf0.001 base
-    # (recall ~0.46, the IVF ceiling) vs 4% at sf0.1 (recall ~0.23).
-    # Both floors sit far above the k/n random baseline.
+    # it recall) shrinks as the base grows. TRAINED sub-codebooks
+    # (round-3) lifted the measured recalls from (adc 0.13, rerank 0.46)
+    # to (0.21, 0.60) at sf0.001 and to (0.08, 0.32) at sf0.1 — floors
+    # raised accordingly, still with slack for fixture regeneration.
     small = base.count() <= 1000
-    adc_floor, rr_floor = (0.08, 0.4) if small else (0.04, 0.18)
+    adc_floor, rr_floor = (0.15, 0.5) if small else (0.06, 0.25)
     exact = knn.knn_exact_batch(base, qs, 10)
     adc = similarity.knn_pq_adc(base, qs, 10)
     rec = evaluation.evaluate_recall(adc, exact).agg(F.avg("recall")).first()[0]
@@ -54,6 +66,42 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
     rr = similarity.knn_pq_rerank(base, qs, 10)
     rec_rr = evaluation.evaluate_recall(rr, exact).agg(F.avg("recall")).first()[0]
     assert rec_rr >= rr_floor, f"PQ rerank mean recall@10 = {rec_rr}"
+
+
+def test_pq_codes_arrow_kernel_equals_fold_form(spark, embeddings):
+    """pq_codes builds with a numpy mapInArrow kernel; the interpreted
+    Catalyst fold form (array_min over (sq_dist, k) structs — the shape
+    the DuckDB oracle mirrors) must produce the SAME codes bit-for-bit:
+    np.cumsum is the same sequential left fold, np.argmin the same
+    first-min tie-break."""
+    from pyspark.sql import functions as FF
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    books = similarity.trained_pq_codebooks(base)
+    sub = len(books[0][0])
+    nb = similarity._normalized_base(base, "vec_id", "embedding")
+    cols = [FF.col("vec_id")]
+    for m in range(similarity.PQ_M):
+        v_m = FF.slice(FF.col("_nv"), m * sub + 1, sub)
+        cands = FF.array(*[
+            FF.struct(
+                similarity._sq_dist(v_m, FF.lit(books[m][k])).alias("d"),
+                FF.lit(k).alias("k"),
+            )
+            for k in range(similarity.PQ_K)
+        ])
+        cols.append(FF.array_min(cands).getField("k").cast("int").alias(f"c{m}"))
+    fold = {
+        r["vec_id"]: tuple(r[f"c{m}"] for m in range(similarity.PQ_M))
+        for r in nb.select(*cols).collect()
+    }
+    kernel = {
+        r["vec_id"]: tuple(r[f"c{m}"] for m in range(similarity.PQ_M))
+        for r in similarity.pq_codes(base).collect()
+    }
+    assert fold == kernel
 
 
 def test_lsh_bucket_range(spark, embeddings):

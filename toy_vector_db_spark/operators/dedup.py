@@ -448,6 +448,15 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component with diameter > CC_MAX_ITERS would exit here with
+        # labels that are NOT the component minimum — surface it as an
+        # explicit error instead of a silent oracle mismatch (advice r2)
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{CC_MAX_ITERS} iterations ({changed} labels still moving); "
+            f"raise CC_MAX_ITERS or switch to big-star/small-star rounds"
+        )
 
     clustered = labels
     singles = (

@@ -539,7 +539,9 @@ def knn_hnsw_routed(
 
     from toy_vector_db_spark.operators import similarity
 
-    cents = similarity.centroids_df(base, n_centroids, id_col, vec_col)
+    cents = similarity.cached_trained_centroids(
+        base, n_centroids, id_col=id_col, vec_col=vec_col
+    )
     assign = similarity.ivf_assign(base, cents, id_col, vec_col).select(
         id_col, "centroid_id"
     )
@@ -616,7 +618,9 @@ def routed_index(
     real deployment); search touches only nprobe cells per query."""
     from toy_vector_db_spark.operators import similarity
 
-    cents = similarity.centroids_df(base, n_centroids, id_col, vec_col).persist()
+    cents = similarity.cached_trained_centroids(
+        base, n_centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
     assign = similarity.ivf_assign(base, cents, id_col, vec_col).select(
         id_col, "centroid_id"
     )

@@ -26,11 +26,101 @@ def _cents_cte(base_cte: str = "base") -> str:
     )
 
 
+def kmeans_chain(
+    prefix: str,
+    n: int,
+    iters: int,
+    train_sql: str,
+    metric_sql,
+) -> str:
+    """Unrolled deterministic Lloyd's k-means as CTEs, ending in
+    ``{prefix}cents(centroid_id, centroid_vec)`` — the SQL twin of the
+    engine's trained quantizers, bit-identical (asserted in
+    tests/test_similarity.py at every SF):
+
+    * assign: row_number over (metric, centroid_id) — the same total
+      order as the engine's min-of-struct argmin;
+    * update: per-(cell, dim) mean via ``list_reduce`` over member values
+      ordered by vec_id — an explicitly SEQUENTIAL left fold seeded with a
+      prepended 0.0, matching the engine's ``aggregate`` over
+      ``sort_array(collect_list(...))`` add-for-add;
+    * empty cells keep the previous centroid via LEFT JOIN + coalesce.
+
+    ``train_sql`` must yield (vec_id, v DOUBLE[]); ``metric_sql`` is a
+    (a, b) -> SQL-string callable (cosine for IVF, squared euclidean for
+    PQ sub-codebooks)."""
+    p = prefix
+    d = metric_sql("t.v", "c.centroid_vec")
+    ctes = [
+        f"{p}train AS ({train_sql})",
+        f"{p}c0 AS (SELECT vec_id AS centroid_id, v AS centroid_vec"
+        f" FROM {p}train WHERE vec_id < {n})",
+    ]
+    for it in range(iters):
+        prev, cur = f"{p}c{it}", f"{p}c{it + 1}"
+        ctes.append(f"""{p}a{it} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT t.vec_id, t.v, c.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {d} ASC, c.centroid_id ASC) AS rn
+        FROM {p}train t, {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""{p}m{it} AS (
+      SELECT centroid_id, list(s ORDER BY dim) AS mean_vec FROM (
+        SELECT centroid_id, dim,
+               list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                           (acc, x) -> acc + x) / count(*) AS s
+        FROM (SELECT centroid_id, vec_id, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS dim FROM {p}a{it})
+        GROUP BY centroid_id, dim)
+      GROUP BY centroid_id)""")
+        ctes.append(f"""{cur} AS (
+      SELECT p.centroid_id, coalesce(m.mean_vec, p.centroid_vec) AS centroid_vec
+      FROM {prev} p LEFT JOIN {p}m{it} m USING (centroid_id))""")
+    ctes.append(
+        f"{p}cents AS (SELECT centroid_id, centroid_vec FROM {p}c{iters})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def kmeans_ctes(
+    n: int, iters: int, train_bound: int, base_cte: str = "base"
+) -> str:
+    """IVF instantiation: cosine metric over raw embeddings, final CTE
+    named ``cents`` (kmeans_chain with an empty prefix)."""
+    train_sql = (
+        f"SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM {base_cte} WHERE vec_id < {train_bound}"
+    )
+    return kmeans_chain("", n, iters, train_sql, V.sql_cosine_distance)
+
+
+def _trained_cents_cte(base_cte: str = "base") -> str:
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        TRAIN_SAMPLE,
+    )
+
+    return kmeans_ctes(N_CENTROIDS, KMEANS_ITERS, TRAIN_SAMPLE, base_cte)
+
+
+def ivf_train_sql(split_cte: str) -> str:
+    """Trained centroids, exploded to (centroid_id, dim, val) scalar rows —
+    the driver-hashable proof that both engines train the same floats."""
+    return f"""
+    WITH {split_cte},
+    {_trained_cents_cte()}
+    SELECT centroid_id, CAST(dim AS INT) AS dim, val
+    FROM (SELECT centroid_id, unnest(centroid_vec) AS val,
+                 unnest(range(0, len(centroid_vec))) AS dim
+          FROM cents)
+    """
+
+
 def ivf_assign_sql(split_cte: str) -> str:
     d = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
     return f"""
     WITH {split_cte},
-    {_cents_cte()},
+    {_trained_cents_cte()},
     scored AS (
       SELECT b.vec_id, c.centroid_id, {d} AS d
       FROM base b, cents c),
@@ -50,7 +140,7 @@ def knn_ivf_sql(split_cte: str, k: int) -> str:
     d_bq = V.sql_cosine_distance("cv.embedding", "p.qv")
     return f"""
     WITH {split_cte},
-    {_cents_cte()},
+    {_trained_cents_cte()},
     assign AS (
       SELECT vec_id, centroid_id FROM (
         SELECT b.vec_id, c.centroid_id,
@@ -103,12 +193,47 @@ def _norm_sql(v: str) -> str:
     )
 
 
-def _pq_common_ctes(split_cte: str) -> str:
+def _pq_books_ctes() -> str:
+    """Per-subspace trained PQ codebooks: PQ_M independent k-means chains
+    over SLICES of the normalized vectors (squared-euclidean metric —
+    normalize-then-euclid ≡ cosine), joined into one
+    ``cents(k, s0..s{M-1})`` table. SQL twin of
+    similarity.trained_pq_codebooks."""
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        TRAIN_SAMPLE,
+    )
+
     m_, k_, _, sub = _pq_layout()
+    chains = []
+    for m in range(m_):
+        train_sql = (
+            f"SELECT vec_id, (nv)[{m * sub + 1}:{(m + 1) * sub}] AS v"
+            f" FROM nb WHERE vec_id < {TRAIN_SAMPLE}"
+        )
+        chains.append(
+            kmeans_chain(f"pq{m}_", k_, KMEANS_ITERS, train_sql, _sq_dist_sql)
+        )
+    joins = " ".join(
+        f"JOIN pq{m}_cents b{m} ON b{m}.centroid_id = b0.centroid_id"
+        for m in range(1, m_)
+    )
+    cents = (
+        f"cents AS (SELECT b0.centroid_id AS k, b0.centroid_vec AS s0, "
+        + ", ".join(f"b{m}.centroid_vec AS s{m}" for m in range(1, m_))
+        + f" FROM pq0_cents b0 {joins})"
+        if m_ > 1
+        else "cents AS (SELECT centroid_id AS k, centroid_vec AS s0 FROM pq0_cents)"
+    )
+    return ",\n    ".join(chains + [cents])
+
+
+def _pq_common_ctes(split_cte: str) -> str:
+    m_, _, _, sub = _pq_layout()
     d_cols = ",\n             ".join(
         _sq_dist_sql(
             f"(b.nv)[{m * sub + 1}:{(m + 1) * sub}]",
-            f"(c.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"c.s{m}",
         )
         + f" AS d{m}"
         for m in range(m_)
@@ -119,15 +244,33 @@ def _pq_common_ctes(split_cte: str) -> str:
     )
     return f"""
     {split_cte},
-    cents AS (SELECT vec_id AS k, {_norm_sql('embedding')} AS cv
-              FROM base WHERE vec_id < {k_}),
     nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    {_pq_books_ctes()},
     scored AS (
       SELECT b.vec_id, c.k,
              {d_cols}
       FROM nb b, cents c),
     codes AS (SELECT vec_id, {code_cols}
               FROM scored GROUP BY vec_id)
+    """
+
+
+def pq_train_sql(split_cte: str) -> str:
+    """Trained per-subspace PQ codebooks, exploded to (m, k, dim, val)
+    scalar rows — the driver-hashable training-parity proof for PQ."""
+    m_ = _pq_layout()[0]
+    unions = " UNION ALL ".join(
+        f"SELECT {m} AS m, centroid_id AS k, unnest(centroid_vec) AS val,"
+        f" unnest(range(0, len(centroid_vec))) AS dim FROM pq{m}_cents"
+        for m in range(m_)
+    )
+    return f"""
+    WITH {split_cte},
+    nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    {_pq_books_ctes()}
+    SELECT CAST(m AS INT) AS m, CAST(k AS INT) AS k,
+           CAST(dim AS INT) AS dim, val
+    FROM ({unions})
     """
 
 
@@ -148,7 +291,7 @@ def knn_pq_adc_sql(split_cte: str, k: int) -> str:
     adc = " + ".join(
         _sq_dist_sql(
             f"(nq.nv)[{m * sub + 1}:{(m + 1) * sub}]",
-            f"(x{m}.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"x{m}.s{m}",
         )
         for m in range(m_)
     )
@@ -178,7 +321,7 @@ def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int) -> str:
     adc = " + ".join(
         _sq_dist_sql(
             f"(nq.nv)[{m * sub + 1}:{(m + 1) * sub}]",
-            f"(x{m}.cv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"x{m}.s{m}",
         )
         for m in range(m_)
     )

@@ -140,13 +140,52 @@ def streaming_stateful_user_stats(
     )
 
 
+# Sliding-window geometry, pinned HERE so the operator and its generated
+# oracle (sliding_counts_oracle_sql below) can never desynchronize — the
+# round-2 advice found the old oracle hardcoded a 30-min slide and k∈{0,1}
+# while the operator accepted arbitrary minutes/slide parameters.
+SLIDING_MINUTES = 60
+SLIDING_SLIDE = 30
+
+
+def sliding_counts_oracle_sql(
+    round_digits: int,
+    minutes: int = SLIDING_MINUTES,
+    slide: int = SLIDING_SLIDE,
+) -> str:
+    """DuckDB oracle for streaming_sliding_counts, generated from the SAME
+    window parameters the operator uses: each event expands into its
+    k = duration/slide window starts (Spark's floor alignment:
+    start = floor(t_us/slide_us)·slide − k·slide, k in 0..duration/slide−1)."""
+    assert minutes % slide == 0, "duration must be a multiple of slide"
+    n_overlap = minutes // slide
+    slide_us = slide * 60 * 1_000_000
+    slide_s = slide * 60
+    ks = ", ".join(f"({k})" for k in range(n_overlap))
+    return f"""
+    WITH k(k) AS (VALUES {ks}),
+    w AS (SELECT event_type, value,
+                 (epoch_us(ts) // {slide_us}) * {slide_s} - k.k * {slide_s}
+                   AS start_s
+          FROM events, k)
+    SELECT strftime(make_timestamp(start_s * 1000000), '%Y-%m-%d %H:%M')
+             AS win_start,
+           event_type, count(*) AS n,
+           round(sum(value), {round_digits}) AS total_value
+    FROM w GROUP BY 1, 2
+    """
+
+
 def streaming_sliding_counts(
-    spark: SparkSession, sf_dir: str, minutes: int = 60, slide: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = SLIDING_MINUTES,
+    slide: int = SLIDING_SLIDE,
 ) -> DataFrame:
     """Sliding (hopping) event-time windows: 60-minute windows every 30
     minutes — each event lands in duration/slide = 2 overlapping windows.
-    The oracle replicates Spark's window alignment exactly: start =
-    floor(t_us / slide_us)·slide − k·slide for k in 0..duration/slide−1."""
+    The oracle (sliding_counts_oracle_sql) is generated from the same
+    parameters, so changing the geometry cannot desynchronize the two."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
