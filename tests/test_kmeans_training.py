@@ -51,15 +51,25 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert len(want[0]) == 2 and want[0] != [1.0, 0.0]
 
 
-def test_simhash_rejects_overlong_docs(spark):
-    """SWAR byte counters hold 255 tokens max; longer docs must raise the
-    documented error, never overflow into a silently-wrong signature."""
-    ok = spark.createDataFrame(
-        [(1, " ".join(["tok"] * 255))], "doc_id bigint, text string"
+def test_simhash_overlong_docs_fall_back_not_fail(spark):
+    """SWAR byte counters hold 255 tokens max; longer docs take the
+    16-bit-spaced fallback fold (round-3 advice: degrade, don't fail) and
+    must produce the SAME signature the byte path would. A doc repeated 3x
+    scales every bit-vote count and the token total by 3, which preserves
+    every 2*cnt > t comparison, so sig(text*3) == sig(text) — the repeat
+    crosses the 255-token boundary, exercising both branches."""
+    words = [f"w{i % 37}" for i in range(100)]
+    short = " ".join(words)  # 100 tokens -> byte-spaced path
+    long = " ".join(words * 3)  # 300 tokens -> 16-bit fallback path
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id bigint, text string"
     )
-    assert dedup.simhash_signatures(ok).count() == 1
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    # 16-bit counters bound at 65535 tokens; beyond that still raises
     over = spark.createDataFrame(
-        [(1, " ".join(["tok"] * 256))], "doc_id bigint, text string"
+        [(1, " ".join(["tok"] * 65536))], "doc_id bigint, text string"
     )
-    with pytest.raises(Exception, match="255 tokens"):
+    with pytest.raises(Exception, match="65535 tokens"):
         dedup.simhash_signatures(over).collect()

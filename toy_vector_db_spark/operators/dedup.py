@@ -219,12 +219,23 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])  # a pair can match in >1 band
     )
 
-    # exact-Jaccard verification: shingle only the surviving candidates
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    sh_a = word_shingles(F.col("text_a"))
-    sh_b = word_shingles(F.col("text_b"))
-    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    # exact-Jaccard verification: shingle only the surviving candidates.
+    # Shingles are projected as ALIASED columns on each side BEFORE the
+    # jaccard expression references them twice (array_intersect +
+    # array_union) — otherwise the interpreted word_shingles HOF subtree is
+    # inlined and evaluated twice per side per candidate row (round-3
+    # advice; CollapseProject keeps an aliased projection under the join).
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        word_shingles(F.col("text")).alias("sh_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        word_shingles(F.col("text")).alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -239,11 +250,49 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-# Byte-spaced SWAR spread mask: h & (SPREAD << s) picks bits s, s+8, s+16,
-# s+24 of the 32-bit hash and lands them on byte boundaries of one long, so
-# adding spreads across tokens accumulates FOUR 8-bit counters per long.
+# SWAR spread mask: h & (SPREAD << s) picks every `spacing`-th bit of the
+# 32-bit hash and lands them on `spacing`-bit boundaries of one long, so
+# adding spreads across tokens accumulates 32/spacing counters per long.
 _SWAR_SPREAD = 0x01010101
 _SWAR_MAX_TOKENS = 255  # byte counters saturate past this
+_SWAR_MAX_TOKENS_16 = 65535  # 16-bit-spaced fallback bound
+
+
+def _swar_simhash(hs, spacing: int):
+    """One-pass SWAR SimHash fold over a hash array at the given counter
+    spacing (8 → four byte counters per long, 9 slots; 16 → two 16-bit
+    counters per long, 17 slots). vote_b = 2·cnt_b − T > 0 ⇔ 2·cnt_b > T,
+    so output is bit-identical to the per-bit-fold formulation at any
+    spacing wide enough for the token count."""
+    nslots = spacing  # one slot per within-group bit offset
+    lanes = 32 // spacing
+    mask = sum(1 << (i * spacing) for i in range(lanes))
+    counter_mask = (1 << spacing) - 1
+    zero = F.array_repeat(F.lit(0).cast("long"), nslots + 1)
+
+    def _merge(acc, h):
+        per_tok = F.array(
+            *[
+                F.shiftright(h, s).bitwiseAND(F.lit(mask)).cast("long")
+                for s in range(nslots)
+            ],
+            F.lit(1).cast("long"),
+        )
+        return F.zip_with(acc, per_tok, lambda a, v: a + v)
+
+    def _finish(acc):
+        t = F.element_at(acc, nslots + 1)
+        sig = None
+        for b in range(SIMHASH_BITS):
+            s, grp = b % nslots, b // nslots
+            cnt = F.shiftright(
+                F.element_at(acc, s + 1), spacing * grp
+            ).bitwiseAND(F.lit(counter_mask))
+            term = F.when(cnt * 2 > t, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return sig.cast("long")
+
+    return F.aggregate(hs, zero, _merge, _finish)
 
 
 def simhash_signatures(corpus: DataFrame) -> DataFrame:
@@ -259,48 +308,30 @@ def simhash_signatures(corpus: DataFrame) -> DataFrame:
     The signature is assembled in the ``finish`` lambda, where the
     accumulator is a BOUND value — reading it 32× costs nothing, unlike 32
     references to a projected column, which CollapseProject would inline 32
-    times. vote_b = 2·cnt_b − T > 0 ⇔ 2·cnt_b > T, so the output is
-    bit-identical to the per-bit-fold formulation and to the grouped DuckDB
-    oracle. No explode, no groupBy, ZERO shuffle.
+    times. No explode, no groupBy, ZERO shuffle.
 
-    Byte counters bound docs at 255 tokens (fixtures max at 100); longer
-    docs raise explicitly rather than overflow silently — a 100 TB corpus
-    chunks first (see operators/chunking.py) or widens to 16-bit spacing."""
+    Byte counters saturate at 255 tokens, so rows beyond that fall back to
+    a 16-bit-spaced fold (two extra shift+masks per token, same output —
+    round-3 advice: degrade gracefully instead of failing the job); only
+    docs past 65,535 tokens raise, by which point a 100 TB corpus chunks
+    first (see operators/chunking.py). CASE branches evaluate lazily per
+    row, so short docs (all fixtures max at 100 tokens) pay only the
+    byte-spaced fast path and hash identically to previous rounds."""
     hs = F.transform(F.split(F.col("text"), " "), md5_int)
-    zero = F.array_repeat(F.lit(0).cast("long"), 9)
-
-    def _merge(acc, h):
-        per_tok = F.array(
-            *[
-                F.shiftright(h, s).bitwiseAND(F.lit(_SWAR_SPREAD)).cast("long")
-                for s in range(8)
-            ],
-            F.lit(1).cast("long"),
-        )
-        return F.zip_with(acc, per_tok, lambda a, v: a + v)
-
-    def _finish(acc):
-        t = F.element_at(acc, 9)
-        sig = None
-        for b in range(SIMHASH_BITS):
-            s, byte = b % 8, b // 8
-            cnt = F.shiftright(F.element_at(acc, s + 1), 8 * byte).bitwiseAND(
-                F.lit(255)
-            )
-            term = F.when(cnt * 2 > t, F.lit(1 << b)).otherwise(F.lit(0))
-            sig = term if sig is None else sig + term
-        return F.when(t <= F.lit(_SWAR_MAX_TOKENS), sig.cast("long")).otherwise(
+    ntok = F.size(F.split(F.col("text"), " "))
+    sig = (
+        F.when(ntok <= F.lit(_SWAR_MAX_TOKENS), _swar_simhash(hs, 8))
+        .when(ntok <= F.lit(_SWAR_MAX_TOKENS_16), _swar_simhash(hs, 16))
+        .otherwise(
             F.raise_error(
                 F.lit(
-                    "simhash: SWAR byte counters need <=255 tokens/doc; "
+                    "simhash: SWAR counters need <=65535 tokens/doc; "
                     "chunk longer docs first"
                 )
             )
         )
-
-    return corpus.select(
-        "doc_id", F.aggregate(hs, zero, _merge, _finish).alias("simhash")
     )
+    return corpus.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:

@@ -383,8 +383,12 @@ def _prebuilt_search(
             # (dist, local) sorted by dist with ties broken by local index
             # == global id order (ids are sorted) — exactly the global
             # rerank's ordering, so truncation is bit-identical while
-            # cutting the rerank exchange ef/k-fold (round-2 verdict fix)
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
+            # cutting the rerank exchange ef/k-fold (round-2 verdict fix).
+            # np.array (not asarray): a float64 qvec arrives as a zero-copy
+            # view of the Arrow buffer at arbitrary alignment, and BLAS
+            # dgemv rounds differently on misaligned input — the fresh
+            # aligned copy keeps distances bit-identical to the fused path
+            for d, local in idx.search(np.array(qv, dtype=np.float64), ef)[:k]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -447,6 +451,7 @@ def knn_hnsw(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    emit: int | None = None,
 ) -> DataFrame:
     """H10 top-k ANN: build each shard's graph and beam-search all queries
     against it in ONE cogroup applyInPandas pass (build+search fused, like
@@ -457,7 +462,16 @@ def knn_hnsw(
     The query side stays a distributed DataFrame: queries are fanned out to
     every shard id via a broadcast crossJoin and arrive through the cogroup
     exchange — no driver-side collection, no per-task closure shipping
-    (round-1 scale fix; the routed variant below prunes this fan-out)."""
+    (round-1 scale fix; the routed variant below prunes this fan-out).
+
+    ``emit`` (default k) = candidates emitted per (query, shard). Callers
+    that re-score and re-rank the emission downstream (knn_hnsw_exhaustive)
+    pass a larger emit so the FINAL top-k membership is decided by the
+    Catalyst fold-form distance, not by the kernel's numpy float64 ordering
+    (the two are ulp-close; a boundary swap would otherwise change the set).
+    When ef >= shard size the kernel also appends any graph-unreachable
+    points (pruning can in principle disconnect layer 0), making the
+    degenerate ef=n configuration provably exhaustive."""
     spark = base.sparkSession
     part_ids = spark.range(num_partitions).select(
         F.col("id").cast("int").alias("part")
@@ -476,13 +490,24 @@ def knn_hnsw(
         vecs = np.stack(pdf[vec_col].to_numpy())
         idx = LocalHNSW(vecs)
         idx.build([deterministic_level(int(i)) for i in ids])
+        n_local = len(ids)
+        m_emit = k if emit is None else emit
         out_q, out_id, out_d = [], [], []
         for qid, qv in zip(
             q_pdf[query_id_col].to_numpy(), q_pdf[query_vec_col].to_numpy()
         ):
             # per-shard top-k emission (see _prebuilt_search): bit-identical
             # to emitting all ef candidates, ef/k× smaller rerank exchange
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
+            qa = np.array(qv, dtype=np.float64)  # aligned copy (see _prebuilt_search)
+            res = idx.search(qa, ef)
+            if emit is not None and ef >= n_local and len(res) < n_local:
+                # disconnected layer 0: append unreachable points so the
+                # exhaustive configuration stays provably exact
+                got = {local for _, local in res}
+                missing = [i for i in range(n_local) if i not in got]
+                dm = idx._dist(qa, missing)
+                res = sorted(res + list(zip(dm.tolist(), missing)))
+            for d, local in res[:m_emit]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -582,7 +607,7 @@ def knn_hnsw_routed(
         ):
             # per-cell top-k emission (see _prebuilt_search): bit-identical
             # to emitting all ef candidates, ef/k× smaller rerank exchange
-            for d, local in idx.search(np.asarray(qv, dtype=np.float64), ef)[:k]:
+            for d, local in idx.search(np.array(qv, dtype=np.float64), ef)[:k]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))

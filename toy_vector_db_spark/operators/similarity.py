@@ -524,6 +524,10 @@ def pq_codes(
 
     def _encode(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                # a zero-row batch yields a 1-D (0,) array from to_pylist,
+                # which the [:, slice] below would IndexError on
+                continue
             ids = batch.column(id_col).to_numpy()
             nv = np.array(batch.column("_nv").to_pylist(), dtype=np.float64)
             cols = {id_col: ids}

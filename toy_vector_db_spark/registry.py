@@ -123,15 +123,23 @@ def oracle_sql() -> dict[str, str]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is a nanosecond parquet timestamp, which Spark rejects
-        # by default; read nanos as long and truncate to microseconds —
-        # exactly what DuckDB does when casting TIMESTAMP_NS to its
-        # microsecond TIMESTAMP.
+        # events.ts has shipped as BOTH a nanosecond parquet timestamp
+        # (reads as long under nanosAsLong; truncate to micros exactly like
+        # DuckDB's TIMESTAMP_NS → TIMESTAMP cast) and a plain microsecond
+        # timestamp (reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+        # to TimestampType is value-preserving). Normalize either to a
+        # microsecond TimestampType column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer division: float division would round-trip int64 nanos
-        # through double and lose sub-microsecond bits
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: float division would round-trip int64 nanos
+            # through double and lose sub-microsecond bits
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -445,11 +453,17 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same property test_local_hnsw_exactish_on_small_set pins
     locally. Oracle = knn_exact_batch's SQL. The kernel ranks by numpy
     float64 distances (ulp-close to, but not bit-equal with, the
-    sequential-fold form); the emitted rows are re-scored Catalyst-side
-    with the engine's fold expression so dist/rank hash exactly."""
+    sequential-fold form), so the kernel emits a safety margin (emit=4k)
+    and the final top-k MEMBERSHIP is decided by the Catalyst re-score
+    with the engine's fold expression — a ulp-order swap at the k boundary
+    can no longer change the emitted set (round-3 advice). The kernel also
+    appends graph-unreachable points when ef >= n, so a pruned-away
+    layer-0 component can't silently drop true neighbors."""
     base, qs = _split(spark, sf_dir)
     n_base = base.count()
-    cand = hnsw.knn_hnsw(base, qs, K, num_partitions=1, ef=n_base)
+    cand = hnsw.knn_hnsw(
+        base, qs, K, num_partitions=1, ef=n_base, emit=4 * K
+    )
     qv = qs.select(F.col("query_id").alias("_qid"), "query_vec")
     scored = (
         cand.select("query_id", "vec_id")
@@ -464,6 +478,7 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
         .select(
             "query_id", "vec_id", rnd("dist", ROUND).alias("dist"), "rank"
         )

@@ -29,16 +29,10 @@ from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
 
 ROUND = 4
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# raw schema is derived from the staged file's footer (one batch footer
+# read per stream setup): the events fixture has shipped ts as BOTH a
+# nanosecond timestamp (long under nanosAsLong) and a plain microsecond
+# timestamp — see registry.table for the normalization contract.
 
 
 def _stream_input_dir(sf_dir: str) -> str:
@@ -56,11 +50,12 @@ def _stream_input_dir(sf_dir: str) -> str:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(_stream_input_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    d = _stream_input_dir(sf_dir)
+    raw_schema = spark.read.parquet(d).schema
+    raw = spark.readStream.schema(raw_schema).parquet(d)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain_to_memory(agg: DataFrame, mode: str) -> DataFrame:
