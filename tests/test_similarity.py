@@ -81,7 +81,23 @@ def test_pq_codes_arrow_kernel_equals_fold_form(spark, embeddings):
     base = embeddings.where(F.col("vec_id") < cut)
     books = similarity.trained_pq_codebooks(base)
     sub = len(books[0][0])
-    nb = similarity._normalized_base(base, "vec_id", "embedding")
+    # Catalyst fold-form normalization (the shape the oracle mirrors):
+    # magnitude fold materialized as an aliased column, then elementwise
+    # divide — the reference the kernel's in-pass normalization must match
+    v = FF.col("embedding").cast("array<double>")
+    mag = FF.sqrt(
+        FF.aggregate(
+            FF.zip_with(v, v, lambda x, y: x * y),
+            FF.lit(0.0),
+            lambda acc, x: acc + FF.coalesce(x, FF.lit(0.0)),
+        )
+    )
+    nb = base.select(
+        "vec_id", v.alias("_vd"), mag.alias("_m")
+    ).select(
+        "vec_id",
+        FF.transform("_vd", lambda x: x / FF.col("_m")).alias("_nv"),
+    )
     cols = [FF.col("vec_id")]
     for m in range(similarity.PQ_M):
         v_m = FF.slice(FF.col("_nv"), m * sub + 1, sub)

@@ -307,51 +307,6 @@ def _sq_dist(a, b) -> "F.Column":
 
 
 # (appId, plan hash) → persisted normalized-vector frame. Normalization is
-# referenced by EVERY argmin struct entry, and Spark's CollapseProject would
-# re-inline the subtree into all 64 uses (higher-order functions evaluate
-# interpreted, outside codegen subexpression elimination) — materializing
-# the normalized column once turns ~260k interpreted ops/row into ~1k.
-_NV_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _normalized_base(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    key = (
-        base.sparkSession.sparkContext.applicationId,
-        base.semanticHash(),
-        id_col,
-        vec_col,
-    )
-    if key not in _NV_CACHE:
-        par = base.sparkSession.sparkContext.defaultParallelism
-        v = F.col(vec_col).cast("array<double>")
-        mag = F.sqrt(
-            F.aggregate(
-                F.zip_with(v, v, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
-            )
-        )
-        # two materialization steps: magnitude computed ONCE per row (a
-        # transform lambda referencing the mag subtree would re-evaluate
-        # it per ELEMENT — interpreted HOFs get no codegen subexpression
-        # elimination), then the division over the materialized magnitude.
-        # repartition spreads the fixture's single input split first.
-        with_mag = (
-            base.repartition(par, id_col)
-            .select(id_col, v.alias("_vd"), mag.alias("_m"))
-            .persist()
-        )
-        with_mag.count()
-        nb = with_mag.select(
-            id_col,
-            F.transform("_vd", lambda x: x / F.col("_m")).alias("_nv"),
-        ).persist()
-        nb.count()
-        with_mag.unpersist()
-        _NV_CACHE[key] = nb
-    return _NV_CACHE[key]
-
-
 # (appId, plan hash, cols) → trained per-subspace PQ codebooks
 _PQ_BOOKS_CACHE: dict[tuple, list] = {}
 
@@ -453,20 +408,26 @@ def pq_codes(
         return _CODES_CACHE[key]
     books = trained_pq_codebooks(base, id_col, vec_col)
     sub = len(books[0][0])
-    nb = _normalized_base(base, id_col, vec_col)
 
     # Vectorized build (round-2 verdict item 7): the per-row argmin over
     # 16 codewords × 4 subspaces ran as interpreted struct folds (~5 s at
     # sf0.1); this numpy kernel is BIT-IDENTICAL to the fold form —
-    # np.cumsum along the subspace axis is the same sequential left fold
-    # (0.0 + x₁ ≡ x₁) the aggregate expression and the DuckDB list_sum
-    # oracle evaluate, elementwise (v−c)² is the same IEEE op, and
-    # np.argmin's first-min tie-break is the (d, k) struct-min order.
+    # normalization accumulates the magnitude left-to-right over the dim
+    # axis exactly like the aggregate expression (one rounding per op, no
+    # FMA), np.cumsum along the subspace axis is the same sequential left
+    # fold (0.0 + x₁ ≡ x₁) the aggregate expression and the DuckDB
+    # list_sum oracle evaluate, elementwise (v−c)² is the same IEEE op,
+    # and np.argmin's first-min tie-break is the (d, k) struct-min order.
+    # Normalizing IN the kernel (round-4) folds what was a separate
+    # two-persist normalized-vector frame into this single pass.
     # Asserted against the fold form in tests/test_similarity.py.
-    import numpy as np
     import pyarrow as pa
 
     b_arr = np.array(books)  # (M, K, sub)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    src = base.repartition(par, id_col).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_vd")
+    )
 
     def _encode(batches):
         for batch in batches:
@@ -475,19 +436,25 @@ def pq_codes(
                 # which the [:, slice] below would IndexError on
                 continue
             ids = batch.column(id_col).to_numpy()
-            nv = np.array(batch.column("_nv").to_pylist(), dtype=np.float64)
+            X = np.array(batch.column("_vd").to_pylist(), dtype=np.float64)
+            n, d = X.shape
+            mag = np.zeros(n)
+            for j in range(d):
+                mag += X[:, j] * X[:, j]
+            mag = np.sqrt(mag)
+            nv = X / mag[:, None]
             cols = {id_col: ids}
             for m in range(PQ_M):
                 vm = nv[:, m * sub: (m + 1) * sub]
                 diff = vm[:, None, :] - b_arr[m][None, :, :]
-                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
-                cols[f"c{m}"] = np.argmin(d, axis=1).astype(np.int32)
+                dd = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                cols[f"c{m}"] = np.argmin(dd, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_pydict(cols)
 
     schema = f"{id_col} long, " + ", ".join(
         f"c{m} int" for m in range(PQ_M)
     )
-    codes = nb.mapInArrow(_encode, schema=schema).persist()
+    codes = src.mapInArrow(_encode, schema=schema).persist()
     codes.count()
     _CODES_CACHE[key] = codes
     return codes
@@ -517,17 +484,43 @@ def knn_pq_adc(
     # once per query row). The |codes|×|queries| hot loop then does M
     # array lookups per row instead of M interpreted 16-element folds —
     # ~50× less per-candidate work, same values bit-for-bit.
-    nqv = _normalize(F.col(query_vec_col).cast("array<double>"))
+    # The normalized query vector and each subspace slice are materialized
+    # as ALIASED projections before the 64 LUT folds reference them —
+    # inlined, the _normalize subtree (itself holding a magnitude fold)
+    # would be copied into every fold, exploding the expression tree ~64×
+    # (an 81 KB plan whose analysis/codegen dominated steady-state ADC
+    # latency) and re-evaluating the magnitude per LUT entry.
+    v = F.col(query_vec_col).cast("array<double>")
+    mag = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+        )
+    )
+    q1 = queries.select(
+        query_id_col, v.alias("_qv"), mag.alias("_qm")
+    )
+    q2 = q1.select(
+        query_id_col,
+        F.transform("_qv", lambda x: x / F.col("_qm")).alias("_nqv"),
+    )
+    q3 = q2.select(
+        query_id_col,
+        *[
+            F.slice("_nqv", m * sub + 1, sub).alias(f"_qs{m}")
+            for m in range(PQ_M)
+        ],
+    )
     lut_cols = []
     for m in range(PQ_M):
-        q_m = F.slice(nqv, m * sub + 1, sub)
         lut_cols.append(
             F.array(*[
-                _sq_dist(q_m, F.lit(books[m][kk]))
+                _sq_dist(F.col(f"_qs{m}"), F.lit(books[m][kk]))
                 for kk in range(PQ_K)
             ]).alias(f"_lut{m}")
         )
-    q_n = queries.select(query_id_col, *lut_cols)
+    q_n = q3.select(query_id_col, *lut_cols)
 
     approx = F.lit(0.0)
     for m in range(PQ_M):
