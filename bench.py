@@ -52,6 +52,7 @@ HEADLINE = [
     "pq_train",
     "pq_codes",
     "knn_pq_rerank",
+    "knn_ivfpq",
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",

@@ -75,6 +75,16 @@ def test_ivf_assign_partial_agg_no_window(plans):
     assert plan.count("SortAggregate") >= 2
 
 
+def test_ivfpq_probe_and_rerank_broadcast(plans):
+    plan = plans("knn_ivfpq")
+    # probe LUTs and the rerank query side are broadcast — the codes/base
+    # tables never build a hash-join hash table over the big side
+    assert explain.count_broadcast_joins(plan) >= 2
+    # the big-side flow is: codes⋈assign (id join), probe join, top-R
+    # window, rerank join, top-k window — no cartesian product anywhere
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_signatures_zero_shuffle(plans):
     # per-row higher-order-array votes: no explode, no groupBy — the
     # signature plan contains no exchange at all (round-1 scale fix)

@@ -68,6 +68,37 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
     assert rec_rr >= rr_floor, f"PQ rerank mean recall@10 = {rec_rr}"
 
 
+def test_ivfpq_equivalence_and_recall(spark, embeddings):
+    """knn_ivfpq structural properties: (a) probing ALL cells makes the
+    cell filter a no-op, so the result must be IDENTICAL to the flat
+    knn_pq_rerank pipeline (same codes, same LUTs, same rerank); (b) at
+    the default nprobe its recall can't beat the flat scan (it reads a
+    subset of the codes) but must stay within the probed-cell miss rate
+    of it — gated as >= the IVF probe recall floor times the rerank
+    quality observed above."""
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    flat = similarity.knn_pq_rerank(base, qs, 10)
+    full = similarity.knn_ivfpq(
+        base, qs, 10, nprobe=similarity.N_CENTROIDS
+    )
+    assert full.exceptAll(flat).count() == 0, "full-probe IVF-PQ ⊄ flat"
+    assert flat.exceptAll(full).count() == 0, "flat ⊄ full-probe IVF-PQ"
+
+    exact = knn.knn_exact_batch(base, qs, 10)
+    ivfpq = similarity.knn_ivfpq(base, qs, 10)
+    rec = evaluation.evaluate_recall(ivfpq, exact).agg(F.avg("recall")).first()[0]
+    small = base.count() <= 1000
+    floor = 0.25 if small else 0.1
+    assert rec >= floor, f"IVF-PQ mean recall@10 = {rec}"
+
+
 def test_pq_codes_arrow_kernel_equals_fold_form(spark, embeddings):
     """pq_codes builds with a numpy mapInArrow kernel; the interpreted
     Catalyst fold form (array_min over (sq_dist, k) structs — the shape

@@ -460,23 +460,37 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
     members = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = members.withColumn("cluster_id", F.col("doc_id")).persist()
 
+    persisted = labels  # the frame currently holding a persist() handle
     for _ in range(CC_MAX_ITERS):
         nbr = edges.join(
             labels, edges["dst"] == labels["doc_id"]
-        ).select(F.col("src").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.unionByName(nbr)
+        ).select(
+            F.col("src").alias("doc_id"),
+            "cluster_id",
+            F.lit(None).cast("long").alias("_own"),
+        )
+        # the convergence check is FUSED into the propagation aggregate:
+        # each doc's own (pre-round) label rides along as `_own` — present
+        # exactly once per doc (the labels branch), null on neighbor rows,
+        # so min(_own) recovers it. Labels only ever decrease, so the round
+        # changed anything iff any new label < own label. This replaces the
+        # old separate join-with-previous-labels + count — one aggregation
+        # and a count on the already-persisted result per round instead of
+        # an aggregation plus an extra join.
+        new_full = (
+            labels.withColumn("_own", F.col("cluster_id"))
+            .unionByName(nbr)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("_own").alias("_own"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .where(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_full.where(F.col("cluster_id") < F.col("_own")).count()
+        persisted.unpersist()
+        persisted = new_full
+        labels = new_full.select("doc_id", "cluster_id")
         if changed == 0:
             break
     else:

@@ -196,8 +196,21 @@ def ivf_assign(base: DataFrame, cents: DataFrame,
     row_number window, but the partial aggregation combines map-side, so
     the exchange carries one row per vector instead of one per
     vector×centroid (round-1 fix: the window shuffled base×C rows)."""
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "d", V.distance(F.col(vec_col), F.col("centroid_vec"))
+    # magnitudes are per-row constants of each side: hoist them so the
+    # row magnitude folds once per vector instead of once per of the C
+    # (row × centroid) pairs, and the centroid magnitudes fold on the
+    # 16-row side before the broadcast. Same float ops in the same order
+    # (mag(a)·mag(b), a=vec, b=centroid) → bit-identical to the inline
+    # V.distance form and the oracle.
+    base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
+    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col("centroid_vec"))
+        / (F.col("_v_mag") * F.col("_c_mag")),
+    )
+    scored = base_m.crossJoin(F.broadcast(cents_m)).withColumn(
+        "d", F.lit(1.0) - sim
     )
     best = scored.groupBy(id_col).agg(
         F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m")
@@ -206,6 +219,37 @@ def ivf_assign(base: DataFrame, cents: DataFrame,
         id_col,
         F.col("m.centroid_id").alias("centroid_id"),
         rnd(F.col("m.d"), ROUND).alias("dist"),
+    )
+
+
+def _ivf_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The nprobe nearest cells per query: (query_id, query_vec, _q_mag,
+    centroid_id), nprobe rows per query. Magnitudes hoisted per side (the
+    ivf_assign idiom — bit-identical to inline V.distance); row_number
+    tie-break on centroid_id matches the oracle. Shared by knn_ivf and
+    knn_ivfpq."""
+    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    q_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(query_vec_col), F.col("centroid_vec"))
+        / (F.col("_q_mag") * F.col("_c_mag")),
+    )
+    q_scored = q_m.crossJoin(F.broadcast(cents_m)).withColumn(
+        "qd", F.lit(1.0) - q_sim
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("qd").asc(),
+                                                  F.col("centroid_id").asc())
+    return (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "_q_mag", "centroid_id")
     )
 
 
@@ -230,22 +274,18 @@ def knn_ivf(
         cents = centroids_df(base, n_centroids, id_col, vec_col)
     assign = ivf_assign(base, cents, id_col, vec_col).select(id_col, "centroid_id")
 
-    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("qd").asc(),
-                                                  F.col("centroid_id").asc())
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(query_id_col, query_vec_col, "centroid_id")
-    )
+    probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
 
-    cell_vectors = base.join(assign, id_col).select(
-        id_col, vec_col, "centroid_id"
+    cell_vectors = base.withColumn(
+        "_v_mag", V.magnitude(F.col(vec_col))
+    ).join(assign, id_col).select(id_col, vec_col, "_v_mag", "centroid_id")
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
     )
     cand = cell_vectors.join(F.broadcast(probes), "centroid_id").withColumn(
-        "dist", V.distance(F.col(vec_col), F.col(query_vec_col))
+        "dist", F.lit(1.0) - sim
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(),
                                                  F.col(id_col).asc())
@@ -460,36 +500,26 @@ def pq_codes(
     return codes
 
 
-def knn_pq_adc(
-    base: DataFrame,
+def _adc_lut_frame(
     queries: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    books: list,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: approx dist²(q, v) =
-    Σ_m dist²(sub_m(q), codeword[code_m(v)]). The base side is only its
-    codes (M bytes/vector — the compressed corpus is what scans at 100 TB);
-    codewords are literals, queries broadcast, one shuffle for the
-    per-query top-k. Recall is bounded by quantization error — the trade
-    PQ makes for a 64× smaller scan."""
-    books = trained_pq_codebooks(base, id_col, vec_col)
+    """Classic ADC lookup tables, built on the QUERY side before the
+    broadcast: per query and subspace, the 16 codeword distances land in
+    an array column (the exchange materializes its child, so this runs
+    once per query row). The |codes|×|queries| hot loop then does M
+    array lookups per row instead of M interpreted 16-element folds —
+    ~50× less per-candidate work, same values bit-for-bit.
+    The normalized query vector and each subspace slice are materialized
+    as ALIASED projections before the 64 LUT folds reference them —
+    inlined, the _normalize subtree (itself holding a magnitude fold)
+    would be copied into every fold, exploding the expression tree ~64×
+    (an 81 KB plan whose analysis/codegen dominated steady-state ADC
+    latency) and re-evaluating the magnitude per LUT entry.
+    Shared by knn_pq_adc (flat scan) and knn_ivfpq (cell-pruned scan)."""
     sub = len(books[0][0])
-    codes = pq_codes(base, id_col, vec_col)
-    # Classic ADC lookup tables, built on the QUERY side before the
-    # broadcast: per query and subspace, the 16 codeword distances land in
-    # an array column (the exchange materializes its child, so this runs
-    # once per query row). The |codes|×|queries| hot loop then does M
-    # array lookups per row instead of M interpreted 16-element folds —
-    # ~50× less per-candidate work, same values bit-for-bit.
-    # The normalized query vector and each subspace slice are materialized
-    # as ALIASED projections before the 64 LUT folds reference them —
-    # inlined, the _normalize subtree (itself holding a magnitude fold)
-    # would be copied into every fold, exploding the expression tree ~64×
-    # (an 81 KB plan whose analysis/codegen dominated steady-state ADC
-    # latency) and re-evaluating the magnitude per LUT entry.
     v = F.col(query_vec_col).cast("array<double>")
     mag = F.sqrt(
         F.aggregate(
@@ -520,15 +550,39 @@ def knn_pq_adc(
                 for kk in range(PQ_K)
             ]).alias(f"_lut{m}")
         )
-    q_n = q3.select(query_id_col, *lut_cols)
+    return q3.select(query_id_col, *lut_cols)
 
+
+def _adc_expr() -> "F.Column":
+    """Σ_m lut_m[code_m] — the per-candidate ADC distance² over the LUT
+    columns of _adc_lut_frame joined against a codes row (c0..c{M-1})."""
     approx = F.lit(0.0)
     for m in range(PQ_M):
         approx = approx + F.element_at(
             F.col(f"_lut{m}"), F.col(f"c{m}") + 1
         )
+    return approx
 
-    cand = codes.crossJoin(F.broadcast(q_n)).withColumn("ad2", approx)
+
+def knn_pq_adc(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: approx dist²(q, v) =
+    Σ_m dist²(sub_m(q), codeword[code_m(v)]). The base side is only its
+    codes (M bytes/vector — the compressed corpus is what scans at 100 TB);
+    codewords are literals, queries broadcast, one shuffle for the
+    per-query top-k. Recall is bounded by quantization error — the trade
+    PQ makes for a 64× smaller scan."""
+    books = trained_pq_codebooks(base, id_col, vec_col)
+    codes = pq_codes(base, id_col, vec_col)
+    q_n = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
+    cand = codes.crossJoin(F.broadcast(q_n)).withColumn("ad2", _adc_expr())
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
     )
@@ -564,12 +618,109 @@ def knn_pq_rerank(
         base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
     ).select(query_id_col, id_col)
     qv = queries.select(
-        F.col(query_id_col).alias("_qid"), query_vec_col
+        F.col(query_id_col).alias("_qid"),
+        query_vec_col,
+        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
+    )
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
     )
     scored = (
-        cand.join(base.select(id_col, vec_col), id_col)
+        cand.join(
+            base.select(
+                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
+            ),
+            id_col,
+        )
         .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
-        .withColumn("dist", V.distance(F.col(vec_col), F.col(query_vec_col)))
+        .withColumn("dist", F.lit(1.0) - sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    )
+
+
+def knn_ivfpq(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ (Faiss IVFADC shape) — the canonical 100 TB ANN serving
+    plan, composing the two scale levers this module builds separately:
+
+      1. coarse quantizer: every code row carries its IVF cell id; a query
+         probes only its nprobe nearest cells. At scale the codes table is
+         PARTITIONED BY centroid_id, so the probe join is partition
+         pruning — (C-nprobe)/C of the compressed corpus is never read.
+      2. PQ codes: what IS read is M bytes per vector, scanned with LUT
+         lookups (ADC), not float vectors.
+      3. exact rerank: full-precision vectors fetched for only the R
+         ADC survivors per query.
+
+    Against the flat knn_pq_adc scan this reads nprobe/C of the codes; the
+    recall trade is the probed-cell miss rate (same as knn_ivf). Fully
+    deterministic (trained quantizers) → DuckDB-oracle-able end to end."""
+    if rerank_r is None:
+        rerank_r = 8 * k
+    cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(base, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    codes = pq_codes(base, id_col, vec_col)
+    # the cell-keyed compressed corpus: at 100 TB this join is free —
+    # codes are WRITTEN partitioned by centroid_id at index-build time
+    codes_cells = codes.join(assign, id_col)
+
+    books = trained_pq_codebooks(base, id_col, vec_col)
+    probes = _ivf_probes(
+        queries, cents, nprobe, query_id_col, query_vec_col
+    ).select(query_id_col, "_q_mag", "centroid_id")
+    luts = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
+    # nprobe rows per query, each carrying the query's LUT arrays — tiny
+    probe_luts = probes.join(luts, query_id_col)
+
+    cand = codes_cells.join(
+        F.broadcast(probe_luts), "centroid_id"
+    ).withColumn("ad2", _adc_expr())
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col, "_q_mag")
+    )
+
+    qv = queries.select(
+        F.col(query_id_col).alias("_qid"), query_vec_col
+    )
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    scored = (
+        pruned.join(
+            base.select(
+                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
+        .withColumn("dist", F.lit(1.0) - sim)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()

@@ -355,6 +355,86 @@ def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int) -> str:
     """
 
 
+def knn_ivfpq_sql(
+    split_cte: str, k: int, nprobe: int, rerank_r: int
+) -> str:
+    """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
+    → ADC over PQ codes WITHIN probed cells only → exact rerank of the R
+    survivors. SQL twin of similarity.knn_ivfpq; the coarse k-means chain
+    is prefixed ``ivf_`` to coexist with the PQ codebook ``cents`` CTE."""
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        TRAIN_SAMPLE,
+    )
+
+    m_, _, _, sub = _pq_layout()
+    ivf_train = (
+        f"SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM base WHERE vec_id < {TRAIN_SAMPLE}"
+    )
+    ivf_chain = kmeans_chain(
+        "ivf_", N_CENTROIDS, KMEANS_ITERS, ivf_train, V.sql_cosine_distance
+    )
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    joins = "\n      ".join(
+        f"JOIN cents x{m} ON x{m}.k = co.c{m}" for m in range(m_)
+    )
+    adc = " + ".join(
+        _sq_dist_sql(
+            f"(nq.nv)[{m * sub + 1}:{(m + 1) * sub}]",
+            f"x{m}.s{m}",
+        )
+        for m in range(m_)
+    )
+    return f"""
+    WITH {_pq_common_ctes(split_cte)},
+    {ivf_chain},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, ivf_cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
+        FROM q, ivf_cents c)
+      WHERE rn <= {nprobe}),
+    nq AS (SELECT query_id, {_norm_sql('qv')} AS nv FROM q),
+    cand AS (
+      SELECT p.query_id, co.vec_id, {adc} AS ad2
+      FROM codes co
+      JOIN assign a ON a.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN nq ON nq.query_id = p.query_id
+      {joins}),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

@@ -82,24 +82,34 @@ _PRIORITY = [
     "result_intersection", "eval_recall", "eval_precision",
     "scan_ndjson", "split_dataset", "first_sentence",
     # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
-    # (round-3 rotation: the six relational demos + text_hash_features —
-    # all driver-green in rounds 1 AND 2 — rotated out for the PQ serving
-    # pipeline, quantizer training, chunking, and PII keys that had never
-    # seen a driver CORRECTNESS row; rotated-out keys stay fully
-    # oracle-tested locally and in bench.py --all)
-    "dedup_exact", "dedup_minhash_lsh", "dup_clusters",
-    "simhash_signatures", "simhash_near_pairs", "ngram_jaccard_topk",
-    "embedding_near_dups", "ivf_train", "ivf_assign", "knn_ivf",
-    "pq_train", "pq_codes", "knn_pq_adc", "knn_pq_rerank",
-    "lsh_buckets",
-    "knn_hnsw_routed", "semantic_search", "text_langid", "text_quality",
-    "text_token_stats", "doc_fingerprint",
-    "curation_filter", "stratified_quality_filter", "bm25_topk",
-    "chunk_documents", "pii_scrub",
-    "mm_payload_metadata", "mm_feature_extract", "mm_frame_sample",
+    # (round-4 rotation: 14 keys driver-green in BOTH rounds 2 and 3 —
+    # dedup_exact, simhash_near_pairs, ngram_jaccard_topk,
+    # embedding_near_dups, ivf_assign, knn_pq_adc, lsh_buckets,
+    # semantic_search, text_langid, text_token_stats, curation_filter,
+    # mm_feature_extract, mm_frame_sample, doc_fingerprint — rotated out
+    # for the 13 oracled keys that had never seen a driver CORRECTNESS
+    # row plus the new knn_ivfpq and sketch_event_stats (rows-only — HLL
+    # estimates don't match across engines, but the driver row proves the
+    # sketch job runs). Rotated-out keys stay fully oracle-tested locally
+    # and in bench.py --all. After this rotation every registered key has
+    # had >= 1 driver CORRECTNESS row except the no-oracle-by-nature
+    # hnsw_routed_build (its recall/equivalence gates run in pytest).
+    "dedup_minhash_lsh", "dup_clusters", "simhash_signatures",
+    "embedding_near_dups_lsh",
+    "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
+    "knn_ivfpq", "knn_hnsw_routed",
+    "text_quality", "stratified_quality_filter", "bm25_topk",
+    "chunk_documents", "pii_scrub", "token_batch_packing",
+    "source_mixture_sample", "mm_payload_metadata",
     # -- structured streaming --
     "streaming_tumbling_counts", "streaming_session_windows",
-    "streaming_stateful_user_stats",
+    "streaming_stateful_user_stats", "streaming_sliding_counts",
+    "streaming_dedup_counts",
+    # -- relational extensions never driver-checked before round 4 --
+    "csv_sink_roundtrip", "events_json_stats", "running_total_by_supplier",
+    "order_price_percentiles", "customers_without_orders",
+    "order_priority_pivot", "top_customer_set_difference",
+    "sketch_event_stats",
 ]
 
 
@@ -1217,6 +1227,18 @@ def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_pq_rerank(base, qs, K)
 
 
+@register("knn_ivfpq")
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Faiss IVFADC shape): probe 4 of 16 cells, ADC over PQ codes
+    within probed cells only, exact rerank of the 8k survivors — the
+    composition of the coarse-quantizer partition pruning and the
+    compressed-corpus scan, i.e. the canonical 100 TB ANN serving plan."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_ivfpq(base, qs, K)
+
+
 @register("lsh_buckets")
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket signature per base vector."""
@@ -1402,6 +1424,7 @@ _register_curation_oracles()
 
 def _register_similarity_oracles() -> None:
     from toy_vector_db_spark import oracles_similarity as O
+    from toy_vector_db_spark.operators.similarity import N_PROBE
 
     _ORACLES["ivf_train"] = O.ivf_train_sql(_SPLIT_CTE)
     _ORACLES["ivf_assign"] = O.ivf_assign_sql(_SPLIT_CTE)
@@ -1410,6 +1433,7 @@ def _register_similarity_oracles() -> None:
     _ORACLES["pq_codes"] = O.pq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_pq_adc"] = O.knn_pq_adc_sql(_SPLIT_CTE, K)
     _ORACLES["knn_pq_rerank"] = O.knn_pq_rerank_sql(_SPLIT_CTE, K, 8 * K)
+    _ORACLES["knn_ivfpq"] = O.knn_ivfpq_sql(_SPLIT_CTE, K, N_PROBE, 8 * K)
     _ORACLES["lsh_buckets"] = O.lsh_buckets_sql(_SPLIT_CTE)
     _ORACLES["text_langid"] = O.lang_id_sql()
     _ORACLES["text_quality"] = O.quality_sql()
