@@ -66,6 +66,8 @@ HEADLINE = [
     "streaming_tumbling_counts",
     "text_quality",
     "doc_fingerprint",
+    "decontaminate_ngram",
+    "doc_repetition_stats",
 ]
 
 

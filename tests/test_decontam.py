@@ -1,0 +1,49 @@
+"""Semantic properties of the decontamination + repetition operators
+(oracle hash parity is covered by tests/test_registry_oracles.py)."""
+
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import decontam
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_planted_copy(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, eval_text),                      # eval set (doc_id < 2)
+        (1, "one two three four five six"),
+        (2, eval_text),                      # exact copy → contaminated
+        (3, "seven eight nine ten eleven"),  # disjoint → clean
+        (4, "x y alpha beta gamma z"),       # one shared 3-gram
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontam.decontaminate_ngram(
+            _docs(spark, rows), eval_max_id=2
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}  # eval docs excluded from the output
+    assert out[2]["contaminated"] and out[2]["shared_ngrams"] == 4  # 6 toks → 4 3-grams
+    assert not out[3]["contaminated"] and out[3]["shared_ngrams"] == 0
+    assert out[4]["contaminated"] and out[4]["shared_ngrams"] == 1
+
+
+def test_repetition_stats_extremes(spark):
+    rows = [
+        (0, "spam spam spam spam"),          # fully degenerate
+        (1, "a b c d"),                      # fully distinct
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontam.doc_repetition_stats(_docs(spark, rows)).collect()
+    }
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["dup_token_frac"] == 0.75   # 4 toks, 1 distinct
+    assert abs(out[0]["dup_ngram_frac"] - 2 / 3) < 1e-6  # 3 bigrams, 1 distinct
+    assert out[0]["top_token_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["dup_ngram_frac"] == 0.0
+    assert out[1]["top_token_frac"] == 0.25

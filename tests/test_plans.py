@@ -85,6 +85,22 @@ def test_ivfpq_probe_and_rerank_broadcast(plans):
     assert "CartesianProduct" not in plan
 
 
+def test_repetition_stats_zero_shuffle(plans):
+    plan = plans("doc_repetition_stats")
+    # pure per-row Catalyst: a corpus scan plus expressions, nothing moves
+    assert explain.count_exchanges(plan) == 0
+
+
+def test_decontaminate_eval_side_broadcast(plans):
+    plan = plans("decontaminate_ngram")
+    # the eval-gram set probes as a broadcast hash relation (built once
+    # per task, codegen probe) — never a shuffle of the exploded corpus
+    # grams against the eval side
+    assert explain.count_broadcast_joins(plan) >= 1
+    # exchanges: per-doc count aggregate + the outputs-all-docs left join
+    assert explain.count_exchanges(plan) <= 3
+
+
 def test_simhash_signatures_zero_shuffle(plans):
     # per-row higher-order-array votes: no explode, no groupBy — the
     # signature plan contains no exchange at all (round-1 scale fix)

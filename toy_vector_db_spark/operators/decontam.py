@@ -1,0 +1,231 @@
+"""Benchmark decontamination + intra-document repetition filters.
+
+Two training-corpus hygiene operators every LLM data pipeline runs before
+training (no reference counterpart — SURVEY §2.7 extension surface, same
+family as dedup/curation):
+
+  decontaminate_ngram   flag training documents that share any word
+                        n-gram with a held-out evaluation set — the
+                        standard "benchmark contamination" check run
+                        before training on web-scale corpora.
+  doc_repetition_stats  per-document repetition features (duplicate
+                        token / duplicate n-gram / most-common-token
+                        fractions) — the Gopher-style repetition filters
+                        used to drop degenerate boilerplate docs.
+
+Scale design: the eval set is small BY NATURE (benchmarks are thousands
+of rows, the corpus is billions), so its distinct n-grams broadcast as a
+hash relation and the corpus side is explode → broadcast-hash-join probe
+→ map-side-combined count: the eval hash is built once per task and the
+probe is codegen. (The zero-shuffle alternative — eval grams as one
+array row, per-row array_intersect — rebuilds the eval hash per corpus
+row inside an interpreted expression; measured 10× slower.) Repetition
+stats are pure per-row Catalyst expressions: zero shuffle, scan-bound.
+For an eval set too big to broadcast, the same plan degrades gracefully:
+the broadcast join becomes a shuffle hash join on the gram key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.rounding import rnd
+from toy_vector_db_spark.operators.dedup import word_shingles
+
+ROUND = 6
+
+# eval set = the deterministic doc_id prefix (a stand-in for a benchmark
+# table; the operator takes any eval DataFrame)
+EVAL_MAX_ID = 50
+NGRAM_K = 3
+
+
+def decontaminate_ngram(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    eval_max_id: int = EVAL_MAX_ID,
+    k: int = NGRAM_K,
+) -> DataFrame:
+    """Per training doc: how many distinct word k-grams it shares with the
+    eval set, and the contamination flag (≥ 1 shared n-gram). Training
+    docs = everything not in the eval set.
+
+    Corpus side: explode distinct doc shingles → probe the broadcast
+    eval-gram hash → count per doc (map-side combined). Plan pinned in
+    tests/test_plans.py."""
+    if eval_docs is None:
+        eval_docs = docs.where(F.col("doc_id") < eval_max_id)
+        train = docs.where(F.col("doc_id") >= eval_max_id)
+    else:
+        train = docs.join(
+            eval_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    # eval grams as a TABLE probed through a broadcast hash join: the
+    # hash relation is built once per task and the probe is codegen. The
+    # tempting zero-shuffle alternative — collapse eval grams into one
+    # array row and array_intersect per corpus row — rebuilds a hash of
+    # the whole eval set PER ROW inside an interpreted expression;
+    # measured 10× slower at sf0.1 and worse at scale. Doc shingles are
+    # already distinct, so the post-join count is the distinct-shared
+    # count; the count aggregate combines map-side, so the only exchange
+    # carries one row per (doc, partial count).
+    eval_grams = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col("text"), k)).alias("g")
+        )
+        .distinct()
+    )
+    hits = (
+        train.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+        )
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("shared_ngrams"), F.lit(0))
+            .cast("int")
+            .alias("shared_ngrams"),
+            (F.coalesce(F.col("shared_ngrams"), F.lit(0)) >= 1).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def doc_repetition_stats(docs: DataFrame, k: int = 2) -> DataFrame:
+    """Gopher-style per-doc repetition features over the whitespace
+    tokenization (the corpus' own token convention — textstats._toks):
+
+      dup_token_frac   (n_tokens − n_distinct_tokens) / n_tokens
+      dup_ngram_frac   same over word k-grams (k=2), counted WITH
+                       multiplicity — boilerplate loops repeat n-grams
+      top_token_frac   occurrences of the most frequent token / n_tokens
+
+    All pure per-row Catalyst (split / transform / array_distinct /
+    fold): zero shuffle, scan-bound, oracle-matched expression for
+    expression in DuckDB list functions.
+
+    The token and k-gram arrays are materialized as ALIASED projections
+    before the stats reference them: inlined, every reference would copy
+    the interpreted transform subtree (the gram array alone is referenced
+    four times → 4× the build cost per row, measured). k-grams index with
+    element_at (O(1) per element) rather than per-position slice+concat_ws."""
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+    tk = F.col("_toks")
+    nt = F.size(tk)
+    idx = F.sequence(F.lit(1), nt - (k - 1))
+    gram_expr = F.when(
+        nt >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.array(*[F.element_at(tk, i + j) for j in range(k)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", "_toks", gram_expr.alias("_grams"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams = F.col("_grams")
+    ng = F.size(grams)
+    # most-frequent-token count via a single fold over the SORTED tokens
+    # tracking (prev, current run, best run) — O(n log n) per row. The
+    # direct form (per distinct token, count matches in the full list) is
+    # O(distinct·n) interpreted comparisons per row — measured ~10× slower
+    # at sf0.1's ~300-token docs. Same integer, same oracle.
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_cnt = run["best"]
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        rnd((n - F.size(F.array_distinct(toks))) / n, ROUND).alias(
+            "dup_token_frac"
+        ),
+        rnd(
+            F.when(ng > 0, (ng - F.size(F.array_distinct(grams))) / ng)
+            .otherwise(F.lit(0.0)),
+            ROUND,
+        ).alias("dup_ngram_frac"),
+        rnd(top_cnt / n, ROUND).alias("top_token_frac"),
+    )
+
+
+# -- DuckDB oracle SQL (same expressions over the same tokenization) --------
+
+def decontaminate_sql(
+    eval_max_id: int = EVAL_MAX_ID, k: int = NGRAM_K
+) -> str:
+    grams = (
+        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
+        + " i -> "
+        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+        + "))"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {k} THEN {grams}
+                       ELSE [] END AS shingles
+           FROM tok),
+    ev AS (SELECT list_distinct(flatten(list(shingles))) AS g
+           FROM sh WHERE doc_id < {eval_max_id})
+    SELECT s.doc_id,
+           len(list_intersect(s.shingles, ev.g)) AS shared_ngrams,
+           len(list_intersect(s.shingles, ev.g)) >= 1 AS contaminated
+    FROM sh s, ev WHERE s.doc_id >= {eval_max_id}
+    """
+
+
+def repetition_sql(k: int = 2) -> str:
+    grams = (
+        f"list_transform(range(1, len(toks) - {k - 2}), i -> "
+        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+        + ")"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= {k} THEN {grams}
+                      ELSE [] END AS grams
+          FROM tok)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round((len(toks) - len(list_distinct(toks))) * 1.0 / len(toks),
+                 {ROUND}) AS dup_token_frac,
+           round(CASE WHEN len(grams) > 0
+                      THEN (len(grams) - len(list_distinct(grams))) * 1.0
+                           / len(grams)
+                      ELSE 0.0 END, {ROUND}) AS dup_ngram_frac,
+           round(list_max(list_transform(list_distinct(toks),
+                     t -> len(list_filter(toks, x -> x = t)))) * 1.0
+                 / len(toks), {ROUND}) AS top_token_frac
+    FROM g
+    """

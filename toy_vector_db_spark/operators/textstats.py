@@ -152,10 +152,12 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     character stream, acc = (acc·31 + ascii(c)) mod 2³¹−1 — the classic
     Rabin–Karp shape, expressed as a higher-order fold (per-row, codegen)."""
     text = F.col("text")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.ascii(F.substring(text, i, 1)),
-    )
+    # split-to-chars is O(n) per row; the earlier substring(text, i, 1)
+    # form was O(n²) — each substring seeks from the string start, which
+    # dominated this operator's bench time at ~300-char docs. Same ascii
+    # stream, same fold, same oracle hash (empty text: [""] → [0] → 0,
+    # identical to the descending-sequence quirk of the old form).
+    chars = F.transform(F.split(text, ""), lambda c: F.ascii(c))
     fp = F.aggregate(
         chars,
         F.lit(0).cast("long"),
