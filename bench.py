@@ -114,10 +114,12 @@ def main() -> None:
     # would measure the cache hit instead of the build
     # (dedup_minhash_lsh builds the session pair cache that dup_clusters
     # then legitimately reuses — the pair graph is the dedup pipeline's
-    # shared build artifact)
+    # shared build artifact; eval_recall materializes the two retrieval
+    # runs that all three evaluation metrics score, so it is timed once
+    # with that materialization included)
     build_keys = {
         "hnsw_build", "ivf_train", "pq_train", "pq_codes",
-        "hnsw_routed_build", "dedup_minhash_lsh",
+        "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
     }
     timings: dict[str, float] = {}
     for name in names:

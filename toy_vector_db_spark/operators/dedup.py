@@ -576,8 +576,18 @@ def embedding_near_dups_lsh(embeddings: DataFrame, k: int = 20) -> DataFrame:
     from toy_vector_db_spark.operators.similarity import lsh_hyperplane_buckets
 
     b = lsh_hyperplane_buckets(embeddings)
-    e = embeddings.select("vec_id", "embedding").join(b, "vec_id")
+    # magnitude folds once per vector BEFORE the self-join, not three
+    # folds per candidate pair (the knn_exact_batch hoist idiom —
+    # identical float ops in identical order, oracle-bit-identical)
+    e = embeddings.select(
+        "vec_id", "embedding", V.magnitude(F.col("embedding")).alias("_mag")
+    ).join(b, "vec_id")
     a, c = e.alias("a"), e.alias("b")
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a._mag") * F.col("b._mag")),
+    )
     pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -585,7 +595,7 @@ def embedding_near_dups_lsh(embeddings: DataFrame, k: int = 20) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        sim.alias("sim"),
     )
     return (
         pairs.orderBy(F.col("sim").desc(), "vec_a", "vec_b")
@@ -600,8 +610,17 @@ def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
     block key comes from a coarse quantizer (see similarity.ivf_assign)."""
     from toy_vector_db_spark.functions import vector as V
 
-    e = embeddings.select("vec_id", "label", "embedding")
+    # per-side magnitude hoist (see embedding_near_dups_lsh)
+    e = embeddings.select(
+        "vec_id", "label", "embedding",
+        V.magnitude(F.col("embedding")).alias("_mag"),
+    )
     a, b = e.alias("a"), e.alias("b")
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a._mag") * F.col("b._mag")),
+    )
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
@@ -609,7 +628,7 @@ def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        sim.alias("sim"),
     )
     return (
         pairs.orderBy(F.col("sim").desc(), "vec_a", "vec_b")

@@ -871,6 +871,14 @@ euc_topk AS ({_topk_cte(_EUC_SCORED)})
 """
 
 
+# (appId, sf_dir) → persisted (relevant, retrieved) top-k frames: the two
+# retrieval result sets all three evaluation keys score. An evaluation
+# pipeline materializes its retrieval runs once and computes every metric
+# over them — recomputing the base×queries product per metric key charged
+# the same BNLJ three times.
+_EVAL_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """One cross-join pass scoring BOTH metrics, then two top-k windows over
     the same query_id partitioning. Because the two window subtrees share an
@@ -878,7 +886,11 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     ReuseExchange executes the base×queries product ONCE; the earlier
     two-pass form (separate cosine and euclidean cross joins) scanned it
     twice. Distance expressions are unchanged (cosine = knn_exact_batch's
-    cached-magnitude form), so values stay bit-identical to the oracle."""
+    cached-magnitude form), so values stay bit-identical to the oracle.
+    The two result frames persist per session (see _EVAL_CACHE)."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    if ck in _EVAL_CACHE:
+        return _EVAL_CACHE[ck]
     base, qs = _split(spark, sf_dir)
     import toy_vector_db_spark.functions.vector as _V
     from pyspark.sql import Window
@@ -917,6 +929,11 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         .where(F.col("rank") <= K)
         .select("query_id", "vec_id", F.col("euc_dist").alias("dist"), "rank")
     )
+    retrieved = retrieved.persist()
+    relevant = relevant.persist()
+    retrieved.count()
+    relevant.count()
+    _EVAL_CACHE[ck] = (retrieved, relevant)
     return retrieved, relevant
 
 
