@@ -139,12 +139,23 @@ def hash_features(docs: DataFrame) -> DataFrame:
     from toy_vector_db_spark.operators.dedup import md5_int
 
     toks = _toks(F.col("text"))
-    buckets = F.transform(toks, lambda t: md5_int(t) % N_HASH_BUCKETS)
+    # the bucket array is STAGED as an aliased projection: inlined, the
+    # per-token md5 pass would be copied into each of the N filtered
+    # counts (interpreted HOFs get no subexpression elimination) and run
+    # N× per row — the shingle_hashes hoist, same reasoning
+    staged = docs.select(
+        "doc_id",
+        F.transform(toks, lambda t: md5_int(t) % N_HASH_BUCKETS).alias(
+            "_buckets"
+        ),
+    )
     cols = [
-        F.size(F.filter(buckets, lambda b: b == F.lit(i))).alias(f"h{i}")
+        F.size(F.filter(F.col("_buckets"), lambda b: b == F.lit(i))).alias(
+            f"h{i}"
+        )
         for i in range(N_HASH_BUCKETS)
     ]
-    return docs.select("doc_id", *cols)
+    return staged.select("doc_id", *cols)
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
