@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_fingerprint",
     "decontaminate_ngram",
     "doc_repetition_stats",
+    "model_quality_inference",
 ]
 
 

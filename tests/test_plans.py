@@ -85,6 +85,14 @@ def test_ivfpq_probe_and_rerank_broadcast(plans):
     assert "CartesianProduct" not in plan
 
 
+def test_model_inference_scan_bound(plans):
+    plan = plans("model_quality_inference")
+    # features (Catalyst) → Arrow-batched Python kernel → threshold:
+    # scan-bound, nothing moves
+    assert "MapInPandas" in plan
+    assert explain.count_exchanges(plan) == 0
+
+
 def test_repetition_stats_zero_shuffle(plans):
     plan = plans("doc_repetition_stats")
     # pure per-row Catalyst: a corpus scan plus expressions, nothing moves

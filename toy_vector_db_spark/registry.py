@@ -1395,11 +1395,22 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.doc_repetition_stats(table(spark, sf_dir, "documents"))
 
 
+@register("model_quality_inference")
+def q_model_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filter: Catalyst features → Arrow-batched
+    mapInPandas inference kernel (the swap point for a real classifier) →
+    keep/drop threshold. Linear stub model so the oracle is bit-exact."""
+    from toy_vector_db_spark.operators import inference
+
+    return inference.model_quality_inference(table(spark, sf_dir, "documents"))
+
+
 def _register_decontam_oracles() -> None:
-    from toy_vector_db_spark.operators import decontam
+    from toy_vector_db_spark.operators import decontam, inference
 
     _ORACLES["decontaminate_ngram"] = decontam.decontaminate_sql()
     _ORACLES["doc_repetition_stats"] = decontam.repetition_sql()
+    _ORACLES["model_quality_inference"] = inference.model_quality_sql()
 
 
 _register_decontam_oracles()
