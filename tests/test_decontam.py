@@ -31,6 +31,25 @@ def test_decontaminate_flags_planted_copy(spark):
     assert out[4]["contaminated"] and out[4]["shared_ngrams"] == 1
 
 
+def test_decontaminate_explicit_eval_frame(spark):
+    """Passing an explicit eval DataFrame must agree with the id-prefix
+    default (same docs), and exclude exactly the eval ids via anti-join."""
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "one two three four"),
+        (2, "alpha beta gamma five"),
+        (3, "six seven eight nine"),
+    ]
+    docs = _docs(spark, rows)
+    by_prefix = decontam.decontaminate_ngram(docs, eval_max_id=2)
+    explicit = decontam.decontaminate_ngram(
+        docs, eval_docs=docs.where(F.col("doc_id") < 2)
+    )
+    a = sorted(map(tuple, by_prefix.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b
+
+
 def test_repetition_stats_extremes(spark):
     rows = [
         (0, "spam spam spam spam"),          # fully degenerate
