@@ -113,3 +113,20 @@ def sql_euclidean_distance(a: str, b: str) -> str:
         f"sqrt(list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
         f" p -> (p[1] - p[2]) * (p[1] - p[2]))))"
     )
+
+
+def sql_euclidean_from_dot(a: str, b: str) -> str:
+    """||a-b|| via the polarization identity sqrt(|a|^2 + |b|^2 - 2·a·b).
+
+    Structurally matches the Spark-side staged-dot form in the evaluation
+    pipeline (registry._eval_frames): mag*mag + mag*mag - 2.0*dot under a
+    greatest(0.0, ·) guard, all built from the bit-exact dot/sqrt
+    primitives, so cross-engine hashes stay aligned. One dot fold per pair
+    instead of a second squared-diff fold — the BNLJ hot-path form.
+    """
+    return (
+        f"sqrt(greatest(0.0, "
+        f"{sql_magnitude(a)} * {sql_magnitude(a)} + "
+        f"{sql_magnitude(b)} * {sql_magnitude(b)} - "
+        f"2.0 * {sql_dot(a, b)}))"
+    )
