@@ -40,6 +40,15 @@ ROUND = 6
 EVAL_MAX_ID = 50
 NGRAM_K = 3
 
+# eval_fixture parameters: every (mod,residue)-th doc, id shifted OUT of
+# the corpus id space, text truncated to its first tokens (benchmark
+# prompts are short) — a held-out frame that is NOT a doc_id subset of
+# the corpus, so the broadcast-hash probe is proven against foreign data
+EVAL_FIXTURE_MOD = 7
+EVAL_FIXTURE_RESIDUE = 3
+EVAL_FIXTURE_ID_SHIFT = 100_000
+EVAL_FIXTURE_TOKENS = 12
+
 
 def decontaminate_ngram(
     docs: DataFrame,
@@ -99,9 +108,30 @@ def decontaminate_ngram(
     )
 
 
+def eval_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic held-out evaluation frame derived from (but disjoint
+    in id space with) the corpus: every EVAL_FIXTURE_MOD-th doc, doc_id
+    shifted by EVAL_FIXTURE_ID_SHIFT, text cut to its first
+    EVAL_FIXTURE_TOKENS tokens. Because no eval doc_id exists in the
+    corpus, the anti-join keeps ALL corpus docs as training docs and the
+    contamination counts come purely from the gram probe — the shape of a
+    real benchmark table (foreign ids, short prompts, genuine n-gram
+    overlap with the training text)."""
+    return docs.where(
+        F.col("doc_id") % EVAL_FIXTURE_MOD == EVAL_FIXTURE_RESIDUE
+    ).select(
+        (F.col("doc_id") + EVAL_FIXTURE_ID_SHIFT).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, EVAL_FIXTURE_TOKENS), " "
+        ).alias("text"),
+    )
+
+
 def doc_repetition_stats(docs: DataFrame, k: int = 2) -> DataFrame:
-    """Gopher-style per-doc repetition features over the whitespace
-    tokenization (the corpus' own token convention — textstats._toks):
+    """Gopher-style per-doc repetition features over the raw whitespace
+    split of ``text`` (F.split(text, ' ') — NOT textstats._toks, which
+    lowercases first; the oracle uses the same un-lowered split, advice
+    r4):
 
       dup_token_frac   (n_tokens − n_distinct_tokens) / n_tokens
       dup_ngram_frac   same over word k-grams (k=2), counted WITH
@@ -194,12 +224,49 @@ def decontaminate_sql(
                   CASE WHEN len(toks) >= {k} THEN {grams}
                        ELSE [] END AS shingles
            FROM tok),
-    ev AS (SELECT list_distinct(flatten(list(shingles))) AS g
+    ev AS (SELECT coalesce(list_distinct(flatten(list(shingles))),
+                           []::VARCHAR[]) AS g
            FROM sh WHERE doc_id < {eval_max_id})
     SELECT s.doc_id,
-           len(list_intersect(s.shingles, ev.g)) AS shared_ngrams,
-           len(list_intersect(s.shingles, ev.g)) >= 1 AS contaminated
+           coalesce(len(list_intersect(s.shingles, ev.g)), 0) AS shared_ngrams,
+           coalesce(len(list_intersect(s.shingles, ev.g)), 0) >= 1 AS contaminated
     FROM sh s, ev WHERE s.doc_id >= {eval_max_id}
+    """
+    # ^ the ev coalesce guards the empty-eval-partition edge: without it a
+    # NULL gram list would make shared_ngrams NULL while the Spark side
+    # returns 0/false (latent oracle divergence, advice r4)
+
+
+def decontaminate_fixture_sql(k: int = NGRAM_K) -> str:
+    """Oracle for decontaminate_ngram(docs, eval_docs=eval_fixture(docs)):
+    the eval grams come from the truncated, id-shifted fixture frame, and
+    — because the shifted ids never collide with corpus ids — every corpus
+    doc is a training doc."""
+    grams = (
+        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
+        + " i -> "
+        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+        + "))"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {k} THEN {grams}
+                       ELSE [] END AS shingles
+           FROM tok),
+    evtok AS (SELECT toks[1:{EVAL_FIXTURE_TOKENS}] AS toks
+              FROM tok WHERE doc_id % {EVAL_FIXTURE_MOD} = {EVAL_FIXTURE_RESIDUE}),
+    evsh AS (SELECT CASE WHEN len(toks) >= {k} THEN {grams}
+                         ELSE [] END AS shingles
+             FROM evtok),
+    ev AS (SELECT coalesce(list_distinct(flatten(list(shingles))),
+                           []::VARCHAR[]) AS g
+           FROM evsh)
+    SELECT s.doc_id,
+           coalesce(len(list_intersect(s.shingles, ev.g)), 0) AS shared_ngrams,
+           coalesce(len(list_intersect(s.shingles, ev.g)), 0) >= 1 AS contaminated
+    FROM sh s, ev
     """
 
 

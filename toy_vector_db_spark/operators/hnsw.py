@@ -329,6 +329,7 @@ def _prebuilt_search(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    emit: int | None = None,
 ) -> DataFrame:
     """Shared search core over a PREBUILT index: cogroup each shard's
     vectors with its stored edge list AND the queries routed to it,
@@ -376,6 +377,8 @@ def _prebuilt_search(
         ids = vec_pdf[id_col].to_numpy()
         vecs = np.stack(vec_pdf[vec_col].to_numpy())
         idx = _reconstruct(ids, vecs, edge_pdf)
+        n_local = len(ids)
+        m_emit = k if emit is None else emit
         out_q, out_id, out_d = [], [], []
         for qid, qv in zip(q_pdf["qid"].to_numpy(), q_pdf["qvec"].to_numpy()):
             # emit only this shard's top-k (not top-ef): the global top-k
@@ -388,7 +391,17 @@ def _prebuilt_search(
             # view of the Arrow buffer at arbitrary alignment, and BLAS
             # dgemv rounds differently on misaligned input — the fresh
             # aligned copy keeps distances bit-identical to the fused path
-            for d, local in idx.search(np.array(qv, dtype=np.float64), ef)[:k]:
+            qa = np.array(qv, dtype=np.float64)
+            res = idx.search(qa, ef)
+            if emit is not None and ef >= n_local and len(res) < n_local:
+                # disconnected layer 0: append unreachable points so the
+                # exhaustive configuration stays provably exact (same
+                # guard as the fused kernel in knn_hnsw)
+                got = {local for _, local in res}
+                missing = [i for i in range(n_local) if i not in got]
+                dm = idx._dist(qa, missing)
+                res = sorted(res + list(zip(dm.tolist(), missing)))
+            for d, local in res[:m_emit]:
                 out_q.append(int(qid))
                 out_id.append(int(ids[local]))
                 out_d.append(float(d))
@@ -691,6 +704,7 @@ def knn_hnsw_routed_prebuilt(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    emit: int | None = None,
 ) -> DataFrame:
     """IVF-routed search over a PREBUILT per-cell graph: route each query to
     its nprobe nearest centroids (broadcast the tiny centroid table), then
@@ -720,6 +734,7 @@ def knn_hnsw_routed_prebuilt(
     return _prebuilt_search(
         cells, edges, routed, k, ef,
         id_col, vec_col, query_id_col, query_vec_col,
+        emit=emit,
     )
 
 

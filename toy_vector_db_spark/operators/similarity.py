@@ -327,7 +327,13 @@ def knn_ivf(
     ``cents`` defaults to the first-K stand-in; pass
     ``cached_trained_centroids(base)`` for the trained quantizer and
     ``cached_trained_assign(base)`` to reuse the session-cached cell
-    assignment (the build-time artifact) instead of recomputing it."""
+    assignment (the build-time artifact) instead of recomputing it.
+
+    WARNING: ``assign`` must be the assignment derived from the SAME
+    ``cents`` quantizer — a mismatched pair silently prunes the wrong
+    cells (no error, wrong neighbors). When only ``cents`` is passed the
+    assignment is derived from it here, which is always consistent; pass
+    both only when handing in the cached build-time pair (advice r4)."""
     if cents is None:
         cents = centroids_df(base, n_centroids, id_col, vec_col)
     if assign is None:

@@ -96,12 +96,12 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dup_clusters", "simhash_signatures",
     "embedding_near_dups_lsh",
     "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
-    "knn_ivfpq", "knn_hnsw_routed",
-    "text_quality", "bm25_topk",
+    "knn_ivfpq", "knn_hnsw_routed", "knn_hnsw_routed_exhaustive",
+    "text_quality",
     "token_batch_packing",
-    "source_mixture_sample", "mm_payload_metadata",
-    "decontaminate_ngram", "doc_repetition_stats",
-    "model_quality_inference",
+    "source_mixture_sample",
+    "decontaminate_ngram", "decontaminate_eval_fixture",
+    "doc_repetition_stats", "model_quality_inference",
     # -- structured streaming --
     "streaming_tumbling_counts", "streaming_session_windows",
     "streaming_stateful_user_stats", "streaming_sliding_counts",
@@ -418,13 +418,20 @@ def q_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main.rs:20-22 vs :41-43)."""
     base, _ = _split(spark, sf_dir)
     _, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
-    deg = edges.groupBy("layer", "src").agg(F.count("*").alias("out_deg"))
+    # ``pos`` enumerates each node's adjacency slots from 0, so the per-node
+    # out-degree facts fold into ONE map-side-combinable groupBy(layer):
+    # every emitting node has exactly one pos=0 row (n_nodes), and the
+    # layer's max out-degree is max(pos)+1. The earlier groupBy(layer, src)
+    # → groupBy(layer) form paid two shuffle rounds over the full edge list
+    # for the same numbers.
     return (
-        deg.groupBy("layer")
+        edges.groupBy("layer")
         .agg(
-            F.count("*").alias("n_nodes"),
-            F.sum("out_deg").alias("n_edges"),
-            F.max("out_deg").alias("max_out_degree"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nodes"),
+            F.count("*").alias("n_edges"),
+            (F.max("pos") + 1).cast("long").alias("max_out_degree"),
         )
         .orderBy("layer")
     )
@@ -468,6 +475,14 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = hnsw.knn_hnsw(
         base, qs, K, num_partitions=1, ef=n_base, emit=4 * K
     )
+    return _exact_rescore(base, qs, cand)
+
+
+def _exact_rescore(base: DataFrame, qs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Re-score a candidate (query_id, vec_id) set with the engine's
+    Catalyst fold-form distance and take the final top-K by it, so kernel
+    numpy float64 ordering never decides boundary membership (round-3
+    advice; shared by both exhaustive degenerate keys)."""
     qv = qs.select(F.col("query_id").alias("_qid"), "query_vec")
     scored = (
         cand.select("query_id", "vec_id")
@@ -487,6 +502,38 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", rnd("dist", ROUND).alias("dist"), "rank"
         )
     )
+
+
+@register(
+    "knn_hnsw_routed_exhaustive",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_COS_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_knn_hnsw_routed_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUTED per-cell path in a degenerate configuration that PROVABLY
+    equals exact search (round-4 verdict item 5: hnsw_routed_build was the
+    last machinery with no driver-hashed row). nprobe = all 16 trained
+    cells means every query searches every cell, ef = |base| >= |cell|
+    makes each per-cell beam exhaustive (with the unreachable-point guard),
+    and the union of exhaustive per-cell top-k's contains the global top-k
+    because the cells partition the base set. Exercises the full routed
+    build: trained centroids, cell assignment, per-cell prebuilt edge
+    lists, cogroup reconstruct + search, centroid routing. Oracle =
+    knn_exact_batch's SQL; final membership decided by the Catalyst
+    re-score exactly like knn_hnsw_exhaustive."""
+    base, qs = _split(spark, sf_dir)
+    n_base = base.count()
+    cells, edges, cents = hnsw.cached_routed_index(base, sf_dir)
+    n_cells = cents.count()
+    cand = hnsw.knn_hnsw_routed_prebuilt(
+        cells, edges, cents, qs, K,
+        nprobe=n_cells, ef=n_base, emit=4 * K,
+    )
+    return _exact_rescore(base, qs, cand)
 
 
 @register(
@@ -1413,6 +1460,21 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate_ngram(table(spark, sf_dir, "documents"))
 
 
+@register("decontaminate_eval_fixture")
+def q_decontaminate_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_ngram through its explicit eval-frame branch against
+    a held-out fixture that is NOT a doc_id subset of the corpus (foreign
+    ids, truncated prompt-length texts — decontam.eval_fixture). Proves
+    the broadcast gram-hash probe on data the prefix stand-in can't reach
+    (round-4 verdict item 6)."""
+    from toy_vector_db_spark.operators import decontam
+
+    docs = table(spark, sf_dir, "documents")
+    return decontam.decontaminate_ngram(
+        docs, eval_docs=decontam.eval_fixture(docs)
+    )
+
+
 @register("doc_repetition_stats")
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-token / duplicate-bigram
@@ -1437,6 +1499,7 @@ def _register_decontam_oracles() -> None:
     from toy_vector_db_spark.operators import decontam, inference
 
     _ORACLES["decontaminate_ngram"] = decontam.decontaminate_sql()
+    _ORACLES["decontaminate_eval_fixture"] = decontam.decontaminate_fixture_sql()
     _ORACLES["doc_repetition_stats"] = decontam.repetition_sql()
     _ORACLES["model_quality_inference"] = inference.model_quality_sql()
 
