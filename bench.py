@@ -52,6 +52,7 @@ HEADLINE = [
     "pq_train",
     "pq_codes",
     "knn_pq_rerank",
+    "ivfpq_build",
     "knn_ivfpq",
     "hnsw_routed_build",
     "knn_hnsw_routed",
@@ -119,7 +120,7 @@ def main() -> None:
     # runs that all three evaluation metrics score, so it is timed once
     # with that materialization included)
     build_keys = {
-        "hnsw_build", "ivf_train", "pq_train", "pq_codes",
+        "hnsw_build", "ivf_train", "pq_train", "pq_codes", "ivfpq_build",
         "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
     }
     timings: dict[str, float] = {}

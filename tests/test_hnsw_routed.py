@@ -21,8 +21,9 @@ def test_routed_recall_floor(spark, embeddings):
     exact = knn.knn_exact_batch(base, qs, 10)
     routed = hnsw.knn_hnsw_routed(base, qs, 10)
     rec = evaluation.evaluate_recall(routed, exact).agg(F.avg("recall")).first()[0]
-    # routing bound (same as knn_ivf at nprobe=4): data-limited ~0.46 here
-    assert rec >= 0.4, f"routed recall@10 = {rec}"
+    # routing bound (same as knn_ivf at the shared default nprobe=6,
+    # round-5 knob): probe recall ~0.70 × near-exact in-cell graph search
+    assert rec >= 0.55, f"routed recall@10 = {rec}"
 
 
 def test_routed_prebuilt_bit_identical_to_fused(spark, embeddings):

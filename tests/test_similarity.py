@@ -15,14 +15,17 @@ def test_ivf_recall_vs_exact(spark, embeddings):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = knn.knn_exact_batch(base, qs, 10)
-    # partial probing (4/16 cells ≈ 25% of the base scanned): recall is
+    # partial probing (6/16 cells ≈ 37.5% of the base scanned): recall is
     # data-limited on these heavily-overlapping synthetic clusters. The
-    # TRAINED quantizer (round-3) lifts the first-K-rows stand-in's
-    # ceiling: measured 0.46 → 0.55 at sf0.001, 0.49 → 0.52 at sf0.1.
+    # TRAINED quantizer (round-3) lifted the first-K-rows stand-in's
+    # ceiling (0.46 → 0.55 at sf0.001 at nprobe=4); widening the probe to
+    # nprobe=6 (round-5, measured) lifts it to 0.70 — extra k-means
+    # iterations were measured flat, so probe width is the recall lever.
     cents = similarity.cached_trained_centroids(base)
     ivf = similarity.knn_ivf(base, qs, 10, cents=cents)
     rec = evaluation.evaluate_recall(ivf, exact).agg(F.avg("recall")).first()[0]
-    assert rec >= 0.5, f"IVF mean recall@10 = {rec}"
+    small = base.count() <= 1000
+    assert rec >= (0.65 if small else 0.5), f"IVF mean recall@10 = {rec}"
     # the trained quantizer must not be WORSE than the stand-in at the
     # same nprobe — the point of training (round-2 verdict item 3)
     standin = similarity.knn_ivf(base, qs, 10)
@@ -52,13 +55,14 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
         for m in range(similarity.PQ_M):
             assert 0 <= r[f"c{m}"] < similarity.PQ_K
     # recall floors are measured per fixture scale: the rerank budget
-    # R = 8k is a fixed serving knob, so the scanned FRACTION (and with
+    # R = 16k is a fixed serving knob, so the scanned FRACTION (and with
     # it recall) shrinks as the base grows. TRAINED sub-codebooks
     # (round-3) lifted the measured recalls from (adc 0.13, rerank 0.46)
-    # to (0.21, 0.60) at sf0.001 and to (0.08, 0.32) at sf0.1 — floors
-    # raised accordingly, still with slack for fixture regeneration.
+    # to (0.21, 0.60) at sf0.001; widening the rerank budget 8k → 16k
+    # (round-5, measured) lifts rerank to 0.81 at sf0.001 — floors raised
+    # accordingly, still with slack for fixture regeneration.
     small = base.count() <= 1000
-    adc_floor, rr_floor = (0.15, 0.5) if small else (0.06, 0.25)
+    adc_floor, rr_floor = (0.15, 0.75) if small else (0.06, 0.3)
     exact = knn.knn_exact_batch(base, qs, 10)
     adc = similarity.knn_pq_adc(base, qs, 10)
     rec = evaluation.evaluate_recall(adc, exact).agg(F.avg("recall")).first()[0]
@@ -95,7 +99,8 @@ def test_ivfpq_equivalence_and_recall(spark, embeddings):
     ivfpq = similarity.knn_ivfpq(base, qs, 10)
     rec = evaluation.evaluate_recall(ivfpq, exact).agg(F.avg("recall")).first()[0]
     small = base.count() <= 1000
-    floor = 0.25 if small else 0.1
+    # nprobe=6 + R=16k (round-5 knobs): measured 0.71 at sf0.001
+    floor = 0.6 if small else 0.12
     assert rec >= floor, f"IVF-PQ mean recall@10 = {rec}"
 
 

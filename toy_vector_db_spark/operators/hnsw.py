@@ -55,6 +55,15 @@ EF_SEARCH = 100
 EF_CONSTRUCTION = 200
 ML = 1.0 / math.log(4.0)
 
+def similarity_nprobe() -> int:
+    """Default probe width for IVF-routed search — follows the measured
+    serving knob in operators/similarity.py (round 5: nprobe=6 lifts
+    routing recall ~0.55 -> ~0.70 at sf0.001) so the routed graph and the
+    flat IVF scan prune identically by default."""
+    from toy_vector_db_spark.operators.similarity import N_PROBE
+    return N_PROBE
+
+
 _M64 = (1 << 64) - 1
 
 
@@ -556,7 +565,7 @@ def knn_hnsw_routed(
     queries: DataFrame,
     k: int,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = similarity_nprobe(),
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -698,7 +707,7 @@ def knn_hnsw_routed_prebuilt(
     cents: DataFrame,
     queries: DataFrame,
     k: int,
-    nprobe: int = 4,
+    nprobe: int = similarity_nprobe(),
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -6,11 +6,13 @@ metadata; the Spark-side contract is (a) binary stays opaque to Catalyst,
 ``mapInPandas``, (c) metadata extraction that doesn't need decoding stays
 in codegen'd JVM expressions.
 
-The harness container ships no image/audio libraries, so the decode step is
-STUBBED (``_decode_payload`` raises NotImplementedError; the deterministic
-fake path is used instead) — but the Spark plumbing around it is real and
-tested: schema, batch iteration shape, partition behavior, feature-vector
-output type. Swapping in a real decoder touches ONE function.
+The harness container ships no image/audio libraries, so decode for REAL
+codecs (JPEG/PNG/WAV/...) is out of reach — but ``_decode_payload`` is no
+longer a pure stub: it implements one trivial deterministic codec, the
+header-framed raw-gray format below (``RAW_MIME``), so the mapInPandas
+decode hook runs for real end-to-end (header parse → pixel buffer →
+image-shaped ndarray → integer stats, oracle-checked). Library-backed
+mimes still raise NotImplementedError at the same single swap point.
 
 The fixture corpus has no binary table, so payloads are derived
 deterministically from documents.text (utf-8 encode) — both engines
@@ -53,13 +55,110 @@ def payload_metadata(docs: DataFrame) -> DataFrame:
     )
 
 
+# Toy raw-image codec: 9-byte header (4-byte magic "RAWI", 2-byte
+# big-endian width, 2-byte big-endian height, 1-byte channels) followed by
+# exactly width*height*channels uint8 pixels, row-major. No libraries
+# needed, fully deterministic — the smallest format that still exercises a
+# real decode: magic check, dimension parse, buffer reshape.
+RAW_MAGIC = b"RAWI"
+RAW_MIME = "image/x-raw"
+IMG_W = 16  # fixed row width when framing text bytes as a gray image
+
+
 def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
-    """The REAL decode hook (image/audio/video → pixel/sample array).
-    Container has no decode libs — deliberately unimplemented."""
+    """The decode hook (image/audio/video → pixel/sample array).
+
+    ``image/x-raw`` decodes for real (header-framed raw gray/RGB, above).
+    Library-backed codecs are unavailable in this container; production
+    swaps in PIL/libav HERE — one function, same (payload, mime) → ndarray
+    contract."""
+    if mime == RAW_MIME:
+        if payload[:4] != RAW_MAGIC:
+            raise ValueError(f"bad raw-image magic: {payload[:4]!r}")
+        w = int.from_bytes(payload[4:6], "big")
+        h = int.from_bytes(payload[6:8], "big")
+        c = payload[8]
+        pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9)
+        return pixels.reshape(h, w, c)
     raise NotImplementedError(
-        "media decoding requires imaging/audio libraries not present in "
-        "this environment; production swaps this one function"
+        f"decoding {mime!r} requires imaging/audio libraries not present "
+        "in this environment; production swaps this one function"
     )
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """Frame each document's bytes as a RAW_MIME image payload: header
+    (magic, width=IMG_W, height=ceil(len/IMG_W), channels=1) + the text
+    bytes zero-padded to height*IMG_W pixels. Pure JVM expressions — the
+    binary column is assembled in codegen (concat of unhex'd header fields
+    and the NUL-padded encode), no Python until the decode kernel.
+    Char-length == byte-length by the ASCII fixture invariant documented
+    at FRAME_SAMPLE_SQL."""
+    h = F.ceil(F.length("text") / F.lit(float(IMG_W))).cast("int")
+    header = F.concat(
+        F.lit(RAW_MAGIC),
+        F.unhex(F.lpad(F.conv(F.lit(IMG_W).cast("string"), 10, 16), 4, "0")),
+        F.unhex(F.lpad(F.conv(h.cast("string"), 10, 16), 4, "0")),
+        F.unhex(F.lit("01")),
+    )
+    pixels = F.expr(
+        f"encode(rpad(text, cast(ceil(length(text) / {IMG_W}.0) AS INT)"
+        f" * {IMG_W}, chr(0)), 'UTF-8')"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, pixels).alias("payload"),
+        F.lit(RAW_MIME).alias("mime"),
+    )
+
+
+def decode_image_stats(docs: DataFrame) -> DataFrame:
+    """Decode the RAW_MIME payloads FOR REAL (magic check, header parse,
+    buffer reshape via ``_decode_payload``) and emit exact-integer image
+    stats — height, n_pixels, pixel sum/max. Arrow-batched mapInPandas,
+    one pass, no shuffle; every output is an integer ≤ 2^40 so the DuckDB
+    oracle (byte math over the source text) hashes exactly."""
+    p = with_image_payload(docs)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [],
+                   "n_pixels": [], "px_sum": [], "px_max": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                img = _decode_payload(bytes(payload), mime)
+                h, w, _c = img.shape
+                out["doc_id"].append(doc_id)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["n_pixels"].append(img.size)
+                out["px_sum"].append(int(img.sum()) if img.size else 0)
+                out["px_max"].append(int(img.max()) if img.size else 0)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, height long, width long, n_pixels long, "
+        "px_sum long, px_max long",
+    )
+
+
+# Exact-integer oracle for decode_image_stats: the decoded pixels ARE the
+# text bytes zero-padded to height*IMG_W (padding adds 0 to the sum and
+# never wins the max; the empty doc decodes to a 0-pixel image → coalesce).
+# ASCII invariant as for FRAME_SAMPLE_SQL: ascii codes == payload bytes.
+DECODE_IMAGE_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {IMG_W}.0) AS BIGINT) AS height,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST(ceil(length(text) / {IMG_W}.0) * {IMG_W} AS BIGINT) AS n_pixels,
+       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS px_sum,
+       CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS px_max
+FROM documents
+"""
 
 
 def _fake_features(payload: bytes) -> np.ndarray:

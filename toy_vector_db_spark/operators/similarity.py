@@ -37,8 +37,17 @@ from toy_vector_db_spark.functions import vector as V
 
 ROUND = 6
 N_CENTROIDS = 16
-N_PROBE = 4
+# Serving knobs, set by measurement at sf0.001 (round 5; recall@10 vs
+# exact): nprobe 4 → 6 lifts IVF recall 0.55 → 0.70 (scans 37.5% of cells
+# instead of 25%), and the rerank budget R = 16k lifts PQ-rerank
+# 0.60 → 0.81 and IVF-PQ (at nprobe=6) 0.52 → 0.71. More k-means
+# iterations were measured FLAT (3/5/8/10/15 iters all land within
+# 0.55-0.58 IVF recall — the synthetic clusters saturate Lloyd's by
+# iteration 3), so KMEANS_ITERS stays at 3 and the recall budget goes to
+# probe width and rerank depth, the levers that actually move it.
+N_PROBE = 6
 N_HYPERPLANES = 12
+RERANK_MULT = 16  # rerank budget R = RERANK_MULT * k
 
 
 def centroids_df(base: DataFrame, n: int = N_CENTROIDS,
@@ -690,14 +699,15 @@ def knn_pq_rerank(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """The standard PQ serving pipeline: ADC over the compressed codes
-    prunes the corpus to R = 8k candidates per query, then EXACT cosine
-    re-ranks only the survivors. At 100 TB the full-precision vectors are
-    fetched for R rows per query instead of scanned — the scan touches
-    M bytes/vector. Trained sub-codebooks (round 3) lifted recall@10 from
-    ~0.46 to ~0.60 at R=80 on the sf0.001 fixture (gated in tests); the
-    remaining gap is the synthetic clusters' overlap."""
+    prunes the corpus to R = RERANK_MULT·k candidates per query, then
+    EXACT cosine re-ranks only the survivors. At 100 TB the full-precision
+    vectors are fetched for R rows per query instead of scanned — the scan
+    touches M bytes/vector. Trained sub-codebooks (round 3) lifted
+    recall@10 from ~0.46 to ~0.60 at R=80; widening R to 16k (round 5)
+    lifts it to ~0.81 at sf0.001 (gated in tests) — rerank depth is the
+    knob that buys recall here, at the cost of R fetched vectors/query."""
     if rerank_r is None:
-        rerank_r = 8 * k
+        rerank_r = RERANK_MULT * k
     cand = knn_pq_adc(
         base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
     ).select(query_id_col, id_col)
@@ -758,7 +768,7 @@ def knn_ivfpq(
     recall trade is the probed-cell miss rate (same as knn_ivf). Fully
     deterministic (trained quantizers) → DuckDB-oracle-able end to end."""
     if rerank_r is None:
-        rerank_r = 8 * k
+        rerank_r = RERANK_MULT * k
     cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
     # the cell-keyed compressed corpus: at 100 TB this join is free —
     # codes are WRITTEN partitioned by centroid_id at index-build time;

@@ -355,6 +355,46 @@ def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int) -> str:
     """
 
 
+def ivfpq_build_sql(split_cte: str) -> str:
+    """Per-cell invariants of the IVF-PQ build artifact (the cell-keyed
+    compressed corpus knn_ivfpq scans): row count and per-subspace code
+    sums for every IVF cell — a deterministic, driver-hashable proof that
+    both engines write the same codes into the same cells. SQL twin of
+    registry q_ivfpq_build over similarity.cached_codes_cells."""
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        TRAIN_SAMPLE,
+    )
+
+    m_ = _pq_layout()[0]
+    ivf_train = (
+        f"SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM base WHERE vec_id < {TRAIN_SAMPLE}"
+    )
+    ivf_chain = kmeans_chain(
+        "ivf_", N_CENTROIDS, KMEANS_ITERS, ivf_train, V.sql_cosine_distance
+    )
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    sums = ",\n           ".join(
+        f"CAST(sum(co.c{m}) AS BIGINT) AS sum_c{m}" for m in range(m_)
+    )
+    return f"""
+    WITH {_pq_common_ctes(split_cte)},
+    {ivf_chain},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, ivf_cents c)
+      WHERE rn = 1)
+    SELECT a.centroid_id, count(*) AS n_vectors,
+           {sums}
+    FROM codes co JOIN assign a USING (vec_id)
+    GROUP BY a.centroid_id
+    """
+
+
 def knn_ivfpq_sql(
     split_cte: str, k: int, nprobe: int, rerank_r: int
 ) -> str:
