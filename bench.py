@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_hnsw_routed",
     "dedup_minhash_lsh",
     "dup_clusters",
+    "span_dedup_scrub",
     "simhash_signatures",
     "ngram_jaccard_topk",
     "bm25_topk",

@@ -67,3 +67,29 @@ def test_simhash_twin_distance(spark, documents):
     # (byte-band blocking is recall-bounded by design: a pair with ≤6
     # flipped bits spread over all 4 bytes is missed — the standard trade)
     assert len(expected & got) >= int(0.7 * dedup.DUP_SLICE)
+
+
+def test_span_dedup_keep_first(spark):
+    """Keep-first semantics on a hand-built corpus: the repeated 3-word
+    span survives only in the earliest (doc_id, pos) slot; docs
+    reassemble from surviving spans in position order."""
+    from toy_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "x y z a b c d e f tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dedup_scrub(docs).collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[1]["n_dropped"] == 0
+    # doc 2: "a b c" first occurred in doc 1
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_dropped"] == 1
+    # doc 3: "x y z" first occurred in doc 2, "a b c" AND "d e f" in
+    # doc 1 — only the short tail span is new to the corpus
+    assert out[3]["clean_text"] == "tail"
+    assert out[3]["n_spans"] == 4 and out[3]["n_dropped"] == 3

@@ -635,3 +635,113 @@ def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
         .limit(k)
         .select("vec_a", "vec_b", rnd("sim", ROUND).alias("cos_sim"))
     )
+
+
+# -- corpus-level exact span dedup (C4-style "line dedup" re-expressed) ------
+
+SPAN_W = 3  # words per non-overlapping span
+
+
+def span_dedup_scrub(corpus: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """C4-style corpus-level exact dedup at sub-document granularity:
+    split every document into consecutive non-overlapping ``w``-word
+    spans, keep only each distinct span's FIRST occurrence in the corpus
+    (ordered by doc_id, then span position — C4 §2.2 removes any
+    three-sentence span occurring more than once, keeping one; the
+    fixture has no sentence boundaries, so the unit is a w-word span),
+    and reassemble each document from its surviving spans.
+
+    Scale shape (the plan, in order):
+      1. spans explode per row from a single split + slice expression —
+         codegen, no shuffle;
+      2. first-occurrence per span via groupBy(span).agg(min(struct(
+         doc_id, pos))) — MAP-SIDE COMBINED, so a boilerplate span
+         duplicated a billion times (the C4 hot-key case) still ships
+         one row per map partition into the exchange, where a
+         row_number window over the span key would sort the entire hot
+         key in one task;
+      3. survivors = corpus spans ⋈ firsts on (span, doc_id, pos) — the
+         firsts side holds exactly one row per distinct span, so the
+         probe side's hot keys each match at most once (no join
+         explosion);
+      4. per-doc reassembly via sort_array(collect_list(struct(pos,
+         span))) — one aggregate on the doc key, the operator's output
+         partitioning.
+    Two shuffles total (span key, doc key) — both inherent to the
+    semantics. Output: doc_id, scrubbed text, span counts."""
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    spans = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+            )
+        ).alias("pos", "span"),
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    ).select(
+        "span",
+        F.col("first.doc_id").alias("doc_id"),
+        F.col("first.pos").alias("pos"),
+    )
+    kept = spans.join(firsts, ["span", "doc_id", "pos"])
+    return (
+        spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count("*").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_spans",
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
+def span_dedup_sql(w: int = SPAN_W) -> str:
+    """DuckDB oracle twin of span_dedup_scrub (keep-first over w-word
+    spans; list slicing and string_agg mirror the Spark expressions)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*{w}+1):(i*{w}+{w})], ' ') AS span
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(t) / {w}.0) AS INT))) AS u(i)),
+    firsts AS (
+      SELECT span, min(struct_pack(d := doc_id, p := pos)) AS f
+      FROM spans GROUP BY span),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.span
+      FROM spans s JOIN firsts fr
+        ON fr.span = s.span AND (fr.f).d = s.doc_id AND (fr.f).p = s.pos),
+    totals AS (
+      SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_spans,
+           t.n_spans - coalesce(r.n_kept, 0) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """

@@ -88,21 +88,21 @@ _PRIORITY = [
     # knn_hnsw_routed_exhaustive, decontaminate_eval_fixture, ivfpq_build,
     # and mm_decode_image_stats; rotating out to make room:
     # stratified_quality_filter, chunk_documents, pii_scrub,
-    # dup_clusters, simhash_signatures (each driver-green in at least
-    # rounds 3 and 4). Rotated-out keys stay fully oracle-tested locally
+    # dup_clusters, simhash_signatures, text_quality (each driver-green
+    # in at least rounds 3 and 4; text_quality makes room for the new
+    # span_dedup_scrub). Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
     # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
     # lsh_buckets, semantic_search, text_langid, text_token_stats,
     # curation_filter, mm_feature_extract, mm_frame_sample,
     # doc_fingerprint rotated out after going green in rounds 2 and 3.
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", "span_dedup_scrub",
     "embedding_near_dups_lsh",
     "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
     "knn_ivfpq", "ivfpq_build", "knn_hnsw_routed",
     "knn_hnsw_routed_exhaustive",
     "mm_decode_image_stats",
-    "text_quality",
     "token_batch_packing",
     "source_mixture_sample",
     "decontaminate_ngram", "decontaminate_eval_fixture",
@@ -1209,9 +1209,25 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups_lsh(table(spark, sf_dir, "embeddings"))
 
 
+@register("span_dedup_scrub")
+def q_span_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level exact span dedup (round 5): every 3-word
+    span appearing more than once in the corpus is kept only at its
+    first occurrence (doc_id, position order) and documents are
+    reassembled from the surviving spans — the sub-document granularity
+    the doc-level dedup family can't reach. Map-side-combinable
+    first-occurrence aggregate makes the boilerplate hot-key case scale
+    (see operators/dedup.py:span_dedup_scrub)."""
+    from toy_vector_db_spark.operators import dedup
+
+    return dedup.span_dedup_scrub(table(spark, sf_dir, "documents"))
+
+
 def _register_dedup_oracles() -> None:
     from toy_vector_db_spark import oracles_dedup as O
+    from toy_vector_db_spark.operators.dedup import span_dedup_sql
 
+    _ORACLES["span_dedup_scrub"] = span_dedup_sql()
     _ORACLES["dedup_exact"] = O.dedup_exact_sql()
     _ORACLES["dedup_minhash_lsh"] = O.minhash_lsh_sql()
     _ORACLES["dup_clusters"] = O.dup_clusters_sql()
