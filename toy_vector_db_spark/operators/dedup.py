@@ -667,10 +667,19 @@ def span_dedup_scrub(corpus: DataFrame, w: int = SPAN_W) -> DataFrame:
       4. per-doc reassembly via sort_array(collect_list(struct(pos,
          span))) — one aggregate on the doc key, the operator's output
          partitioning.
-    Two shuffles total (span key, doc key) — both inherent to the
-    semantics. Output: doc_id, scrubbed text, span counts."""
+    Two wide shuffles total (span key for the firsts aggregate, doc key
+    for reassembly) — both inherent to the semantics; the firsts table
+    broadcasts under AQE when it fits. The per-doc span total is a
+    scalar expression on the source row (ceil(|tokens|/w)), not a third
+    aggregation over the exploded spans. The explode feeds two branches
+    (firsts aggregate + probe side), i.e. the corpus parses twice in
+    this self-contained form — a 100 TB pipeline would materialize the
+    span table once as the shared intermediate, which is exactly the
+    shape steps 2-4 already consume. Output: doc_id, scrubbed text,
+    span counts."""
     toks = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    totals = corpus.select("doc_id", n_spans.cast("long").alias("n_spans"))
     spans = corpus.select(
         "doc_id",
         F.posexplode(
@@ -689,7 +698,7 @@ def span_dedup_scrub(corpus: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
     kept = spans.join(firsts, ["span", "doc_id", "pos"])
     return (
-        spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        totals
         .join(
             kept.groupBy("doc_id").agg(
                 F.count("*").alias("n_kept"),
@@ -734,7 +743,8 @@ def span_dedup_sql(w: int = SPAN_W) -> str:
       FROM spans s JOIN firsts fr
         ON fr.span = s.span AND (fr.f).d = s.doc_id AND (fr.f).p = s.pos),
     totals AS (
-      SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+      SELECT doc_id, CAST(ceil(len(t) / {w}.0) AS BIGINT) AS n_spans
+      FROM toks),
     rebuilt AS (
       SELECT doc_id, count(*) AS n_kept,
              string_agg(span, ' ' ORDER BY pos) AS clean_text
