@@ -79,3 +79,47 @@ def test_pii_scrub_complete(spark, sf_dir):
     assert all(r.n_remaining == 0 for r in res)
     injected = [r for r in res if r.doc_id < chunking.PII_SLICE]
     assert injected and all(r.n_redactions >= 1 for r in injected)
+
+
+def test_training_shard_assign_properties(spark, documents):
+    """Shards partition the corpus; positions are contiguous 0..n-1 per
+    shard; the permutation is deterministic and uncorrelated with doc_id
+    order (the md5 key, not the id, drives it)."""
+    from toy_vector_db_spark.operators import curation
+
+    out = curation.training_shard_assign(documents).collect()
+    assert len(out) == documents.count()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < curation.N_TRAIN_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # deterministic across invocations
+    again = curation.training_shard_assign(documents).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # not the identity order: within some shard, doc_ids at consecutive
+    # positions are not monotonically increasing (md5 scrambles)
+    first = [r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))
+             if r["shard"] == 0]
+    assert first != sorted(first)
+
+
+def test_vocab_topk_consistency(spark, documents):
+    """tf >= df per token (a doc contributes at least one occurrence),
+    ranks follow (tf desc, token asc), and tf totals match the corpus
+    token count."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import textstats
+
+    rows = textstats.vocab_topk(documents).collect()
+    assert all(r["tf"] >= r["df"] >= 1 for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r["tf"], r["token"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    if len(rows) < textstats.VOCAB_TOP_V:
+        # whole vocabulary fits: tf must sum to the corpus token count
+        total = documents.select(
+            F.sum(F.size(F.split(F.lower("text"), " "))).alias("n")
+        ).first()["n"]
+        assert sum(r["tf"] for r in rows) == total

@@ -242,3 +242,55 @@ def bm25_sql(terms: list[str] | None = None, k: int = BM25_K) -> str:
     ORDER BY s DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+N_TRAIN_SHARDS = 8
+
+
+def training_shard_assign(docs: DataFrame, n_shards: int = N_TRAIN_SHARDS) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the final
+    step of a training-data pipeline: every document gets a pseudo-random
+    but reproducible shuffle key (md5 of its id, the engine-portable hash
+    the mixture sampler already uses), a shard = key mod n_shards, and a
+    position within its shard by (key, doc_id) order. A trainer reading
+    shard files in position order sees a deterministic global permutation
+    with no cross-epoch correlation to doc_id order.
+
+    Scale shape: one hash-partition exchange on the shard key and a
+    per-shard sort — EXACTLY the physical plan of the production write
+    (`repartition(n).sortWithinPartitions(...)` into per-shard files);
+    the window never sees more than |corpus|/n_shards rows per task, and
+    n_shards scales with the corpus."""
+    from toy_vector_db_spark.operators.dedup import md5_int
+
+    u = md5_int(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id", u.alias("shuffle_key"),
+        (u % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "doc_id", "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+
+
+def training_shard_sql(n_shards: int = N_TRAIN_SHARDS) -> str:
+    """DuckDB oracle twin of training_shard_assign (same md5-derived
+    shuffle key via sql_md5_int)."""
+    from toy_vector_db_spark.operators.dedup import sql_md5_int
+
+    u = sql_md5_int("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {u} AS shuffle_key,
+             CAST({u} % {n_shards} AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key ASC, doc_id ASC)
+                - 1 AS INT) AS pos
+    FROM keyed
+    """

@@ -9,7 +9,7 @@ shuffle before the (optional) aggregation, fully DuckDB-oracle-able. At
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions.rounding import rnd
@@ -175,3 +175,63 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % P31,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+VOCAB_TOP_V = 100
+
+
+def vocab_topk(docs: DataFrame, v: int = VOCAB_TOP_V) -> DataFrame:
+    """Corpus-level token vocabulary — the tokenizer-training precursor:
+    total term frequency and document frequency per token, top ``v`` by
+    frequency (token asc on ties), ranked. Tokens follow the corpus
+    convention (_toks: lowercase, split on space).
+
+    Scale shape: explode → groupBy(token, doc_id) — MAP-SIDE COMBINED, so
+    a billion-occurrence stopword ships one row per (token, doc) per map
+    partition — then groupBy(token) folds the per-doc rows into (tf, df)
+    in a second combinable aggregate. The top-v is a TakeOrdered over the
+    |vocab|-sized aggregate output, not a full sort. Two shuffles, both
+    pre-combined; no window over the raw token stream."""
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(_toks(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("n").alias("tf"), F.count("*").alias("df")
+    )
+    return (
+        vocab.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(v)
+        .select(
+            "token", "tf", "df",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+            )
+            .alias("rank"),
+        )
+    )
+
+
+def vocab_topk_sql(v: int = VOCAB_TOP_V) -> str:
+    """DuckDB oracle twin of vocab_topk."""
+    return f"""
+    WITH per_doc AS (
+      SELECT token, doc_id, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY token, doc_id),
+    vocab AS (
+      SELECT token, CAST(sum(n) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df
+      FROM per_doc GROUP BY token)
+    SELECT token, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT)
+             AS rank
+    FROM vocab
+    ORDER BY tf DESC, token ASC
+    LIMIT {v}
+    """

@@ -88,9 +88,11 @@ _PRIORITY = [
     # knn_hnsw_routed_exhaustive, decontaminate_eval_fixture, ivfpq_build,
     # and mm_decode_image_stats; rotating out to make room:
     # stratified_quality_filter, chunk_documents, pii_scrub,
-    # dup_clusters, simhash_signatures, text_quality (each driver-green
-    # in at least rounds 3 and 4; text_quality makes room for the new
-    # span_dedup_scrub). Rotated-out keys stay fully oracle-tested locally
+    # dup_clusters, simhash_signatures, text_quality,
+    # streaming_tumbling_counts, streaming_session_windows (each
+    # driver-green in at least rounds 3 and 4; the last four make room
+    # for the new span_dedup_scrub, vocab_topk, and
+    # training_shard_assign). Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
     # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
@@ -104,11 +106,10 @@ _PRIORITY = [
     "knn_hnsw_routed_exhaustive",
     "mm_decode_image_stats",
     "token_batch_packing",
-    "source_mixture_sample",
+    "source_mixture_sample", "vocab_topk", "training_shard_assign",
     "decontaminate_ngram", "decontaminate_eval_fixture",
     "doc_repetition_stats", "model_quality_inference",
     # -- structured streaming --
-    "streaming_tumbling_counts", "streaming_session_windows",
     "streaming_stateful_user_stats", "streaming_sliding_counts",
     "streaming_dedup_counts",
     # -- relational extensions never driver-checked before round 4 --
@@ -1615,12 +1616,35 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_mixture_sample(table(spark, sf_dir, "documents"))
 
 
-def _register_curation_oracles() -> None:
+@register("training_shard_assign")
+def q_training_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding (round 5):
+    md5-derived shuffle key, shard = key mod 8, in-shard position by key
+    order — the reproducible permutation a trainer consumes, physically
+    the repartition+sortWithinPartitions write plan."""
     from toy_vector_db_spark.operators import curation
+
+    return curation.training_shard_assign(table(spark, sf_dir, "documents"))
+
+
+@register("vocab_topk")
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token vocabulary, top-100 by total frequency with
+    document frequencies (round 5) — the tokenizer-training precursor;
+    both aggregates map-side combined."""
+    from toy_vector_db_spark.operators import textstats
+
+    return textstats.vocab_topk(table(spark, sf_dir, "documents"))
+
+
+def _register_curation_oracles() -> None:
+    from toy_vector_db_spark.operators import curation, textstats
 
     _ORACLES["stratified_quality_filter"] = curation.STRATIFIED_FILTER_SQL
     _ORACLES["bm25_topk"] = curation.bm25_sql()
     _ORACLES["source_mixture_sample"] = curation.MIXTURE_SAMPLE_SQL
+    _ORACLES["training_shard_assign"] = curation.training_shard_sql()
+    _ORACLES["vocab_topk"] = textstats.vocab_topk_sql()
 
 
 _register_curation_oracles()
