@@ -54,6 +54,7 @@ HEADLINE = [
     "knn_pq_rerank",
     "ivfpq_build",
     "knn_ivfpq",
+    "ivfpq_partitioned_search",
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",

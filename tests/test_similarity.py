@@ -161,3 +161,28 @@ def test_lsh_bucket_range(spark, embeddings):
     assert all(0 <= r.bucket < 2**similarity.N_HYPERPLANES for r in buckets)
     # hyperplane rows themselves land in a bucket too
     assert len(buckets) == embeddings.count()
+
+
+def test_ivfpq_partitioned_search_prunes_and_matches(spark, embeddings):
+    """The on-disk cell-partitioned codes table must (a) produce results
+    identical to the in-memory knn_ivfpq and (b) be scanned with dynamic
+    partition pruning — the probe join's broadcast side prunes the cell
+    directories, the physical mechanism behind 'probe = partition
+    pruning' at 100 TB."""
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    written = similarity.written_codes_cells(base)
+    on_disk = similarity.knn_ivfpq(base, qs, 10, codes_cells=written)
+    in_mem = similarity.knn_ivfpq(base, qs, 10)
+    assert on_disk.exceptAll(in_mem).count() == 0
+    assert in_mem.exceptAll(on_disk).count() == 0
+    plan = on_disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "expected dynamic partition pruning on the cell-partitioned scan"
+    )

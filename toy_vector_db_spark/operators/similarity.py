@@ -286,6 +286,48 @@ def cached_codes_cells(
     return _CODES_CELLS_CACHE[key]
 
 
+# (appId, base plan hash, id_col, vec_col) → path of the WRITTEN cell-
+# partitioned codes table (parquet, partitionBy centroid_id) — the actual
+# on-disk index artifact the docstrings describe. Written once per session.
+_WRITTEN_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def written_codes_cells(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index artifact AS A TABLE ON DISK: write the cell-keyed
+    codes (``cached_codes_cells``) as parquet partitioned by centroid_id
+    and read it back — exactly the storage layout the 100 TB claims in
+    this module rest on. A query joining this frame on centroid_id
+    against a broadcast probe side triggers Spark's DYNAMIC PARTITION
+    PRUNING: the scan physically skips the (C − nprobe)/C unprobed
+    partition directories (asserted on the executed plan in
+    tests/test_similarity.py). Written once per session under the
+    fixtures sink dir; mode=overwrite keeps reruns idempotent."""
+    import os
+
+    from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
+
+    spark = base.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _WRITTEN_INDEX_CACHE:
+        path = os.path.join(
+            FIXTURE_DIR, "sink_out", "ivfpq_index", f"h{key[1] & 0xFFFFFFFF:x}"
+        )
+        cached_codes_cells(base, id_col, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(path)
+        _WRITTEN_INDEX_CACHE[key] = path
+    return spark.read.parquet(_WRITTEN_INDEX_CACHE[key])
+
+
 def _ivf_probes(
     queries: DataFrame,
     cents: DataFrame,
@@ -751,6 +793,7 @@ def knn_ivfpq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    codes_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (Faiss IVFADC shape) — the canonical 100 TB ANN serving
     plan, composing the two scale levers this module builds separately:
@@ -772,8 +815,11 @@ def knn_ivfpq(
     cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
     # the cell-keyed compressed corpus: at 100 TB this join is free —
     # codes are WRITTEN partitioned by centroid_id at index-build time;
-    # here the joined frame persists per session as that artifact
-    codes_cells = cached_codes_cells(base, id_col, vec_col)
+    # the default is the session-persisted in-memory artifact; pass
+    # written_codes_cells(base) for the on-disk partitioned table, where
+    # the probe join below prunes partitions dynamically (DPP)
+    if codes_cells is None:
+        codes_cells = cached_codes_cells(base, id_col, vec_col)
 
     books = trained_pq_codebooks(base, id_col, vec_col)
     probes = _ivf_probes(
