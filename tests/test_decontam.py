@@ -66,3 +66,30 @@ def test_repetition_stats_extremes(spark):
     assert out[1]["dup_token_frac"] == 0.0
     assert out[1]["dup_ngram_frac"] == 0.0
     assert out[1]["top_token_frac"] == 0.25
+
+
+def test_embedding_decontamination_ground_truth(spark, embeddings):
+    """The injected eval copies are the ground truth: exactly the
+    EVAL_EMB_SLICE source rows flag as contaminated (sim 1.0 to their
+    own copy), everything else stays below tau on these clusters."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import decontam
+
+    out = decontam.decontaminate_embedding(embeddings)
+    flagged = {
+        r["vec_id"]: r for r in out.where("contaminated").collect()
+    }
+    assert set(flagged) == set(range(decontam.EVAL_EMB_SLICE))
+    for vid, r in flagged.items():
+        assert r["closest_eval_id"] == vid + decontam.EVAL_EMB_ID_SHIFT
+        assert abs(r["max_sim"] - 1.0) < 1e-9
+    # an explicit eval frame works too (foreign vectors: shifted copies
+    # of OTHER rows flag those rows instead)
+    ev = embeddings.where(F.col("vec_id").between(30, 34)).select(
+        (F.col("vec_id") + 500_000).alias("eval_id"),
+        F.col("embedding").alias("ev_emb"),
+    )
+    out2 = decontam.decontaminate_embedding(embeddings, eval_emb=ev)
+    flagged2 = {r["vec_id"] for r in out2.where("contaminated").collect()}
+    assert flagged2 == set(range(30, 35))

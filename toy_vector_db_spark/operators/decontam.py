@@ -296,3 +296,94 @@ def repetition_sql(k: int = 2) -> str:
                  / len(toks), {ROUND}) AS top_token_frac
     FROM g
     """
+
+
+# -- embedding-space decontamination -----------------------------------------
+
+# eval-embedding stand-in: copies of the first EVAL_EMB_SLICE base vectors
+# with ids shifted out of the corpus id space — the injected-twin idiom the
+# dedup family uses, so the query doubles as its own ground truth (those
+# rows MUST flag at sim 1.0; the synthetic clusters top out near 0.48
+# against everything else, measured at sf0.001).
+EVAL_EMB_SLICE = 25
+EVAL_EMB_ID_SHIFT = 1_000_000
+EMB_TAU = 0.9
+
+
+def decontaminate_embedding(
+    base: DataFrame,
+    eval_emb: DataFrame | None = None,
+    tau: float = EMB_TAU,
+) -> DataFrame:
+    """Embedding-space decontamination — the second standard benchmark-
+    contamination check (n-gram overlap catches verbatim leakage; nearest-
+    eval-embedding similarity catches paraphrased leakage): for every
+    training vector, the maximum clamped-cosine similarity to ANY eval
+    embedding, the closest eval id, and the contamination flag
+    (max_sim ≥ tau on the UNROUNDED value, both engines).
+
+    Scale shape (the decontaminate_ngram asymmetry, embedding-space):
+    the eval set is benchmark-sized, so it BROADCASTS; the corpus side is
+    a broadcast nested-loop scan with per-side hoisted magnitudes (the
+    ivf_assign idiom — the corpus magnitude folds once per row, not once
+    per eval pair) feeding a max-of-struct aggregate that combines
+    MAP-SIDE: the exchange carries one row per corpus vector, never the
+    |corpus|×|eval| product. Zero shuffle beyond that single combinable
+    aggregate."""
+    from toy_vector_db_spark.functions import vector as V
+
+    if eval_emb is None:
+        eval_emb = base.where(F.col("vec_id") < EVAL_EMB_SLICE).select(
+            (F.col("vec_id") + EVAL_EMB_ID_SHIFT).alias("eval_id"),
+            F.col("embedding").alias("ev_emb"),
+        )
+    b = base.withColumn("_b_mag", V.magnitude(F.col("embedding")))
+    e = eval_emb.withColumn("_e_mag", V.magnitude(F.col("ev_emb")))
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("embedding"), F.col("ev_emb"))
+        / (F.col("_b_mag") * F.col("_e_mag")),
+    )
+    scored = b.crossJoin(F.broadcast(e)).select(
+        "vec_id", sim.alias("s"), "eval_id"
+    )
+    agg = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("s"), F.col("eval_id"))).alias("m")
+    )
+    return agg.select(
+        "vec_id",
+        F.col("m.eval_id").alias("closest_eval_id"),
+        rnd(F.col("m.s"), ROUND).alias("max_sim"),
+        (F.col("m.s") >= F.lit(tau)).alias("contaminated"),
+    )
+
+
+def decontaminate_embedding_sql(
+    base_cte: str = "base", tau: float = EMB_TAU
+) -> str:
+    """DuckDB oracle twin: same broadcast-shaped cross product, same
+    max-of-(sim, eval_id) struct order (lexicographic in both engines;
+    sims are bit-identical by the V1-V5 fold parity, so the argmax id
+    can never diverge)."""
+    from toy_vector_db_spark.functions import vector as V
+
+    sim = (
+        f"greatest(0.0, {V.sql_dot('b.embedding', 'e.ev_emb')}"
+        f" / ({V.sql_magnitude('b.embedding')}"
+        f" * {V.sql_magnitude('e.ev_emb')}))"
+    )
+    return f"""
+    ev AS (SELECT vec_id + {EVAL_EMB_ID_SHIFT} AS eval_id,
+                  embedding AS ev_emb
+           FROM {base_cte} WHERE vec_id < {EVAL_EMB_SLICE}),
+    scored AS (
+      SELECT b.vec_id, {sim} AS s, e.eval_id
+      FROM {base_cte} b, ev e),
+    agg AS (
+      SELECT vec_id, max(struct_pack(s := s, e := eval_id)) AS m
+      FROM scored GROUP BY vec_id)
+    SELECT vec_id, (m).e AS closest_eval_id,
+           round((m).s, {ROUND}) AS max_sim,
+           (m).s >= {tau} AS contaminated
+    FROM agg
+    """

@@ -90,9 +90,10 @@ _PRIORITY = [
     # stratified_quality_filter, chunk_documents, pii_scrub,
     # dup_clusters, simhash_signatures, text_quality,
     # streaming_tumbling_counts, streaming_session_windows,
-    # dedup_minhash_lsh (each driver-green in at least rounds 3 and 4;
-    # the last five make room for the new span_dedup_scrub, vocab_topk,
-    # training_shard_assign, and ivfpq_partitioned_search). Rotated-out keys stay fully oracle-tested locally
+    # dedup_minhash_lsh, streaming_stateful_user_stats (each driver-green
+    # in at least rounds 3 and 4; the last six make room for the new
+    # span_dedup_scrub, vocab_topk, training_shard_assign,
+    # ivfpq_partitioned_search, and decontaminate_embedding). Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
     # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
@@ -109,9 +110,10 @@ _PRIORITY = [
     "token_batch_packing",
     "source_mixture_sample", "vocab_topk", "training_shard_assign",
     "decontaminate_ngram", "decontaminate_eval_fixture",
+    "decontaminate_embedding",
     "doc_repetition_stats", "model_quality_inference",
     # -- structured streaming --
-    "streaming_stateful_user_stats", "streaming_sliding_counts",
+    "streaming_sliding_counts",
     "streaming_dedup_counts",
     # -- relational extensions never driver-checked before round 4 --
     "csv_sink_roundtrip", "events_json_stats", "running_total_by_supplier",
@@ -1536,6 +1538,22 @@ def q_decontaminate_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("decontaminate_embedding")
+def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (round 5): per training vector,
+    the max clamped-cosine similarity to any eval embedding + closest
+    eval id + contamination flag — catches the paraphrased leakage the
+    n-gram check can't. Eval set = injected copies of a corpus slice
+    (the dedup ground-truth idiom): those rows must flag at sim 1.0, the
+    synthetic clusters top out near 0.48 otherwise. Broadcast eval ×
+    map-side-combined max-of-struct: one row per corpus vector crosses
+    the exchange."""
+    from toy_vector_db_spark.operators import decontam
+
+    base, _ = _split(spark, sf_dir)
+    return decontam.decontaminate_embedding(base)
+
+
 @register("doc_repetition_stats")
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-token / duplicate-bigram
@@ -1561,6 +1579,9 @@ def _register_decontam_oracles() -> None:
 
     _ORACLES["decontaminate_ngram"] = decontam.decontaminate_sql()
     _ORACLES["decontaminate_eval_fixture"] = decontam.decontaminate_fixture_sql()
+    _ORACLES["decontaminate_embedding"] = (
+        f"WITH {_SPLIT_CTE},\n{decontam.decontaminate_embedding_sql()}"
+    )
     _ORACLES["doc_repetition_stats"] = decontam.repetition_sql()
     _ORACLES["model_quality_inference"] = inference.model_quality_sql()
 
