@@ -25,7 +25,8 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     ivf = similarity.knn_ivf(base, qs, 10, cents=cents)
     rec = evaluation.evaluate_recall(ivf, exact).agg(F.avg("recall")).first()[0]
     small = base.count() <= 1000
-    assert rec >= (0.65 if small else 0.5), f"IVF mean recall@10 = {rec}"
+    # measured 0.70 at sf0.001, 0.65 at sf0.1 (round-5 knobs)
+    assert rec >= (0.65 if small else 0.55), f"IVF mean recall@10 = {rec}"
     # the trained quantizer must not be WORSE than the stand-in at the
     # same nprobe — the point of training (round-2 verdict item 3)
     standin = similarity.knn_ivf(base, qs, 10)
@@ -62,7 +63,8 @@ def test_pq_codes_shape_and_adc_quality(spark, embeddings):
     # (round-5, measured) lifts rerank to 0.81 at sf0.001 — floors raised
     # accordingly, still with slack for fixture regeneration.
     small = base.count() <= 1000
-    adc_floor, rr_floor = (0.15, 0.75) if small else (0.06, 0.3)
+    # rerank measured 0.81 at sf0.001, 0.46 at sf0.1 (R=16k, round 5)
+    adc_floor, rr_floor = (0.15, 0.75) if small else (0.06, 0.38)
     exact = knn.knn_exact_batch(base, qs, 10)
     adc = similarity.knn_pq_adc(base, qs, 10)
     rec = evaluation.evaluate_recall(adc, exact).agg(F.avg("recall")).first()[0]
@@ -99,8 +101,9 @@ def test_ivfpq_equivalence_and_recall(spark, embeddings):
     ivfpq = similarity.knn_ivfpq(base, qs, 10)
     rec = evaluation.evaluate_recall(ivfpq, exact).agg(F.avg("recall")).first()[0]
     small = base.count() <= 1000
-    # nprobe=6 + R=16k (round-5 knobs): measured 0.71 at sf0.001
-    floor = 0.6 if small else 0.12
+    # nprobe=6 + R=16k (round-5 knobs): measured 0.71 at sf0.001,
+    # 0.44 at sf0.1
+    floor = 0.6 if small else 0.35
     assert rec >= floor, f"IVF-PQ mean recall@10 = {rec}"
 
 
