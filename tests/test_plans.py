@@ -158,3 +158,37 @@ def test_bucketed_join_is_exchange_free(plans):
     # the join itself needs NO shuffle on either side: the ONLY exchange
     # in the query is the final 5-row aggregate
     assert explain.count_exchanges(plan) == 1
+
+
+def test_span_dedup_partial_aggregates(plans):
+    # the firsts pass MUST pre-combine map-side: a hot boilerplate span
+    # ships one partial row per map partition, never the raw explode
+    plan = plans("span_dedup_scrub")
+    assert "partial_min" in plan
+    # the two wide exchanges the semantics require: span key + doc key
+    assert plan.count("hashpartitioning(span") >= 1
+    assert plan.count("hashpartitioning(doc_id") >= 1
+
+
+def test_vocab_topk_combines_map_side(plans):
+    # both aggregates pre-combine; the top-k never sorts the token stream
+    plan = plans("vocab_topk")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert explain.has_take_ordered(plan)
+
+
+def test_decontaminate_embedding_broadcasts_eval(plans):
+    # eval side broadcasts; ONE exchange (the map-side-combined per-vector
+    # max), never the |corpus| x |eval| product
+    plan = plans("decontaminate_embedding")
+    assert "BroadcastNestedLoopJoin" in plan or explain.count_broadcast_joins(plan) >= 1
+    assert "partial_max" in plan
+    assert explain.count_exchanges(plan) == 1
+
+
+def test_training_shard_single_exchange(plans):
+    # one hash exchange on the shard key + in-shard sort: the physical
+    # shape of the production shard write
+    plan = plans("training_shard_assign")
+    assert plan.count("hashpartitioning(shard") >= 1
+    assert explain.count_exchanges(plan) == 1
