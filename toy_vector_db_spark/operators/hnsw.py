@@ -447,10 +447,13 @@ def knn_hnsw_prebuilt(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    emit: int | None = None,
 ) -> DataFrame:
     """H10 search over a PREBUILT hash-sharded index. Bit-identical results
     to the fused ``knn_hnsw`` (same graph, same search) — asserted in
-    tests. Queries fan out to all shards as a distributed frame."""
+    tests. Queries fan out to all shards as a distributed frame. ``emit``
+    widens the per-shard emission for callers that re-score downstream
+    (the exhaustive degenerate), exactly as in the fused path."""
     routed = _replicate_queries(
         queries,
         parted.select("part").distinct(),
@@ -460,6 +463,7 @@ def knn_hnsw_prebuilt(
     return _prebuilt_search(
         parted, edges, routed, k, ef,
         id_col, vec_col, query_id_col, query_vec_col,
+        emit=emit,
     )
 
 

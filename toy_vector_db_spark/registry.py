@@ -478,11 +478,16 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the engine's fold expression — a ulp-order swap at the k boundary
     can no longer change the emitted set (round-3 advice). The kernel also
     appends graph-unreachable points when ef >= n, so a pruned-away
-    layer-0 component can't silently drop true neighbors."""
+    layer-0 component can't silently drop true neighbors. Round 5: runs
+    over the session-cached PREBUILT 1-shard graph (bit-identical to the
+    fused path, pinned in tests) — rebuilding the graph per invocation
+    charged an EF_CONSTRUCTION=200 insert pass per call to what is a
+    search-correctness gate."""
     base, qs = _split(spark, sf_dir)
     n_base = base.count()
-    cand = hnsw.knn_hnsw(
-        base, qs, K, num_partitions=1, ef=n_base, emit=4 * K
+    parted, edges = hnsw.cached_index(base, f"{sf_dir}#exhaustive", 1)
+    cand = hnsw.knn_hnsw_prebuilt(
+        parted, edges, qs, K, ef=n_base, emit=4 * K
     )
     return _exact_rescore(base, qs, cand)
 
