@@ -123,3 +123,29 @@ def test_vocab_topk_consistency(spark, documents):
             F.sum(F.size(F.split(F.lower("text"), " "))).alias("n")
         ).first()["n"]
         assert sum(r["tf"] for r in rows) == total
+
+
+def test_hybrid_rrf_formula_and_order(spark, documents, embeddings):
+    """Every fused score equals 1/(C+lex)+1/(C+sem) with absent ranks
+    contributing 0, and the output is ordered by that score."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import curation
+    from toy_vector_db_spark.sources.ndjson import split_count
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    qid = cut + min(29, n - cut - 1)  # the registry's query-offset clamp
+    qvec = embeddings.where(F.col("vec_id") == qid).first()["embedding"]
+    base = embeddings.where(F.col("vec_id") < cut)
+    rows = curation.hybrid_rrf_topk(documents, base, qvec).collect()
+    assert 0 < len(rows) <= curation.HYBRID_K
+    C = curation.RRF_C
+    scores = []
+    for r in rows:
+        want = (1.0 / (C + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (C + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - want) < 1e-6, r
+        scores.append(want)
+    assert scores == sorted(scores, reverse=True)

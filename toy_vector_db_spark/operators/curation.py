@@ -209,6 +209,97 @@ def bm25_topk(
     )
 
 
+# -- hybrid retrieval (lexical BM25 × vector KNN, reciprocal-rank fusion) ----
+
+RRF_C = 60  # the standard RRF smoothing constant (Cormack et al.)
+HYBRID_DEPTH = 25  # per-retriever candidate depth
+HYBRID_K = 10
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_vec,
+    terms: list[str] | None = None,
+    k: int = HYBRID_K,
+    depth: int = HYBRID_DEPTH,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-``depth`` and exact-cosine vector
+    top-``depth`` fused by reciprocal-rank fusion —
+    rrf(d) = Σ_retrievers 1/(C + rank_r(d)) — the standard score-free
+    fusion (ranks are integers, so the fused score is identical in any
+    engine; documents and embeddings share the id space).
+
+    Scale shape: each retriever is its own already-scaled operator (BM25:
+    stats-row broadcast + TakeOrdered; KNN: codegen scan +
+    TakeOrdered); the fusion joins two ≤depth-row frames — driver-trivial
+    at any corpus size. The expensive work stays in the retrievers."""
+    from toy_vector_db_spark.operators import knn
+
+    terms = BM25_TERMS if terms is None else terms
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    # lexical ranks over the UNROUNDED score (house top-k discipline)
+    import math
+
+    row = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((_tf(F.col("toks"), t) > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs, avgdl = row["n_docs"], row["avgdl"]
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df = row[f"df_{i}"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tf = _tf(F.col("toks"), t)
+        denom = tf + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+        score = score + F.lit(idf) * (tf * (K1 + 1.0)) / denom
+    lex = (
+        base.select("doc_id", score.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(depth)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
+            .alias("lex_rank"),
+        )
+    )
+    sem = (
+        knn.with_distance(emb, query_vec)
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(depth)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        (
+            F.coalesce(1.0 / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("r"),
+    )
+    return (
+        fused.orderBy(F.col("r").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id", "lex_rank", "sem_rank", rnd("r", ROUND).alias("rrf")
+        )
+    )
+
+
 def _bm25_sql_terms(terms: list[str]) -> tuple[str, str]:
     tf = lambda t: f"len(list_filter(toks, x -> x = '{t}'))"  # noqa: E731
     dfs = ",\n         ".join(

@@ -801,6 +801,80 @@ FROM topk t JOIN documents doc ON doc.doc_id = t.vec_id
 """
 
 
+def _hybrid_rrf_sql() -> str:
+    from toy_vector_db_spark.operators.curation import (
+        BM25_TERMS,
+        HYBRID_DEPTH,
+        HYBRID_K,
+        RRF_C,
+        _bm25_sql_terms,
+    )
+
+    dfs, score = _bm25_sql_terms(BM25_TERMS)
+    return f"""
+    WITH dbase AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl,
+         {dfs}
+      FROM dbase),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT)
+               AS lex_rank
+      FROM (SELECT doc_id, {score} AS s FROM dbase, stats)
+      ORDER BY s DESC, doc_id ASC LIMIT {HYBRID_DEPTH}),
+    cut AS (
+      SELECT c, least({QUERY_OFFSET},
+                      (SELECT count(*) FROM embeddings) - c - 1) AS off
+      FROM (SELECT {_split_cut_sql()} AS c)),
+    q AS (SELECT embedding AS qv FROM embeddings, cut WHERE vec_id = c + off),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INT)
+               AS sem_rank
+      FROM (
+        SELECT b.vec_id, {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+        FROM embeddings b, q, cut WHERE b.vec_id < c)
+      ORDER BY d ASC, vec_id ASC LIMIT {HYBRID_DEPTH}),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(s.sem_rank, 0) AS sem_rank,
+             coalesce(1.0 / ({RRF_C} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_C} + s.sem_rank), 0.0) AS r
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, round(r, {ROUND}) AS rrf
+    FROM fused
+    ORDER BY r DESC, doc_id ASC LIMIT {HYBRID_K}
+    """
+
+
+@register("hybrid_rrf_topk")
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 5): BM25 lexical top-25 and exact-cosine
+    vector top-25 (the semantic_search query point) fused by
+    reciprocal-rank fusion — rrf = Σ 1/(60 + rank). Ranks are integers,
+    so the fused score is engine-exact; each retriever keeps its own
+    already-scaled plan and the fusion joins two 25-row frames."""
+    from toy_vector_db_spark.operators import curation
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
+    base = emb.where(F.col("vec_id") < cut)
+    return curation.hybrid_rrf_topk(
+        table(spark, sf_dir, "documents"), base, qvec
+    )
+
+
+_ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_sql()
+
+
 @register("semantic_search", _SEMANTIC_SEARCH_SQL)
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-user retrieval query: exact top-10 neighbors joined back to the
