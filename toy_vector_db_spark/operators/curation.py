@@ -153,34 +153,20 @@ def _tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
 
 
-def bm25_topk(
-    docs: DataFrame,
-    terms: list[str] | None = None,
-    k: int = BM25_K,
-) -> DataFrame:
-    """Okapi BM25 top-k over the corpus for a bag of query terms.
+def _bm25_scored(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, s): the UNROUNDED per-doc BM25 score — shared by the
+    plain top-k and the hybrid fusion.
 
-    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
-
-    Corpus statistics (N, avgdl, one df per term) reduce to a SINGLE tiny
-    aggregate row cross-joined (broadcast) back onto the scan — per-row
-    scoring stays in codegen, the scan never shuffles, and the top-k is a
-    TakeOrderedAndProject on (unrounded score DESC, doc_id). At 100 TB the
-    stats row is a one-pass metadata aggregate any search system
-    precomputes."""
+    Corpus stats collected driver-side (ONE tiny row) so idf's ln() runs
+    in Python/libm — the same libm DuckDB's ln() links, whereas the JVM's
+    Math.log (fdlibm lineage) can differ by an ulp and flip the rounded
+    hash. Same pattern as knn.with_distance's precomputed query
+    magnitude: inline driver-computed doubles as literals, keep per-row
+    math (+ * /, IEEE-identical everywhere) in codegen."""
     import math
 
-    terms = BM25_TERMS if terms is None else terms
     toks = F.split(F.lower(F.col("text")), " ")
     base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
-
-    # Corpus stats collected driver-side (ONE tiny row) so idf's ln() runs
-    # in Python/libm — the same libm DuckDB's ln() links, whereas the JVM's
-    # Math.log (fdlibm lineage) can differ by an ulp and flip the rounded
-    # hash. Same pattern as knn.with_distance's precomputed query
-    # magnitude: inline driver-computed doubles as literals, keep per-row
-    # math (+ * /, IEEE-identical everywhere) in codegen.
     row = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -200,8 +186,27 @@ def bm25_topk(
         tf = _tf(F.col("toks"), t)
         denom = tf + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
         score = score + F.lit(idf) * (tf * (K1 + 1.0)) / denom
+    return base.select("doc_id", score.alias("s"))
 
-    scored = base.select("doc_id", score.alias("s"))
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """Okapi BM25 top-k over the corpus for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Corpus statistics (N, avgdl, one df per term) reduce to a SINGLE tiny
+    aggregate row cross-joined (broadcast) back onto the scan — per-row
+    scoring stays in codegen, the scan never shuffles, and the top-k is a
+    TakeOrderedAndProject on (unrounded score DESC, doc_id). At 100 TB the
+    stats row is a one-pass metadata aggregate any search system
+    precomputes."""
+    terms = BM25_TERMS if terms is None else terms
+    scored = _bm25_scored(docs, terms)
     return (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -237,31 +242,8 @@ def hybrid_rrf_topk(
     from toy_vector_db_spark.operators import knn
 
     terms = BM25_TERMS if terms is None else terms
-    toks = F.split(F.lower(F.col("text")), " ")
-    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
-    # lexical ranks over the UNROUNDED score (house top-k discipline)
-    import math
-
-    row = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((_tf(F.col("toks"), t) > 0).cast("long"))
-            .cast("double")
-            .alias(f"df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).first()
-    n_docs, avgdl = row["n_docs"], row["avgdl"]
-    score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        df = row[f"df_{i}"]
-        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        tf = _tf(F.col("toks"), t)
-        denom = tf + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
-        score = score + F.lit(idf) * (tf * (K1 + 1.0)) / denom
     lex = (
-        base.select("doc_id", score.alias("s"))
+        _bm25_scored(docs, terms)
         .orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(depth)
         .select(
