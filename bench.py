@@ -63,6 +63,7 @@ HEADLINE = [
     "simhash_signatures",
     "ngram_jaccard_topk",
     "bm25_topk",
+    "hybrid_rrf_topk",
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "sessionize_events",
