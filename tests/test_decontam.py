@@ -93,3 +93,38 @@ def test_embedding_decontamination_ground_truth(spark, embeddings):
     out2 = decontam.decontaminate_embedding(embeddings, eval_emb=ev)
     flagged2 = {r["vec_id"] for r in out2.where("contaminated").collect()}
     assert flagged2 == set(range(30, 35))
+
+
+def test_contamination_report_directionality(spark):
+    """Per-eval accounting on a hand-built corpus: an eval item that
+    leaks into two docs reports n_hit_docs=2; one sharing nothing
+    reports zeros; distinct gram counting collapses repeats."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "zeta alpha beta gamma"),
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma"),           # in docs 1 and 2
+            (200, "nothing shared anywhere at"), # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in decontam.contamination_report(docs, eval_docs=ev).collect()
+    }
+    assert out[100]["n_hit_docs"] == 2
+    assert out[100]["n_shared_grams"] == 1  # the single 3-gram
+    assert out[100]["compromised"]
+    assert out[200]["n_hit_docs"] == 0
+    assert out[200]["n_shared_grams"] == 0
+    assert not out[200]["compromised"]

@@ -127,6 +127,94 @@ def eval_fixture(docs: DataFrame) -> DataFrame:
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    k: int = NGRAM_K,
+) -> DataFrame:
+    """The REVERSE view of decontaminate_ngram — per EVAL item instead of
+    per training doc: how many distinct training docs share at least one
+    word k-gram with it, how many distinct grams leaked, and the
+    compromised flag. This is the report a decontamination run actually
+    acts on (drop or re-split the compromised benchmark items); the
+    per-corpus-doc view feeds the corpus filter instead.
+
+    Same size asymmetry, same plan shape: the benchmark-sized
+    (eval_id, gram) pairs broadcast, the corpus side explodes its
+    already-distinct shingles once through the codegen hash probe, and
+    the per-eval distinct counts aggregate with map-side partials. The
+    only exchange carries one row per (eval_id, partial) — never the
+    corpus."""
+    if eval_docs is None:
+        eval_docs = eval_fixture(docs)
+    train = docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti")
+    ev_grams = eval_docs.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(word_shingles(F.col("text"), k)).alias("g"),
+    )
+    hits = (
+        train.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+        )
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_hit_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+    return (
+        eval_docs.select(F.col("doc_id").alias("eval_id"))
+        .join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_hit_docs", F.lit(0)).alias("n_hit_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_hit_docs", F.lit(0)) >= 1).alias("compromised"),
+        )
+    )
+
+
+def contamination_report_sql(k: int = NGRAM_K) -> str:
+    """Oracle for contamination_report(docs) (eval = the held-out
+    fixture): per eval item, the distinct corpus docs and distinct grams
+    it leaks into, via explicit per-pair list_intersect."""
+    grams = (
+        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
+        + " i -> "
+        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+        + "))"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {k} THEN {grams}
+                       ELSE [] END AS shingles
+           FROM tok),
+    evtok AS (SELECT doc_id + {EVAL_FIXTURE_ID_SHIFT} AS eval_id,
+                     toks[1:{EVAL_FIXTURE_TOKENS}] AS toks
+              FROM tok
+              WHERE doc_id % {EVAL_FIXTURE_MOD} = {EVAL_FIXTURE_RESIDUE}),
+    evsh AS (SELECT eval_id,
+                    CASE WHEN len(toks) >= {k} THEN {grams}
+                         ELSE [] END AS shingles
+             FROM evtok),
+    pairs AS (
+      SELECT e.eval_id,
+             list_intersect(s.shingles, e.shingles) AS shared
+      FROM evsh e, sh s)
+    SELECT eval_id,
+           CAST(sum(CASE WHEN len(shared) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_docs,
+           CAST(coalesce(len(list_distinct(flatten(list(shared)))), 0)
+             AS BIGINT) AS n_shared_grams,
+           sum(CASE WHEN len(shared) > 0 THEN 1 ELSE 0 END) >= 1
+             AS compromised
+    FROM pairs GROUP BY eval_id
+    """
+
+
 def doc_repetition_stats(docs: DataFrame, k: int = 2) -> DataFrame:
     """Gopher-style per-doc repetition features over the raw whitespace
     split of ``text`` (F.split(text, ' ') — NOT textstats._toks, which

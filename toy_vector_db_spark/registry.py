@@ -1617,6 +1617,18 @@ def q_decontaminate_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("contamination_report")
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-EVAL-item contamination report (round 5): for each
+    held-out fixture item, the distinct corpus docs and distinct k-grams
+    it leaks into, plus the compromised flag — the reverse view of
+    decontaminate_ngram, and the one a decontamination run acts on
+    (drop/re-split compromised benchmark items)."""
+    from toy_vector_db_spark.operators import decontam
+
+    return decontam.contamination_report(table(spark, sf_dir, "documents"))
+
+
 @register("decontaminate_embedding")
 def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (round 5): per training vector,
@@ -1658,6 +1670,7 @@ def _register_decontam_oracles() -> None:
 
     _ORACLES["decontaminate_ngram"] = decontam.decontaminate_sql()
     _ORACLES["decontaminate_eval_fixture"] = decontam.decontaminate_fixture_sql()
+    _ORACLES["contamination_report"] = decontam.contamination_report_sql()
     _ORACLES["decontaminate_embedding"] = (
         f"WITH {_SPLIT_CTE},\n{decontam.decontaminate_embedding_sql()}"
     )
