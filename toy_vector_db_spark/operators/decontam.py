@@ -175,16 +175,25 @@ def contamination_report(
     )
 
 
+def _grams_sql(k: int, distinct: bool = True) -> str:
+    """The DuckDB word-k-gram list over a ``toks`` column — the single
+    source of the shingle construction every oracle in this module uses
+    (distinct=True mirrors word_shingles; repetition stats keep
+    multiplicity). A divergent copy here would silently split the
+    Spark/oracle parity this module exists to keep."""
+    body = (
+        f"list_transform(range(1, len(toks) - {k - 2}), i -> "
+        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+        + ")"
+    )
+    return f"list_distinct({body})" if distinct else body
+
+
 def contamination_report_sql(k: int = NGRAM_K) -> str:
     """Oracle for contamination_report(docs) (eval = the held-out
     fixture): per eval item, the distinct corpus docs and distinct grams
     it leaks into, via explicit per-pair list_intersect."""
-    grams = (
-        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
-        + " i -> "
-        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
-        + "))"
-    )
+    grams = _grams_sql(k)
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents),
@@ -299,12 +308,7 @@ def doc_repetition_stats(docs: DataFrame, k: int = 2) -> DataFrame:
 def decontaminate_sql(
     eval_max_id: int = EVAL_MAX_ID, k: int = NGRAM_K
 ) -> str:
-    grams = (
-        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
-        + " i -> "
-        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
-        + "))"
-    )
+    grams = _grams_sql(k)
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents),
@@ -330,12 +334,7 @@ def decontaminate_fixture_sql(k: int = NGRAM_K) -> str:
     the eval grams come from the truncated, id-shifted fixture frame, and
     — because the shifted ids never collide with corpus ids — every corpus
     doc is a training doc."""
-    grams = (
-        f"list_distinct(list_transform(range(1, len(toks) - {k - 2}),"
-        + " i -> "
-        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
-        + "))"
-    )
+    grams = _grams_sql(k)
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents),
@@ -359,11 +358,7 @@ def decontaminate_fixture_sql(k: int = NGRAM_K) -> str:
 
 
 def repetition_sql(k: int = 2) -> str:
-    grams = (
-        f"list_transform(range(1, len(toks) - {k - 2}), i -> "
-        + " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
-        + ")"
-    )
+    grams = _grams_sql(k, distinct=False)
     return f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents),

@@ -56,10 +56,11 @@ EF_CONSTRUCTION = 200
 ML = 1.0 / math.log(4.0)
 
 def similarity_nprobe() -> int:
-    """Default probe width for IVF-routed search — follows the measured
-    serving knob in operators/similarity.py (round 5: nprobe=6 lifts
-    routing recall ~0.55 -> ~0.70 at sf0.001) so the routed graph and the
-    flat IVF scan prune identically by default."""
+    """Default probe width for IVF-routed search — reads the measured
+    serving knob in operators/similarity.py AT CALL TIME (round 5:
+    nprobe=6 lifts routing recall ~0.55 -> ~0.70 at sf0.001) so the
+    routed graph and the flat IVF scan prune identically by default,
+    even if N_PROBE is retuned after import."""
     from toy_vector_db_spark.operators.similarity import N_PROBE
     return N_PROBE
 
@@ -569,7 +570,7 @@ def knn_hnsw_routed(
     queries: DataFrame,
     k: int,
     n_centroids: int = 16,
-    nprobe: int = similarity_nprobe(),
+    nprobe: int | None = None,
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -589,6 +590,9 @@ def knn_hnsw_routed(
     from pyspark.sql import Window
 
     from toy_vector_db_spark.operators import similarity
+
+    if nprobe is None:
+        nprobe = similarity_nprobe()
 
     cents = similarity.cached_trained_centroids(
         base, n_centroids, id_col=id_col, vec_col=vec_col
@@ -711,7 +715,7 @@ def knn_hnsw_routed_prebuilt(
     cents: DataFrame,
     queries: DataFrame,
     k: int,
-    nprobe: int = similarity_nprobe(),
+    nprobe: int | None = None,
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -728,6 +732,9 @@ def knn_hnsw_routed_prebuilt(
     from pyspark.sql import Window
 
     from toy_vector_db_spark.functions import vector as V
+
+    if nprobe is None:
+        nprobe = similarity_nprobe()
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
         "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))

@@ -333,9 +333,14 @@ def written_codes_cells(
         vec_col,
     )
     if key not in _WRITTEN_INDEX_CACHE:
-        path = os.path.join(
-            FIXTURE_DIR, "sink_out", "ivfpq_index", f"h{key[1] & 0xFFFFFFFF:x}"
-        )
+        # path derives from the FULL cache key (app id, plan hash, column
+        # names) — a plan-hash-only path would let two distinct cache
+        # entries (different columns, or two apps on one machine) overwrite
+        # each other's parquet while the first frame still lazily reads it
+        import hashlib
+
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+        path = os.path.join(FIXTURE_DIR, "sink_out", "ivfpq_index", tag)
         cached_codes_cells(base, id_col, vec_col).write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(path)

@@ -486,8 +486,11 @@ def q_knn_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, qs = _split(spark, sf_dir)
     n_base = base.count()
     parted, edges = hnsw.cached_index(base, f"{sf_dir}#exhaustive", 1)
+    # the search's k IS the margin (4K): the global window must keep the
+    # full safety margin, not cut to K by kernel numpy ordering — the
+    # re-score below makes the only K-cut, by the fold-form distance
     cand = hnsw.knn_hnsw_prebuilt(
-        parted, edges, qs, K, ef=n_base, emit=4 * K
+        parted, edges, qs, 4 * K, ef=n_base, emit=4 * K
     )
     return _exact_rescore(base, qs, cand)
 
@@ -543,8 +546,10 @@ def q_knn_hnsw_routed_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_base = base.count()
     cells, edges, cents = hnsw.cached_routed_index(base, sf_dir)
     n_cells = cents.count()
+    # search k = the 4K margin so the global window keeps it (see
+    # q_knn_hnsw_exhaustive); _exact_rescore makes the only K-cut
     cand = hnsw.knn_hnsw_routed_prebuilt(
-        cells, edges, cents, qs, K,
+        cells, edges, cents, qs, 4 * K,
         nprobe=n_cells, ef=n_base, emit=4 * K,
     )
     return _exact_rescore(base, qs, cand)
@@ -1447,6 +1452,11 @@ def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, _qs = _split(spark, sf_dir)
     cc = similarity.cached_codes_cells(base)
+    # the on-disk partitioned artifact is part of the BUILD: write it here
+    # so ivfpq_partitioned_search's first run measures search, not the
+    # one-time parquet write (the same cache-population hygiene this key
+    # exists for)
+    similarity.written_codes_cells(base)
     return cc.groupBy("centroid_id").agg(
         F.count("*").alias("n_vectors"),
         *[
