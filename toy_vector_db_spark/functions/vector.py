@@ -123,6 +123,17 @@ def sql_euclidean_from_dot(a: str, b: str) -> str:
     greatest(0.0, ·) guard, all built from the bit-exact dot/sqrt
     primitives, so cross-engine hashes stay aligned. One dot fold per pair
     instead of a second squared-diff fold — the BNLJ hot-path form.
+
+    Known numerical trade (deliberate): for NEAR-IDENTICAL vectors the
+    identity cancels catastrophically (|a|²+|b|²−2·dot is a difference of
+    O(1) terms, absolute error ~1e-16 ⇒ total loss of relative precision
+    below true distances ~1e-8), where the fold form (x−y)² keeps full
+    precision. Both engines evaluate the SAME expression, so the eval
+    hash cannot diverge — the trade is accuracy vs true euclidean at the
+    rank boundary for near-duplicate neighbors, accepted here because the
+    evaluation retriever ranks synthetic fixtures with pair distances
+    O(0.1); the V5 operator (vec_euclidean_dist / sql_euclidean_distance)
+    keeps the stable fold form for user-facing distance values.
     """
     return (
         f"sqrt(greatest(0.0, "

@@ -46,7 +46,7 @@ NGRAM_K = 3
 # the corpus, so the broadcast-hash probe is proven against foreign data
 EVAL_FIXTURE_MOD = 7
 EVAL_FIXTURE_RESIDUE = 3
-EVAL_FIXTURE_ID_SHIFT = 100_000
+EVAL_FIXTURE_ID_SHIFT = 10_000_000  # >> any fixture corpus (sibling idiom: dedup.DUP_OFFSET)
 EVAL_FIXTURE_TOKENS = 12
 
 

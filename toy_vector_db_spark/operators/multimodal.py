@@ -78,6 +78,13 @@ def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
         w = int.from_bytes(payload[4:6], "big")
         h = int.from_bytes(payload[6:8], "big")
         c = payload[8]
+        # loud on corruption: a truncated/overflowed header (e.g. height
+        # past the 2-byte field) must not silently decode a pixel prefix
+        if len(payload) - 9 != w * h * c:
+            raise ValueError(
+                f"raw-image payload length {len(payload) - 9} != "
+                f"header dims {w}x{h}x{c}"
+            )
         pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9)
         return pixels.reshape(h, w, c)
     raise NotImplementedError(

@@ -333,13 +333,16 @@ def written_codes_cells(
         vec_col,
     )
     if key not in _WRITTEN_INDEX_CACHE:
-        # path derives from the FULL cache key (app id, plan hash, column
-        # names) — a plan-hash-only path would let two distinct cache
-        # entries (different columns, or two apps on one machine) overwrite
-        # each other's parquet while the first frame still lazily reads it
+        # path derives from the CONTENT key (plan hash + column names,
+        # NOT the app id): the codes are deterministic for a given plan,
+        # so a later session overwrites the directory with identical
+        # bytes instead of accumulating one orphaned index copy per
+        # applicationId; distinct plans/columns still get distinct dirs
+        # (a plan-hash-only path would let different column choices
+        # overwrite each other while a live frame still lazily reads it)
         import hashlib
 
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+        tag = hashlib.md5(repr(key[1:]).encode()).hexdigest()[:12]
         path = os.path.join(FIXTURE_DIR, "sink_out", "ivfpq_index", tag)
         cached_codes_cells(base, id_col, vec_col).write.mode(
             "overwrite"

@@ -88,12 +88,16 @@ _PRIORITY = [
     # knn_hnsw_routed_exhaustive, decontaminate_eval_fixture, ivfpq_build,
     # and mm_decode_image_stats; rotating out to make room:
     # stratified_quality_filter, chunk_documents, pii_scrub,
-    # dup_clusters, simhash_signatures, text_quality,
+    # dup_clusters, simhash_signatures,
     # streaming_tumbling_counts, streaming_session_windows,
-    # dedup_minhash_lsh, streaming_stateful_user_stats (each driver-green
-    # in at least rounds 3 and 4; the last six make room for the new
-    # span_dedup_scrub, vocab_topk, training_shard_assign,
-    # ivfpq_partitioned_search, and decontaminate_embedding). Rotated-out keys stay fully oracle-tested locally
+    # dedup_minhash_lsh, streaming_stateful_user_stats, text_quality
+    # (each driver-green in at least rounds 3 and 4) — freeing the slots
+    # for the new span_dedup_scrub, vocab_topk, training_shard_assign,
+    # ivfpq_partitioned_search, and decontaminate_embedding. Two further
+    # round-5 keys (hybrid_rrf_topk, contamination_report) did NOT fit
+    # the 50-slot window: they are overflow this round — local-oracle
+    # green at multiple SFs, queued to rotate in next round (COVERAGE.md
+    # records the same). Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
     # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
@@ -298,15 +302,25 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship reference query: top-10 nearest neighbors (clamped cosine) of
     query point query[29] over the 95% prefix base set (src/main.rs:61-94).
     Plans as parquet scan → codegen distance → TakeOrderedAndProject(10)."""
+    emb, qid, base = _query_point(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
+    res = knn.knn_exact_single(base, qvec, K)
+    return res.select("vec_id", rnd("dist", ROUND).alias("dist"))
+
+
+def _query_point(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, DataFrame]:
+    """(embeddings, qid, base): the reference's query point — query[29]
+    past the 95% split cut, clamped to the last query row for tiny SFs
+    (src/main.rs:81) — and the base split. The ONE derivation of the
+    flagship query point; four keys consume it, so clamp/ratio changes
+    happen in one place (plus the SQL cut CTEs)."""
     emb = table(spark, sf_dir, "embeddings")
     n = _emb_count(spark, sf_dir)
     cut = split_count(n, SPLIT_RATIO)
-    # query[29] (src/main.rs:81), clamped to the last query row for tiny SFs
     qid = cut + min(QUERY_OFFSET, n - cut - 1)
-    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
-    base = emb.where(F.col("vec_id") < cut)
-    res = knn.knn_exact_single(base, qvec, K)
-    return res.select("vec_id", rnd("dist", ROUND).alias("dist"))
+    return emb, qid, emb.where(F.col("vec_id") < cut)
 
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -866,12 +880,8 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-scaled plan and the fusion joins two 25-row frames."""
     from toy_vector_db_spark.operators import curation
 
-    emb = table(spark, sf_dir, "embeddings")
-    n = _emb_count(spark, sf_dir)
-    cut = split_count(n, SPLIT_RATIO)
-    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    emb, qid, base = _query_point(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
-    base = emb.where(F.col("vec_id") < cut)
     return curation.hybrid_rrf_topk(
         table(spark, sf_dir, "documents"), base, qvec
     )
@@ -886,12 +896,8 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table for display (first sentence — the reference's result
     formatting, src/main.rs:31-57). The top-k side is 10 rows, so the doc
     join is a broadcast of the RESULT against the documents scan."""
-    emb = table(spark, sf_dir, "embeddings")
-    n = _emb_count(spark, sf_dir)
-    cut = split_count(n, SPLIT_RATIO)
-    qid = cut + min(QUERY_OFFSET, n - cut - 1)
+    emb, qid, base = _query_point(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
-    base = emb.where(F.col("vec_id") < cut)
     topk = knn.knn_exact_single(base, qvec, K).withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())),
@@ -934,13 +940,18 @@ def q_hnsw_routed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed search separately (build once / search many)."""
     base, _ = _split(spark, sf_dir)
     _, edges, _ = hnsw.cached_routed_index(base, sf_dir)
-    deg = edges.groupBy("layer", "src").agg(F.count("*").alias("out_deg"))
+    # same pos-based single map-side-combinable fold as q_hnsw_build
+    # (each emitting node has exactly one pos=0 row per layer; max
+    # out-degree = max(pos)+1) — one exchange instead of the two the
+    # groupBy(layer, src) → groupBy(layer) form paid
     return (
-        deg.groupBy("layer")
+        edges.groupBy("layer")
         .agg(
-            F.count("*").alias("n_nodes"),
-            F.sum("out_deg").alias("n_edges"),
-            F.max("out_deg").alias("max_out_degree"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nodes"),
+            F.count("*").alias("n_edges"),
+            (F.max("pos") + 1).cast("long").alias("max_out_degree"),
         )
         .orderBy("layer")
     )
@@ -966,11 +977,9 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact with recall@10 / precision@10 (src/evaluation.rs:7-15).
     Returns one row: the pipeline's evaluation summary."""
     configure(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb, qid, base = _query_point(spark, sf_dir)
     n = _emb_count(spark, sf_dir)
     cut = split_count(n, SPLIT_RATIO)
-    qid = cut + min(QUERY_OFFSET, n - cut - 1)
-    base = emb.where(F.col("vec_id") < cut)
     q1 = emb.where(F.col("vec_id") == qid).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
