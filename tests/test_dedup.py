@@ -93,3 +93,74 @@ def test_span_dedup_keep_first(spark):
     # doc 1 — only the short tail span is new to the corpus
     assert out[3]["clean_text"] == "tail"
     assert out[3]["n_spans"] == 4 and out[3]["n_dropped"] == 3
+
+
+def test_span_dedup_adversarial_scale(spark):
+    """Round-6 scale gate (verdict r5 item 5): span_dedup_scrub on a
+    generated ADVERSARIAL corpus at 10× the fixture row count — every
+    document a rotation of one shared token ring (so every span recurs in
+    ~every doc) plus one mega-duplicate span in all docs (the C4
+    boilerplate hot key, 5000 occurrences of a single span value).
+    Asserts (a) global keep-first output invariants hold under extreme
+    duplication and (b) the plan's keep-first aggregate stays map-side
+    combined and hash-partitioned — the hot span key must NOT collapse
+    the exchange onto a single reducer. Measured shuffle sizes for this
+    corpus are recorded in SCALE.md (span-dedup row)."""
+    from toy_vector_db_spark.operators import dedup
+
+    n_docs, ring = 5000, 96  # 10× the sf0.001 documents fixture
+    w = dedup.SPAN_W
+    words = [f"w{i}" for i in range(ring)]
+    rows = [
+        # rotation keeps every w-window of the ring present in every doc
+        # (modulo alignment); the trailing hot span duplicates corpus-wide
+        (i, " ".join(words[i % ring:] + words[: i % ring]) + " hot hot hot")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.span_dedup_scrub(docs)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # keep-first = min-of-struct aggregate with a partial (map-side)
+    # phase; a row_number window would sort the 5000-row hot key in one
+    # task. The span-key exchange must hash-partition, never collapse to
+    # a single partition (only broadcast/AQE-local shuffles otherwise).
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_min" in plan or plan.count("SortAggregate") >= 2 or \
+        plan.count("HashAggregate") >= 2
+
+    rs = out.collect()
+    assert len(rs) == n_docs
+    by_id = {r["doc_id"]: r for r in rs}
+    # per-doc counters are consistent
+    assert all(0 <= r["n_dropped"] <= r["n_spans"] for r in rs)
+    # every doc splits into ring/w spans + the hot span
+    assert all(r["n_spans"] == ring // w + 1 for r in rs)
+    # global invariant: total kept == number of DISTINCT spans in the
+    # corpus (each distinct span survives exactly once)
+    from pyspark.sql import functions as FF
+
+    spans = docs.select(
+        FF.explode(
+            FF.transform(
+                FF.sequence(
+                    FF.lit(0),
+                    FF.ceil(
+                        FF.size(FF.split("text", " ")) / FF.lit(float(w))
+                    ).cast("int") - 1,
+                ),
+                lambda i: FF.array_join(
+                    FF.slice(FF.split(FF.col("text"), " "), i * w + 1, w), " "
+                ),
+            )
+        ).alias("span")
+    )
+    n_distinct = spans.distinct().count()
+    total_kept = sum(r["n_spans"] - r["n_dropped"] for r in rs)
+    assert total_kept == n_distinct
+    # keep-first: doc 0 is the earliest occurrence of all its spans, so
+    # it survives intact; the hot span survives ONLY there
+    assert by_id[0]["n_dropped"] == 0
+    assert sum("hot hot hot" in r["clean_text"] for r in rs) == 1
+    assert "hot hot hot" in by_id[0]["clean_text"]

@@ -242,17 +242,7 @@ def hybrid_rrf_topk(
     from toy_vector_db_spark.operators import knn
 
     terms = BM25_TERMS if terms is None else terms
-    lex = (
-        _bm25_scored(docs, terms)
-        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
-        .limit(depth)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
-            .alias("lex_rank"),
-        )
-    )
+    lex = _lex_ranks(docs, terms, depth)
     sem = (
         knn.with_distance(emb, query_vec)
         .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
@@ -264,6 +254,29 @@ def hybrid_rrf_topk(
             .alias("sem_rank"),
         )
     )
+    return _rrf_fuse(lex, sem, k)
+
+
+def _lex_ranks(docs: DataFrame, terms: list[str], depth: int) -> DataFrame:
+    """BM25 lexical leg: top-``depth`` docs as (doc_id, lex_rank)."""
+    return (
+        _bm25_scored(docs, terms)
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(depth)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
+            .alias("lex_rank"),
+        )
+    )
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int) -> DataFrame:
+    """Reciprocal-rank fusion of two ≤depth-row rank frames: rrf(d) =
+    Σ_retrievers 1/(C + rank_r(d)), absent-from-a-list contributing 0
+    (the coalesce evaluates the PRE-coalesce nullable rank, so a missing
+    leg is exactly 0, not 1/C)."""
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
@@ -280,6 +293,36 @@ def hybrid_rrf_topk(
             "doc_id", "lex_rank", "sem_rank", rnd("r", ROUND).alias("rrf")
         )
     )
+
+
+def hybrid_rrf_ivfpq(
+    docs: DataFrame,
+    base: DataFrame,
+    queries_one: DataFrame,
+    terms: list[str] | None = None,
+    k: int = HYBRID_K,
+    depth: int = HYBRID_DEPTH,
+) -> DataFrame:
+    """Hybrid retrieval with a REAL ANN leg (round-6 verdict item 6 —
+    the production RAG shape): BM25 lexical top-``depth`` fused with the
+    IVF-PQ index's top-``depth`` instead of the exact scan. Rank-only RRF
+    keeps the fused score engine-exact: knn_ivfpq is fully deterministic
+    (trained quantizers, scale-aware rerank budget), so its integer ranks
+    — and therefore the fusion — are DuckDB-oracle-able end to end. At
+    100 TB the vector leg is the cell-partition-pruned compressed scan
+    (ivfpq_partitioned_search's layout); the fusion itself still joins
+    two ≤depth-row frames.
+
+    ``queries_one`` is a 1-row (query_id, query_vec) frame — the flagship
+    query point."""
+    from toy_vector_db_spark.operators import similarity
+
+    terms = BM25_TERMS if terms is None else terms
+    lex = _lex_ranks(docs, terms, depth)
+    sem = similarity.knn_ivfpq(base, queries_one, depth).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    return _rrf_fuse(lex, sem, k)
 
 
 def _bm25_sql_terms(terms: list[str]) -> tuple[str, str]:

@@ -37,17 +37,29 @@ from toy_vector_db_spark.functions import vector as V
 
 ROUND = 6
 N_CENTROIDS = 16
-# Serving knobs, set by measurement at sf0.001 (round 5; recall@10 vs
-# exact): nprobe 4 → 6 lifts IVF recall 0.55 → 0.70 (scans 37.5% of cells
-# instead of 25%), and the rerank budget R = 16k lifts PQ-rerank
-# 0.60 → 0.81 and IVF-PQ (at nprobe=6) 0.52 → 0.71. More k-means
-# iterations were measured FLAT (3/5/8/10/15 iters all land within
-# 0.55-0.58 IVF recall — the synthetic clusters saturate Lloyd's by
-# iteration 3), so KMEANS_ITERS stays at 3 and the recall budget goes to
-# probe width and rerank depth, the levers that actually move it.
-N_PROBE = 6
+# Serving knobs, set by measurement (recall@10 vs exact). Round-6 revision
+# (r5 verdict item 2: PQ recall decayed with corpus size — rerank 0.81 at
+# sf0.001 but 0.46 at sf0.1, IVF-PQ 0.71 → 0.44):
+#   * codebook resolution PQ_M 4 → 8, PQ_K 16 → 64 (16 → 48 bits/vector,
+#     still a 10.7× compressed scan): the dominant, scale-FAITHFUL fix —
+#     it lifts the quality of the ADC ranking itself, so the top-R ADC
+#     candidates keep containing the true neighbors as the corpus grows
+#     (measured at fixed R=160: rerank 0.46 → 0.88 at sf0.1).
+#   * rerank budget made scale-AWARE: R = max(RERANK_MULT·k,
+#     ⌈n_base / RERANK_DEN⌉) instead of a fixed R (see _rerank_budget) —
+#     the reranked FRACTION no longer shrinks with the corpus.
+#   * nprobe 6 → 8: the coarse-probe miss rate was the IVF-PQ cap
+#     (knn_ivf recall 0.65 at sf0.1 bounded knn_ivfpq at 0.63 however
+#     good the codes); 8/16 cells measures 0.804 (sf0.001) / 0.774
+#     (sf0.1) for IVF and lifts IVF-PQ to 0.804 / 0.748.
+# More k-means iterations were measured FLAT (round 5: 3/5/8/10/15 iters
+# within 0.03 recall — the synthetic clusters saturate Lloyd's by
+# iteration 3), so KMEANS_ITERS stays at 3; probe width, codebook
+# resolution, and rerank depth are the levers that actually move recall.
+N_PROBE = 8
 N_HYPERPLANES = 12
-RERANK_MULT = 16  # rerank budget R = RERANK_MULT * k
+RERANK_MULT = 16  # rerank budget floor: R >= RERANK_MULT * k
+RERANK_DEN = 10  # scale-aware rerank: R >= ceil(n_base / RERANK_DEN)
 
 
 def centroids_df(base: DataFrame, n: int = N_CENTROIDS,
@@ -351,6 +363,35 @@ def written_codes_cells(
     return spark.read.parquet(_WRITTEN_INDEX_CACHE[key])
 
 
+# (appId, base plan hash, id_col) → base-split row count, for the
+# scale-aware rerank budget. One count per session against the (persisted)
+# codes/base lineage — a scalar, not a data collect.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _rerank_budget(base: DataFrame, k: int, id_col: str = "vec_id") -> int:
+    """Scale-aware ADC rerank budget (round-6 verdict item 2): R =
+    max(RERANK_MULT·k, ceildiv(n_base, RERANK_DEN)). The old fixed R meant
+    the exactly-reranked FRACTION of the corpus shrank as it grew, so
+    recall decayed toward the raw ADC floor with scale; tying R to a
+    constant fraction (ceil-division — integer-exact in both engines,
+    no float ceil drift) lower-bounds the fraction instead. The oracle
+    computes the identical budget in SQL via a count(*) scalar subquery
+    (oracles_similarity.rerank_budget_sql). At extreme scale the
+    fraction term is the knob a deployment would cap, leaning on codebook
+    resolution instead (PQ_M/PQ_K — the round-6 lift from 16 to 48
+    bits/vector is what bought most of the measured recall back)."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+    )
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = base.count()
+    n = _COUNT_CACHE[key]
+    return max(RERANK_MULT * k, -(-n // RERANK_DEN))
+
+
 def _ivf_probes(
     queries: DataFrame,
     cents: DataFrame,
@@ -359,27 +400,81 @@ def _ivf_probes(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """The nprobe nearest cells per query: (query_id, query_vec, _q_mag,
-    centroid_id), nprobe rows per query. Magnitudes hoisted per side (the
-    ivf_assign idiom — bit-identical to inline V.distance); row_number
-    tie-break on centroid_id matches the oracle. Shared by knn_ivf and
-    knn_ivfpq."""
-    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    centroid_id), nprobe rows per query. Shared by knn_ivf and knn_ivfpq.
+
+    Zero-shuffle routing (round-6 verdict item 7): the C centroids
+    collapse into ONE array-of-structs row (the lsh_hyperplane_buckets
+    idiom) that broadcasts to the query side; each query row ranks the
+    cells with an array_sort over (qd, centroid_id) structs — the same
+    lexicographic order as the previous row_number window — slices the
+    first nprobe and explodes them. The old form shuffled nq×C scored
+    rows through a window exchange at serving time; now routing is pure
+    map-side projection, O(C·dim) per query row, and the probe frame's
+    lineage has no exchange at all (it broadcasts straight into the cell
+    join). Distances use the same hoisted-magnitude V.dot fold as
+    ivf_assign — bit-identical to the oracle's scoring."""
     cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
-    q_sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(query_vec_col), F.col("centroid_vec"))
-        / (F.col("_q_mag") * F.col("_c_mag")),
+    cents_row = cents_m.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec", "_c_mag"))
+        ).alias("_cents")
     )
-    q_scored = q_m.crossJoin(F.broadcast(cents_m)).withColumn(
-        "qd", F.lit(1.0) - q_sim
+    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+
+    def _cell_dist(c):
+        sim = F.greatest(
+            F.lit(0.0),
+            V.dot(F.col(query_vec_col), c["centroid_vec"])
+            / (F.col("_q_mag") * c["_c_mag"]),
+        )
+        return F.struct(
+            (F.lit(1.0) - sim).alias("qd"), c["centroid_id"].alias("centroid_id")
+        )
+
+    probed = q_m.crossJoin(F.broadcast(cents_row)).withColumn(
+        "_probes",
+        F.slice(F.array_sort(F.transform("_cents", _cell_dist)), 1, nprobe),
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("qd").asc(),
-                                                  F.col("centroid_id").asc())
-    return (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(query_id_col, query_vec_col, "_q_mag", "centroid_id")
+    return probed.select(
+        query_id_col, query_vec_col, "_q_mag",
+        F.explode("_probes").alias("_p"),
+    ).select(
+        query_id_col, query_vec_col, "_q_mag",
+        F.col("_p.centroid_id").alias("centroid_id"),
     )
+
+
+# (appId, base plan hash, id_col, vec_col) → persisted serving-side base
+# table (id, vec, _v_mag, centroid_id). At 100 TB this IS the stored base
+# table — vectors written partitioned by centroid_id with their norms at
+# index-build time — so a search never re-joins the cell assignment (or
+# re-folds magnitudes) at query time. Round-6 verdict item 7: the
+# per-search base⋈assign join charged index-build work to every query.
+_CELL_VECTORS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_cell_vectors(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _CELL_VECTORS_CACHE:
+        assign = cached_trained_assign(base, id_col, vec_col)
+        cv = (
+            base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
+            .join(assign, id_col)
+            .select(id_col, vec_col, "_v_mag", "centroid_id")
+            .persist()
+        )
+        cv.count()
+        _CELL_VECTORS_CACHE[key] = cv
+    return _CELL_VECTORS_CACHE[key]
 
 
 def knn_ivf(
@@ -394,6 +489,7 @@ def knn_ivf(
     query_vec_col: str = "query_vec",
     cents: DataFrame | None = None,
     assign: DataFrame | None = None,
+    cell_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the nprobe nearest cells per query, exact top-k
     within the probed cells. Two broadcast joins + one shuffle for the
@@ -403,23 +499,30 @@ def knn_ivf(
     ``cached_trained_assign(base)`` to reuse the session-cached cell
     assignment (the build-time artifact) instead of recomputing it.
 
-    WARNING: ``assign`` must be the assignment derived from the SAME
+    WARNING: ``assign`` / ``cell_vectors`` must derive from the SAME
     ``cents`` quantizer — a mismatched pair silently prunes the wrong
     cells (no error, wrong neighbors). When only ``cents`` is passed the
     assignment is derived from it here, which is always consistent; pass
-    both only when handing in the cached build-time pair (advice r4)."""
-    if cents is None:
+    the cached artifacts only as the consistent build-time set
+    (``cached_trained_centroids`` + ``cached_cell_vectors``).
+    ``cell_vectors`` (round 6) is the persisted serving-side base table
+    (id, vec, _v_mag, centroid_id) — with it, a search touches no join
+    other than the broadcast probe join, matching the 100 TB layout where
+    the base is WRITTEN cell-partitioned with norms at build time."""
+    if cell_vectors is None:
+        if cents is None:
+            cents = centroids_df(base, n_centroids, id_col, vec_col)
+        if assign is None:
+            assign = ivf_assign(base, cents, id_col, vec_col).select(
+                id_col, "centroid_id"
+            )
+        cell_vectors = base.withColumn(
+            "_v_mag", V.magnitude(F.col(vec_col))
+        ).join(assign, id_col).select(id_col, vec_col, "_v_mag", "centroid_id")
+    elif cents is None:
         cents = centroids_df(base, n_centroids, id_col, vec_col)
-    if assign is None:
-        assign = ivf_assign(base, cents, id_col, vec_col).select(
-            id_col, "centroid_id"
-        )
 
     probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
-
-    cell_vectors = base.withColumn(
-        "_v_mag", V.magnitude(F.col(vec_col))
-    ).join(assign, id_col).select(id_col, vec_col, "_v_mag", "centroid_id")
     sim = F.greatest(
         F.lit(0.0),
         V.dot(F.col(vec_col), F.col(query_vec_col))
@@ -440,8 +543,8 @@ def knn_ivf(
 
 # -- Product Quantization (PQ) ----------------------------------------------
 
-PQ_M = 4  # subspaces
-PQ_K = 16  # centroids per subspace
+PQ_M = 8  # subspaces (round 6: 4 → 8, see the knob comment at the top)
+PQ_K = 64  # centroids per subspace (round 6: 16 → 64)
 
 
 def _normalize(v) -> "F.Column":
@@ -649,66 +752,74 @@ def _adc_lut_frame(
     keep_cols: tuple = (),
 ) -> DataFrame:
     """Classic ADC lookup tables, built on the QUERY side before the
-    broadcast: per query and subspace, the 16 codeword distances land in
-    an array column (the exchange materializes its child, so this runs
-    once per query row). The |codes|×|queries| hot loop then does M
-    array lookups per row instead of M interpreted 16-element folds —
-    ~50× less per-candidate work, same values bit-for-bit.
-    The normalized query vector and each subspace slice are materialized
-    as ALIASED projections before the 64 LUT folds reference them —
-    inlined, the _normalize subtree (itself holding a magnitude fold)
-    would be copied into every fold, exploding the expression tree ~64×
-    (an 81 KB plan whose analysis/codegen dominated steady-state ADC
-    latency) and re-evaluating the magnitude per LUT entry.
-    Shared by knn_pq_adc (flat scan) and knn_ivfpq (cell-pruned scan)."""
-    sub = len(books[0][0])
-    v = F.col(query_vec_col).cast("array<double>")
-    mag = F.sqrt(
-        F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
-        )
-    )
-    keep = list(keep_cols)
-    q1 = queries.select(
-        query_id_col, *keep, v.alias("_qv"), mag.alias("_qm")
-    )
-    q2 = q1.select(
-        query_id_col,
-        *keep,
-        F.transform("_qv", lambda x: x / F.col("_qm")).alias("_nqv"),
-    )
-    q3 = q2.select(
-        query_id_col,
-        *keep,
-        *[
-            F.slice("_nqv", m * sub + 1, sub).alias(f"_qs{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    # Each LUT column is ONE parsed SQL expression instead of ~160 py4j
-    # Column-builder round-trips: constructing the 16 literal-array folds
-    # node by node from Python dominated per-query latency (~2 s of
-    # DataFrame BUILD time per search call, measured; execution of the
-    # same plan is ~0.2 s). The SQL text parses to the identical Catalyst
-    # tree as the F.aggregate/F.zip_with builders — same fold, same
-    # coalesce, same 0.0D seed — so values and oracle hashes are
-    # unchanged (asserted by the PQ oracle tests). repr() doubles
-    # round-trip exactly through the SQL parser's Double.parseDouble.
-    def _arr(vals) -> str:
-        return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+    broadcast: per query and subspace, the PQ_K codeword distances land
+    in an array column. The |codes|×|queries| hot loop then does M array
+    lookups per row instead of M interpreted PQ_K-element folds — same
+    values bit-for-bit, ~PQ_K× less per-candidate work.
 
-    lut_cols = []
-    for m in range(PQ_M):
-        entries = ",".join(
-            f"aggregate(zip_with(_qs{m}, {_arr(books[m][kk])},"
-            " (x, y) -> (x - y) * (x - y)),"
-            " 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
-            for kk in range(PQ_K)
-        )
-        lut_cols.append(F.expr(f"array({entries})").alias(f"_lut{m}"))
-    return q3.select(query_id_col, *keep, *lut_cols)
+    Round 6: the LUTs are computed in a vectorized Arrow kernel (the
+    pq_codes idiom) instead of generated SQL fold expressions. At the
+    round-6 codebook resolution (PQ_M=8 × PQ_K=64) the expression form
+    would be 512 aggregate/zip_with folds carrying 512 literal arrays —
+    a multi-hundred-KB plan whose parse/analysis dominated serving
+    latency (the round-4 81 KB-plan lesson at 8× the size). The kernel
+    is BIT-IDENTICAL to the fold form the DuckDB oracle evaluates:
+    normalization accumulates the magnitude left-to-right over the dim
+    axis (one rounding per op, no FMA), each LUT entry is the
+    (x−y)² left fold over the subspace slice via np.cumsum (0.0 + x₁ ≡
+    x₁), exactly the aggregate(zip_with(...)) order — asserted against
+    the expression form in tests/test_similarity.py.
+    Shared by knn_pq_adc (flat scan) and knn_ivfpq (cell-pruned scan);
+    ``keep_cols`` pass through untouched (arrow columns are copied
+    by reference)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    b_arr = np.array(books)  # (M, K, sub)
+    m_, _, sub = b_arr.shape
+    keep = list(keep_cols)
+    src = queries.select(
+        query_id_col, *keep,
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    pass_names = [query_id_col, *keep]
+    out_schema = StructType(
+        [f for f in src.schema.fields if f.name != "_qv"]
+        + [
+            StructField(f"_lut{m}", ArrayType(DoubleType(), False), False)
+            for m in range(m_)
+        ]
+    )
+
+    def _luts(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = np.array(batch.column("_qv").to_pylist(), dtype=np.float64)
+            n, d = X.shape
+            mag = np.zeros(n)
+            for j in range(d):
+                mag += X[:, j] * X[:, j]
+            mag = np.sqrt(mag)
+            nv = X / mag[:, None]
+            arrays = [batch.column(name) for name in pass_names]
+            names = list(pass_names)
+            for m in range(m_):
+                vm = nv[:, m * sub: (m + 1) * sub]
+                diff = vm[:, None, :] - b_arr[m][None, :, :]
+                dd = np.cumsum(diff * diff, axis=2)[:, :, -1]  # (n, K)
+                arrays.append(
+                    pa.array(dd.tolist(), type=pa.list_(pa.float64()))
+                )
+                names.append(f"_lut{m}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return src.mapInArrow(_luts, schema=out_schema)
 
 
 def _adc_expr() -> "F.Column":
@@ -764,15 +875,18 @@ def knn_pq_rerank(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """The standard PQ serving pipeline: ADC over the compressed codes
-    prunes the corpus to R = RERANK_MULT·k candidates per query, then
-    EXACT cosine re-ranks only the survivors. At 100 TB the full-precision
-    vectors are fetched for R rows per query instead of scanned — the scan
-    touches M bytes/vector. Trained sub-codebooks (round 3) lifted
-    recall@10 from ~0.46 to ~0.60 at R=80; widening R to 16k (round 5)
-    lifts it to ~0.81 at sf0.001 (gated in tests) — rerank depth is the
-    knob that buys recall here, at the cost of R fetched vectors/query."""
+    prunes the corpus to R candidates per query (scale-aware default —
+    see _rerank_budget), then EXACT cosine re-ranks only the survivors.
+    At 100 TB the full-precision vectors are fetched for R rows per query
+    instead of scanned — the scan touches the compressed codes. History
+    of the recall knobs: trained sub-codebooks (round 3) lifted recall@10
+    ~0.46 → ~0.60 at R=80; R 8k → 16k (round 5) → 0.81 at sf0.001 but
+    only 0.46 at sf0.1 (fixed R = shrinking reranked fraction); round 6
+    fixed the decay structurally with PQ_M=8 × PQ_K=64 codebooks plus the
+    fraction-floored R — measured 0.98 (sf0.001) / 0.91 (sf0.1), gated in
+    tests at both scales."""
     if rerank_r is None:
-        rerank_r = RERANK_MULT * k
+        rerank_r = _rerank_budget(base, k, id_col)
     cand = knn_pq_adc(
         base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
     ).select(query_id_col, id_col)
@@ -834,7 +948,7 @@ def knn_ivfpq(
     recall trade is the probed-cell miss rate (same as knn_ivf). Fully
     deterministic (trained quantizers) → DuckDB-oracle-able end to end."""
     if rerank_r is None:
-        rerank_r = RERANK_MULT * k
+        rerank_r = _rerank_budget(base, k, id_col)
     cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
     # the cell-keyed compressed corpus: at 100 TB this join is free —
     # codes are WRITTEN partitioned by centroid_id at index-build time;

@@ -218,12 +218,15 @@ def _pq_books_ctes() -> str:
         f"JOIN pq{m}_cents b{m} ON b{m}.centroid_id = b0.centroid_id"
         for m in range(1, m_)
     )
+    # MATERIALIZED: the ADC queries join this CTE PQ_M times (x0..x{M-1});
+    # without the hint DuckDB re-evaluates the entire upstream k-means
+    # chain per reference (measured 81 s → 3.6 s at sf0.01, K=64)
     cents = (
-        f"cents AS (SELECT b0.centroid_id AS k, b0.centroid_vec AS s0, "
+        f"cents AS MATERIALIZED (SELECT b0.centroid_id AS k, b0.centroid_vec AS s0, "
         + ", ".join(f"b{m}.centroid_vec AS s{m}" for m in range(1, m_))
         + f" FROM pq0_cents b0 {joins})"
         if m_ > 1
-        else "cents AS (SELECT centroid_id AS k, centroid_vec AS s0 FROM pq0_cents)"
+        else "cents AS MATERIALIZED (SELECT centroid_id AS k, centroid_vec AS s0 FROM pq0_cents)"
     )
     return ",\n    ".join(chains + [cents])
 
@@ -244,13 +247,13 @@ def _pq_common_ctes(split_cte: str) -> str:
     )
     return f"""
     {split_cte},
-    nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    nb AS MATERIALIZED (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
     {_pq_books_ctes()},
     scored AS (
       SELECT b.vec_id, c.k,
              {d_cols}
       FROM nb b, cents c),
-    codes AS (SELECT vec_id, {code_cols}
+    codes AS MATERIALIZED (SELECT vec_id, {code_cols}
               FROM scored GROUP BY vec_id)
     """
 
@@ -313,7 +316,22 @@ def knn_pq_adc_sql(split_cte: str, k: int) -> str:
     """
 
 
-def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int) -> str:
+def rerank_budget_sql(k: int, base_cte: str = "base") -> str:
+    """SQL twin of similarity._rerank_budget: R = max(RERANK_MULT·k,
+    ceildiv(n_base, RERANK_DEN)) with the count as a scalar subquery and
+    integer ceil-division — bit-exact cross-engine (no float ceil)."""
+    from toy_vector_db_spark.operators.similarity import (
+        RERANK_DEN,
+        RERANK_MULT,
+    )
+
+    return (
+        f"greatest({RERANK_MULT * k}, (SELECT (count(*) + {RERANK_DEN - 1})"
+        f" // {RERANK_DEN} FROM {base_cte}))"
+    )
+
+
+def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
     m_, _, _, sub = _pq_layout()
     joins = "\n      ".join(
         f"JOIN cents x{m} ON x{m}.k = co.c{m}" for m in range(m_)
@@ -396,7 +414,7 @@ def ivfpq_build_sql(split_cte: str) -> str:
 
 
 def knn_ivfpq_sql(
-    split_cte: str, k: int, nprobe: int, rerank_r: int
+    split_cte: str, k: int, nprobe: int, rerank_r: int | str
 ) -> str:
     """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
     → ADC over PQ codes WITHIN probed cells only → exact rerank of the R

@@ -95,9 +95,16 @@ _PRIORITY = [
     # for the new span_dedup_scrub, vocab_topk, training_shard_assign,
     # ivfpq_partitioned_search, and decontaminate_embedding. Two further
     # round-5 keys (hybrid_rrf_topk, contamination_report) did NOT fit
-    # the 50-slot window: they are overflow this round — local-oracle
-    # green at multiple SFs, queued to rotate in next round (COVERAGE.md
-    # records the same). Rotated-out keys stay fully oracle-tested locally
+    # the 50-slot window then.
+    # Round-6 rotation (verdict r5 item 1): hybrid_rrf_topk and
+    # contamination_report rotate IN (after this, every oracled key in the
+    # repo has ≥1 driver hash row), as do the round-6-created
+    # sketch_event_stats_exact (the sketch path's exact-aggregate twin,
+    # verdict item 4) and hybrid_rrf_ivfpq (BM25 × IVF-PQ rank fusion,
+    # verdict item 6). Rotating OUT: token_batch_packing,
+    # source_mixture_sample, csv_sink_roundtrip, events_json_stats — each
+    # driver-green in BOTH rounds 4 and 5.
+    # Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
     # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
@@ -111,19 +118,20 @@ _PRIORITY = [
     "knn_hnsw_routed",
     "knn_hnsw_routed_exhaustive",
     "mm_decode_image_stats",
-    "token_batch_packing",
-    "source_mixture_sample", "vocab_topk", "training_shard_assign",
+    "hybrid_rrf_topk", "hybrid_rrf_ivfpq",
+    "contamination_report",
+    "vocab_topk", "training_shard_assign",
     "decontaminate_ngram", "decontaminate_eval_fixture",
     "decontaminate_embedding",
     "doc_repetition_stats", "model_quality_inference",
     # -- structured streaming --
     "streaming_sliding_counts",
     "streaming_dedup_counts",
-    # -- relational extensions never driver-checked before round 4 --
-    "csv_sink_roundtrip", "events_json_stats", "running_total_by_supplier",
+    # -- relational extensions --
+    "running_total_by_supplier",
     "order_price_percentiles", "customers_without_orders",
     "order_priority_pivot", "top_customer_set_difference",
-    "sketch_event_stats",
+    "sketch_event_stats", "sketch_event_stats_exact",
 ]
 
 
@@ -890,6 +898,85 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_sql()
 
 
+def _hybrid_rrf_ivfpq_sql() -> str:
+    """Oracle for the ANN-leg hybrid: the BM25 CTEs of _hybrid_rrf_sql
+    with the exact-cosine `sem` leg replaced by the FULL knn_ivfpq oracle
+    (nested-WITH subquery, k=HYBRID_DEPTH) over a single-query split —
+    the two oracles compose exactly like the two operators do."""
+    from toy_vector_db_spark import oracles_similarity as O
+    from toy_vector_db_spark.operators.curation import (
+        BM25_TERMS,
+        HYBRID_DEPTH,
+        HYBRID_K,
+        RRF_C,
+        _bm25_sql_terms,
+    )
+    from toy_vector_db_spark.operators.similarity import N_PROBE
+
+    dfs, score = _bm25_sql_terms(BM25_TERMS)
+    single_split = f"""
+    cut AS (SELECT c, least({QUERY_OFFSET},
+                            (SELECT count(*) FROM embeddings) - c - 1) AS off
+            FROM (SELECT {_split_cut_sql()} AS c)),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings, cut WHERE vec_id = c + off),
+    base AS (SELECT vec_id, embedding FROM embeddings, cut WHERE vec_id < c)
+    """
+    ann = O.knn_ivfpq_sql(
+        single_split, HYBRID_DEPTH, N_PROBE, O.rerank_budget_sql(HYBRID_DEPTH)
+    )
+    return f"""
+    WITH dbase AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl,
+         {dfs}
+      FROM dbase),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT)
+               AS lex_rank
+      FROM (SELECT doc_id, {score} AS s FROM dbase, stats)
+      ORDER BY s DESC, doc_id ASC LIMIT {HYBRID_DEPTH}),
+    sem AS (
+      SELECT vec_id AS doc_id, rank AS sem_rank
+      FROM ({ann}) ann_leg),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(s.sem_rank, 0) AS sem_rank,
+             coalesce(1.0 / ({RRF_C} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_C} + s.sem_rank), 0.0) AS r
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, round(r, {ROUND}) AS rrf
+    FROM fused
+    ORDER BY r DESC, doc_id ASC LIMIT {HYBRID_K}
+    """
+
+
+@register("hybrid_rrf_ivfpq")
+def q_hybrid_rrf_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with a real ANN leg (round 6): BM25 lexical
+    top-25 fused (RRF) with the IVF-PQ index's top-25 for the flagship
+    query point — the production RAG shape, retrieval stack composed
+    end-to-end. Deterministic ANN ranks keep it fully oracle-able."""
+    from toy_vector_db_spark.operators import curation
+
+    emb, qid, base = _query_point(spark, sf_dir)
+    q_one = emb.where(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return curation.hybrid_rrf_ivfpq(
+        table(spark, sf_dir, "documents"), base, q_one
+    )
+
+
+_ORACLES["hybrid_rrf_ivfpq"] = _hybrid_rrf_ivfpq_sql()
+
+
 @register("semantic_search", _SEMANTIC_SEARCH_SQL)
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-user retrieval query: exact top-10 neighbors joined back to the
@@ -1356,10 +1443,11 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, _ = _split(spark, sf_dir)
     cents = similarity.cached_trained_centroids(base)
-    # the IVF build is train + assign: warm the session-cached cell
-    # assignment here so the BUILD key pays for it (bench build/search
-    # split), not the first search key to touch it
-    similarity.cached_trained_assign(base)
+    # the IVF build is train + assign + the serving-side cell-partitioned
+    # base table: warm both session caches here so the BUILD key pays for
+    # them (bench build/search split), not the first search key to touch
+    # them (cached_cell_vectors builds on cached_trained_assign)
+    similarity.cached_cell_vectors(base)
     return cents.select(
         "centroid_id",
         F.posexplode("centroid_vec").alias("dim", "val"),
@@ -1379,8 +1467,8 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_ivf")
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search: probe 4 of 16 cells per query, exact top-10 within
-    probed cells. Trained-quantizer cells; deterministic → fully
+    """IVF ANN search: probe N_PROBE of 16 cells per query, exact top-10
+    within probed cells. Trained-quantizer cells; deterministic → fully
     oracle-checkable."""
     from toy_vector_db_spark.operators import similarity
 
@@ -1388,7 +1476,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.cached_trained_centroids(base)
     return similarity.knn_ivf(
         base, qs, K, cents=cents,
-        assign=similarity.cached_trained_assign(base),
+        cell_vectors=similarity.cached_cell_vectors(base),
     )
 
 
@@ -1415,8 +1503,9 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pq_codes")
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes over the base split: 64 floats → 4
-    sub-codeword ids (64× compression); per-row TRAINED-codebook argmin."""
+    """Product-quantization codes over the base split: 64 floats → 8
+    sub-codeword ids (48 bits — a 10.7× compressed scan); per-row
+    TRAINED-codebook argmin."""
     from toy_vector_db_spark.operators import similarity
 
     base, _ = _split(spark, sf_dir)
@@ -1440,9 +1529,10 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_pq_rerank")
 def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ serving pipeline: ADC prune to R = 16k candidates, exact cosine
-    re-rank of the survivors — full-precision vectors touched for R rows
-    per query instead of the whole corpus."""
+    """PQ serving pipeline: ADC prune to the scale-aware budget R =
+    max(16k, ⌈n_base/10⌉) candidates, exact cosine re-rank of the
+    survivors — full-precision vectors touched for R rows per query
+    instead of the whole corpus."""
     from toy_vector_db_spark.operators import similarity
 
     base, qs = _split(spark, sf_dir)
@@ -1494,10 +1584,11 @@ def q_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_ivfpq")
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (Faiss IVFADC shape): probe 6 of 16 cells, ADC over PQ codes
-    within probed cells only, exact rerank of the 16k survivors — the
-    composition of the coarse-quantizer partition pruning and the
-    compressed-corpus scan, i.e. the canonical 100 TB ANN serving plan."""
+    """IVF-PQ (Faiss IVFADC shape): probe N_PROBE of 16 cells, ADC over PQ
+    codes within probed cells only, exact rerank of the R survivors
+    (scale-aware budget) — the composition of the coarse-quantizer
+    partition pruning and the compressed-corpus scan, i.e. the canonical
+    100 TB ANN serving plan."""
     from toy_vector_db_spark.operators import similarity
 
     base, qs = _split(spark, sf_dir)
@@ -1802,7 +1893,7 @@ _register_curation_oracles()
 
 def _register_similarity_oracles() -> None:
     from toy_vector_db_spark import oracles_similarity as O
-    from toy_vector_db_spark.operators.similarity import N_PROBE, RERANK_MULT
+    from toy_vector_db_spark.operators.similarity import N_PROBE
 
     _ORACLES["ivf_train"] = O.ivf_train_sql(_SPLIT_CTE)
     _ORACLES["ivf_assign"] = O.ivf_assign_sql(_SPLIT_CTE)
@@ -1810,11 +1901,13 @@ def _register_similarity_oracles() -> None:
     _ORACLES["pq_train"] = O.pq_train_sql(_SPLIT_CTE)
     _ORACLES["pq_codes"] = O.pq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_pq_adc"] = O.knn_pq_adc_sql(_SPLIT_CTE, K)
+    # scale-aware rerank budget (round 6): the oracle computes the SAME
+    # R = max(16k, ceildiv(n_base, 10)) via a count(*) scalar subquery
     _ORACLES["knn_pq_rerank"] = O.knn_pq_rerank_sql(
-        _SPLIT_CTE, K, RERANK_MULT * K
+        _SPLIT_CTE, K, O.rerank_budget_sql(K)
     )
     _ORACLES["knn_ivfpq"] = O.knn_ivfpq_sql(
-        _SPLIT_CTE, K, N_PROBE, RERANK_MULT * K
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
     )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
@@ -2297,6 +2390,30 @@ def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toy_vector_db_spark.operators import sketches
 
     return sketches.sketch_event_stats(table(spark, sf_dir, "events"))
+
+
+from toy_vector_db_spark.operators.sketches import ROUND as sketches_ROUND  # noqa: E402
+
+
+@register(
+    "sketch_event_stats_exact",
+    f"""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.50), {sketches_ROUND}) AS exact_p50,
+           round(quantile_cont(value, 0.95), {sketches_ROUND}) AS exact_p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_event_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path's exact-aggregate twin (round-6 verdict item 4):
+    same grouping/row shape as sketch_event_stats with exact
+    count-distinct + exact interpolated percentiles — fully oracle-able,
+    so the sketch family's grouping and reference inputs get a driver
+    hash while the estimates keep their error-bound gates."""
+    from toy_vector_db_spark.operators import sketches
+
+    return sketches.sketch_event_stats_exact(table(spark, sf_dir, "events"))
 
 
 def _sliding_oracle() -> str:
