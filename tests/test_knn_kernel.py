@@ -1,0 +1,111 @@
+"""Bit-parity of the round-6 vectorized scoring kernels vs the Catalyst
+expression forms they replaced (the pq_codes proof pattern): the kernels
+must produce the SAME doubles bit-for-bit — normalization/dot/magnitude
+accumulate left-to-right over the dim axis exactly like the interpreted
+aggregate() folds the DuckDB oracles mirror."""
+
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import knn
+from toy_vector_db_spark.sources.ndjson import split_count
+
+
+def _splits(embeddings):
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return base, qs
+
+
+def test_pair_scores_equals_expression_form(spark, embeddings):
+    base, qs = _splits(embeddings)
+    expr = {
+        (r["query_id"], r["vec_id"]): r["dist"]
+        for r in knn._scored_product(
+            base, qs, "vec_id", "embedding", "query_id", "query_vec"
+        ).select("query_id", "vec_id", "dist").collect()
+    }
+    kern = {
+        (r["query_id"], r["vec_id"]): r["dist"]
+        for r in knn.pair_scores(base, qs).collect()
+    }
+    assert expr == kern  # exact float equality, full pair set
+
+
+def test_pair_scores_dual_metric_equals_staged_expressions(spark, embeddings):
+    """The dual-metric kernel (cos + polarization-identity euclidean from
+    ONE staged dot) must match the staged Catalyst expression tree of
+    registry._eval_frames op for op."""
+    from toy_vector_db_spark.functions import vector as V
+
+    base, qs = _splits(embeddings)
+    base_m = base.withColumn("_v_mag", V.magnitude(F.col("embedding")))
+    q_m = qs.withColumn("_q_mag", V.magnitude(F.col("query_vec")))
+    staged = (
+        base_m.crossJoin(F.broadcast(q_m))
+        .withColumn("_dot", V.dot(F.col("embedding"), F.col("query_vec")))
+        .withColumn(
+            "cos_dist",
+            F.lit(1.0)
+            - F.greatest(
+                F.lit(0.0), F.col("_dot") / (F.col("_v_mag") * F.col("_q_mag"))
+            ),
+        )
+        .withColumn(
+            "euc_dist",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("_v_mag") * F.col("_v_mag")
+                    + F.col("_q_mag") * F.col("_q_mag")
+                    - F.lit(2.0) * F.col("_dot"),
+                )
+            ),
+        )
+        .select("query_id", "vec_id", "cos_dist", "euc_dist")
+    )
+    expr = {
+        (r["query_id"], r["vec_id"]): (r["cos_dist"], r["euc_dist"])
+        for r in staged.collect()
+    }
+    kern = {
+        (r["query_id"], r["vec_id"]): (r["cos_dist"], r["euc_dist"])
+        for r in knn.pair_scores(base, qs, dual_metric=True).collect()
+    }
+    assert expr == kern
+
+
+def test_pair_scores_cell_routing(spark, embeddings):
+    """cells_by_query emits exactly the pairs whose base-row cell is in
+    the query's probed set — equivalent to the probe-join form."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(embeddings)
+    cents = similarity.cached_trained_centroids(base)
+    assign = similarity.cached_trained_assign(base)
+    cell_vectors = (
+        base.join(assign, "vec_id")
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    probes = similarity._ivf_probes(qs, cents, 3)
+    cells_by_query = {}
+    for r in probes.select("query_id", "centroid_id").collect():
+        cells_by_query.setdefault(int(r["query_id"]), []).append(
+            int(r["centroid_id"])
+        )
+    kern = {
+        (r["query_id"], r["vec_id"])
+        for r in knn.pair_scores(
+            cell_vectors, qs, cells_by_query=cells_by_query
+        ).collect()
+    }
+    joined = {
+        (r["query_id"], r["vec_id"])
+        for r in cell_vectors.join(
+            probes.select("query_id", "centroid_id"), "centroid_id"
+        ).select("query_id", "vec_id").collect()
+    }
+    assert kern == joined

@@ -52,8 +52,11 @@ def test_vector_expr_plan_is_narrow(plans):
 
 def test_batch_knn_single_shuffle(plans):
     plan = plans("knn_exact_batch")
-    # broadcast of the query split + exactly one shuffle (per-query top-k)
-    assert "BroadcastNestedLoopJoin" in plan
+    # round 6: the |base|×|queries| scoring runs in the vectorized Arrow
+    # kernel (queries ride in the closure — the broadcast side by
+    # construction); the base never moves and the ONLY shuffle is the
+    # per-query top-k on query_id
+    assert "MapInArrow" in plan
     assert explain.count_exchanges(plan) == 1
 
 
@@ -77,9 +80,11 @@ def test_ivf_assign_partial_agg_no_window(plans):
 
 def test_ivfpq_probe_and_rerank_broadcast(plans):
     plan = plans("knn_ivfpq")
-    # probe LUTs and the rerank query side are broadcast — the codes/base
-    # tables never build a hash-join hash table over the big side
+    # probe LUTs (an Arrow kernel since round 6) and the rerank query side
+    # are broadcast — the codes/base tables never build a hash-join hash
+    # table over the big side
     assert explain.count_broadcast_joins(plan) >= 2
+    assert "MapInArrow" in plan
     # the big-side flow is: codes⋈assign (id join), probe join, top-R
     # window, rerank join, top-k window — no cartesian product anywhere
     assert "CartesianProduct" not in plan

@@ -522,19 +522,33 @@ def knn_ivf(
     elif cents is None:
         cents = centroids_df(base, n_centroids, id_col, vec_col)
 
+    # probe routing lands driver-side (nq×nprobe scalars — the query
+    # batch is bounded by construction): the union of probed cells
+    # becomes a LITERAL IN-filter on the cell column — on the written
+    # cell-partitioned layout that is static partition pruning, stronger
+    # than the DPP the broadcast-join form relied on — and the per-query
+    # cell sets route inside the scoring kernel, so a base row is scored
+    # only against the queries probing its cell (round 6; the previous
+    # form joined probes then evaluated an interpreted fold per pair —
+    # ~25 µs/pair vs ~1 µs in the vectorized kernel, bit-identical).
+    from toy_vector_db_spark.operators import knn as KNN
+
     probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
-    sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
-        / (F.col("_v_mag") * F.col("_q_mag")),
-    )
-    cand = cell_vectors.join(F.broadcast(probes), "centroid_id").withColumn(
-        "dist", F.lit(1.0) - sim
+    cells_by_query: dict[int, list] = {}
+    for r in probes.select(query_id_col, "centroid_id").collect():
+        cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+    probed_cells = sorted({c for cs in cells_by_query.values() for c in cs})
+
+    scored = KNN.pair_scores(
+        cell_vectors.where(F.col("centroid_id").isin(probed_cells)),
+        queries.select(query_id_col, query_vec_col),
+        id_col, vec_col, query_id_col, query_vec_col,
+        cells_by_query=cells_by_query,
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(),
                                                  F.col(id_col).asc())
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col,
                 rnd("dist", ROUND).alias("dist"), "rank")
@@ -890,6 +904,13 @@ def knn_pq_rerank(
     cand = knn_pq_adc(
         base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
     ).select(query_id_col, id_col)
+    # exact re-score of the R survivors stays in the EXPRESSION form
+    # (broadcast query join + inline fold): R is bounded, so the fold
+    # cost is small, and it pipelines within the same stage as the top-k
+    # window — a measured round-6 Arrow-rescore variant was ~0.5 s SLOWER
+    # here (the extra Python hop broke the whole-stage pipeline for only
+    # ~19k pairs), so the kernel path is reserved for the |base|×|queries|
+    # products (knn.pair_scores) where it wins 10-25×
     qv = queries.select(
         F.col(query_id_col).alias("_qid"),
         query_vec_col,
@@ -968,7 +989,7 @@ def knn_ivfpq(
     # exchange pair per search, bit-identical arrays
     probe_luts = _adc_lut_frame(
         probes, books, query_id_col, query_vec_col,
-        keep_cols=("_q_mag", "centroid_id"),
+        keep_cols=("centroid_id",),
     )
 
     cand = codes_cells.join(
@@ -980,11 +1001,16 @@ def knn_ivfpq(
     pruned = (
         cand.withColumn("rr", F.row_number().over(wr))
         .where(F.col("rr") <= rerank_r)
-        .select(query_id_col, id_col, "_q_mag")
+        .select(query_id_col, id_col)
     )
 
+    # exact re-score stays in the expression form — see the knn_pq_rerank
+    # comment (bounded R; the Arrow hop measured slower than the inline
+    # fold that pipelines into the top-k window)
     qv = queries.select(
-        F.col(query_id_col).alias("_qid"), query_vec_col
+        F.col(query_id_col).alias("_qid"),
+        query_vec_col,
+        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
     )
     sim = F.greatest(
         F.lit(0.0),

@@ -1134,45 +1134,18 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     if ck in _EVAL_CACHE:
         return _EVAL_CACHE[ck]
     base, qs = _split(spark, sf_dir)
-    import toy_vector_db_spark.functions.vector as _V
     from pyspark.sql import Window
 
-    base_m = base.withColumn("_v_mag", _V.magnitude(F.col("embedding")))
-    q_m = qs.withColumn("_q_mag", _V.magnitude(F.col("query_vec")))
-    # ONE fold per pair: stage the raw dot product and derive BOTH metrics
-    # from it — cosine as dot/(|a||b|), euclidean via the polarization
-    # identity ||a-b|| = sqrt(|a|^2 + |b|^2 - 2·dot). The per-pair array
-    # fold is the hot cost of this BNLJ (the windows then force it, even
-    # though a bare count would prune it); the squared-diff fold the
-    # round-4 form ran per pair was a second, redundant pass over the
-    # vectors. The oracle CTE uses the SAME algebraic form built from the
-    # same proven-bit-exact primitives (list_dot_product / sqrt), so
-    # hashes stay aligned.
-    scored = (
-        base_m.crossJoin(F.broadcast(q_m))
-        .withColumn("_dot", _V.dot(F.col("embedding"), F.col("query_vec")))
-        .withColumn(
-            "cos_dist",
-            F.lit(1.0)
-            - F.greatest(
-                F.lit(0.0), F.col("_dot") / (F.col("_v_mag") * F.col("_q_mag"))
-            ),
-        )
-        .withColumn(
-            "euc_dist",
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    F.col("_v_mag") * F.col("_v_mag")
-                    + F.col("_q_mag") * F.col("_q_mag")
-                    - F.lit(2.0) * F.col("_dot"),
-                )
-            ),
-        )
-        # prune the wide vectors BEFORE the shuffle: the windows only need
-        # ids + the two scalars
-        .select("query_id", "vec_id", "cos_dist", "euc_dist")
-    )
+    # ONE dot pass per pair, BOTH metrics derived from it — cosine as
+    # dot/(|a||b|), euclidean via the polarization identity ||a-b|| =
+    # sqrt(|a|² + |b|² − 2·dot) — evaluated in the vectorized pair_scores
+    # kernel (round 6; previously an interpreted per-pair Catalyst fold,
+    # the hot cost of this BNLJ). The kernel's arithmetic is op-for-op
+    # the staged expression tree the oracle CTE mirrors
+    # (V.sql_euclidean_from_dot), so hashes stay aligned; the kernel
+    # already emits only ids + the two scalars, pruning the wide vectors
+    # before the shuffle.
+    scored = knn.pair_scores(base, qs, dual_metric=True)
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("cos_dist").asc(), F.col("vec_id").asc()
     )
