@@ -58,6 +58,7 @@ HEADLINE = [
     "ivfpq_build",
     "knn_ivfpq",
     "ivfpq_partitioned_search",
+    "ivfpq_upsert_search",
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",

@@ -167,6 +167,68 @@ def test_pq_codes_arrow_kernel_equals_fold_form(spark, embeddings):
     assert fold == kernel
 
 
+def test_ivfpq_upsert_equals_frozen_rebuild(spark, embeddings):
+    """The incremental-ingest contract (round 6): an index built as
+    initial-build + micro-batch upsert under FROZEN quantizers must be
+    row-identical to an index encoded from scratch over the full corpus
+    under the SAME frozen quantizers — and search over it must return
+    identical neighbors. This is what makes batch ingest deterministic
+    (and oracle-able) without any retrain/rewrite."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    cc, cents, books = similarity.ivfpq_upsert(initial, batch)
+
+    # from-scratch encode of the FULL corpus under the same frozen books
+    rebuild = similarity.encode_codes(base, books).join(
+        similarity.ivf_assign(base, cents).select("vec_id", "centroid_id"),
+        "vec_id",
+    ).select(*cc.columns)
+    assert cc.exceptAll(rebuild).count() == 0
+    assert rebuild.exceptAll(cc).count() == 0
+
+    up = similarity.knn_ivfpq(
+        base, qs, 10, codes_cells=cc, cents=cents, books=books
+    )
+    scratch = similarity.knn_ivfpq(
+        base, qs, 10, codes_cells=rebuild, cents=cents, books=books
+    )
+    assert up.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(up).count() == 0
+
+
+def test_streaming_ingest_equals_batch_upsert(spark, sf_dir):
+    """The streaming micro-batch ingest (readStream → foreachBatch →
+    append) must produce a cell-keyed codes table ROW-IDENTICAL to the
+    batch upsert under the same frozen quantizers — batch boundaries
+    only partition the work (per-row assign/encode is deterministic), so
+    the continuous-ingest path inherits the batch path's oracle."""
+    from toy_vector_db_spark import registry as R
+    from toy_vector_db_spark.streaming import ingest
+
+    base, _qs = R._split(spark, sf_dir)
+    n = R._emb_count(spark, sf_dir)
+    cut = split_count(n, R.SPLIT_RATIO)
+    init_cut = split_count(cut, R.UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    cc_batch, cents, books = similarity.ivfpq_upsert(initial, batch)
+    streamed = ingest.stream_ingest_codes(
+        spark, sf_dir, init_cut, cut, cents, books
+    )
+    cc_stream = similarity.cached_codes_cells(initial).unionByName(
+        streamed.select(*cc_batch.columns)
+    )
+    assert cc_stream.exceptAll(cc_batch).count() == 0
+    assert cc_batch.exceptAll(cc_stream).count() == 0
+
+
 def test_adc_lut_kernel_equals_fold_form(spark, embeddings):
     """_adc_lut_frame (round 6) computes the ADC lookup tables in an Arrow
     kernel; the Catalyst fold form — aggregate over zip_with squared diffs

@@ -688,14 +688,13 @@ def pq_codes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Product-quantization codes: split each vector into PQ_M subspaces
-    and store the id of the nearest TRAINED sub-codeword per subspace — D
-    floats compress to M small ints (here 64×4B → 4×1B: 64×). The
-    per-subspace argmin runs in a vectorized Arrow kernel over the
-    materialized normalized vector — per-partition numpy, no join, no
-    shuffle, bit-identical to the fold-form expression the DuckDB oracle
-    evaluates (see _encode below). The codes frame persists per session:
-    it IS the index artifact (a parquet index table at 100 TB), and every
-    ADC search scans it."""
+    and store the id of the nearest TRAINED sub-codeword per subspace —
+    64 float32 dims compress to 8 six-bit codes (48 bits/vector). The
+    per-subspace argmin runs in the vectorized ``encode_codes`` Arrow
+    kernel — per-partition numpy, no join, no shuffle, bit-identical to
+    the fold-form expression the DuckDB oracle evaluates. The codes
+    frame persists per session: it IS the index artifact (a parquet
+    index table at 100 TB), and every ADC search scans it."""
     key = (
         base.sparkSession.sparkContext.applicationId,
         base.semanticHash(),
@@ -705,25 +704,43 @@ def pq_codes(
     if key in _CODES_CACHE:
         return _CODES_CACHE[key]
     books = trained_pq_codebooks(base, id_col, vec_col)
-    sub = len(books[0][0])
+    codes = encode_codes(base, books, id_col, vec_col).persist()
+    codes.count()
+    _CODES_CACHE[key] = codes
+    return codes
 
-    # Vectorized build (round-2 verdict item 7): the per-row argmin over
-    # 16 codewords × 4 subspaces ran as interpreted struct folds (~5 s at
-    # sf0.1); this numpy kernel is BIT-IDENTICAL to the fold form —
-    # normalization accumulates the magnitude left-to-right over the dim
-    # axis exactly like the aggregate expression (one rounding per op, no
-    # FMA), np.cumsum along the subspace axis is the same sequential left
-    # fold (0.0 + x₁ ≡ x₁) the aggregate expression and the DuckDB
-    # list_sum oracle evaluate, elementwise (v−c)² is the same IEEE op,
-    # and np.argmin's first-min tie-break is the (d, k) struct-min order.
-    # Normalizing IN the kernel (round-4) folds what was a separate
-    # two-persist normalized-vector frame into this single pass.
-    # Asserted against the fold form in tests/test_similarity.py.
+
+def encode_codes(
+    df: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ encode kernel for an EXPLICIT codebook — split each vector
+    into PQ_M subspaces, emit the nearest sub-codeword id per subspace.
+    Factored out of pq_codes (round 6) so incremental ingest
+    (ivfpq_upsert_* keys) can encode a NEW batch under the FROZEN books
+    of an existing index — the standard IVF-PQ upsert: quantizers train
+    once, every later batch only assigns + encodes.
+
+    Vectorized build (round-2 verdict item 7): the per-row argmin over
+    PQ_K codewords × PQ_M subspaces ran as interpreted struct folds;
+    this numpy kernel is BIT-IDENTICAL to the fold form — normalization
+    accumulates the magnitude left-to-right over the dim axis exactly
+    like the aggregate expression (one rounding per op, no FMA),
+    np.cumsum along the subspace axis is the same sequential left fold
+    (0.0 + x₁ ≡ x₁) the aggregate expression and the DuckDB list_sum
+    oracle evaluate, elementwise (v−c)² is the same IEEE op, and
+    np.argmin's first-min tie-break is the (d, k) struct-min order.
+    Normalizing IN the kernel (round-4) folds what was a separate
+    two-persist normalized-vector frame into this single pass.
+    Asserted against the fold form in tests/test_similarity.py."""
     import pyarrow as pa
 
+    sub = len(books[0][0])
     b_arr = np.array(books)  # (M, K, sub)
-    par = base.sparkSession.sparkContext.defaultParallelism
-    src = base.repartition(par, id_col).select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par, id_col).select(
         id_col, F.col(vec_col).cast("array<double>").alias("_vd")
     )
 
@@ -752,10 +769,7 @@ def pq_codes(
     schema = f"{id_col} long, " + ", ".join(
         f"c{m} int" for m in range(PQ_M)
     )
-    codes = src.mapInArrow(_encode, schema=schema).persist()
-    codes.count()
-    _CODES_CACHE[key] = codes
-    return codes
+    return src.mapInArrow(_encode, schema=schema)
 
 
 def _adc_lut_frame(
@@ -952,6 +966,8 @@ def knn_ivfpq(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     codes_cells: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    books: list | None = None,
 ) -> DataFrame:
     """IVF-PQ (Faiss IVFADC shape) — the canonical 100 TB ANN serving
     plan, composing the two scale levers this module builds separately:
@@ -967,10 +983,17 @@ def knn_ivfpq(
 
     Against the flat knn_pq_adc scan this reads nprobe/C of the codes; the
     recall trade is the probed-cell miss rate (same as knn_ivf). Fully
-    deterministic (trained quantizers) → DuckDB-oracle-able end to end."""
+    deterministic (trained quantizers) → DuckDB-oracle-able end to end.
+
+    ``cents``/``books``/``codes_cells`` must come from the SAME index
+    build (a mismatched set probes/decodes the wrong quantization — no
+    error, wrong neighbors): by default all three derive from ``base``;
+    pass the frozen-quantizer triple from ``ivfpq_upsert`` for an
+    incrementally-ingested index."""
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
-    cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
     # the cell-keyed compressed corpus: at 100 TB this join is free —
     # codes are WRITTEN partitioned by centroid_id at index-build time;
     # the default is the session-persisted in-memory artifact; pass
@@ -979,7 +1002,8 @@ def knn_ivfpq(
     if codes_cells is None:
         codes_cells = cached_codes_cells(base, id_col, vec_col)
 
-    books = trained_pq_codebooks(base, id_col, vec_col)
+    if books is None:
+        books = trained_pq_codebooks(base, id_col, vec_col)
     probes = _ivf_probes(
         queries, cents, nprobe, query_id_col, query_vec_col
     )
@@ -1035,6 +1059,43 @@ def knn_ivfpq(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
     )
+
+
+def ivfpq_upsert(
+    initial: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, list]:
+    """Incremental IVF-PQ ingest (round 6) — the batch-engine answer to
+    the reference's online ``Index::insert`` (src/index.rs:6, scoped out
+    per BASELINE.json): quantizers are trained ONCE on the initial
+    corpus and then FROZEN; every later micro-batch only (a) assigns its
+    vectors to cells under the frozen centroids and (b) encodes them
+    under the frozen codebooks, and the new cell-keyed code rows are
+    UNIONed onto the existing artifact — at 100 TB, appended parquet
+    files inside the existing centroid_id partition directories; nothing
+    is retrained, re-encoded, or rewritten. This is the standard
+    Faiss-style upsert contract, and it makes the ingest fully
+    deterministic: an upserted index is row-identical to an index built
+    from scratch under the same frozen quantizers (asserted in
+    tests/test_similarity.py), so search over it stays
+    DuckDB-oracle-able end to end (the oracle simply bounds quantizer
+    training to the initial slice).
+
+    Returns ``(codes_cells, cents, books)`` — the consistent triple to
+    hand to ``knn_ivfpq``. The existing artifact is the session-cached
+    build over ``initial`` (cached_codes_cells — what a prior build
+    wrote); only ``batch`` is encoded fresh."""
+    cents = cached_trained_centroids(initial, id_col=id_col, vec_col=vec_col)
+    books = trained_pq_codebooks(initial, id_col, vec_col)
+    existing = cached_codes_cells(initial, id_col, vec_col)
+    new_codes = encode_codes(batch, books, id_col, vec_col)
+    new_assign = ivf_assign(batch, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    new_cells = new_codes.join(new_assign, id_col).select(*existing.columns)
+    return existing.unionByName(new_cells), cents, books
 
 
 def lsh_hyperplane_buckets(

@@ -193,23 +193,27 @@ def _norm_sql(v: str) -> str:
     )
 
 
-def _pq_books_ctes() -> str:
+def _pq_books_ctes(train_pred: str | None = None) -> str:
     """Per-subspace trained PQ codebooks: PQ_M independent k-means chains
     over SLICES of the normalized vectors (squared-euclidean metric —
     normalize-then-euclid ≡ cosine), joined into one
     ``cents(k, s0..s{M-1})`` table. SQL twin of
-    similarity.trained_pq_codebooks."""
+    similarity.trained_pq_codebooks. ``train_pred`` overrides the
+    training-set bound (default the TRAIN_SAMPLE cap) — the upsert keys
+    bound training to the INITIAL corpus slice (frozen quantizers)."""
     from toy_vector_db_spark.operators.similarity import (
         KMEANS_ITERS,
         TRAIN_SAMPLE,
     )
 
+    if train_pred is None:
+        train_pred = f"vec_id < {TRAIN_SAMPLE}"
     m_, k_, _, sub = _pq_layout()
     chains = []
     for m in range(m_):
         train_sql = (
             f"SELECT vec_id, (nv)[{m * sub + 1}:{(m + 1) * sub}] AS v"
-            f" FROM nb WHERE vec_id < {TRAIN_SAMPLE}"
+            f" FROM nb WHERE {train_pred}"
         )
         chains.append(
             kmeans_chain(f"pq{m}_", k_, KMEANS_ITERS, train_sql, _sq_dist_sql)
@@ -231,7 +235,7 @@ def _pq_books_ctes() -> str:
     return ",\n    ".join(chains + [cents])
 
 
-def _pq_common_ctes(split_cte: str) -> str:
+def _pq_common_ctes(split_cte: str, train_pred: str | None = None) -> str:
     m_, _, _, sub = _pq_layout()
     d_cols = ",\n             ".join(
         _sq_dist_sql(
@@ -248,7 +252,7 @@ def _pq_common_ctes(split_cte: str) -> str:
     return f"""
     {split_cte},
     nb AS MATERIALIZED (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
-    {_pq_books_ctes()},
+    {_pq_books_ctes(train_pred)},
     scored AS (
       SELECT b.vec_id, c.k,
              {d_cols}
@@ -414,21 +418,29 @@ def ivfpq_build_sql(split_cte: str) -> str:
 
 
 def knn_ivfpq_sql(
-    split_cte: str, k: int, nprobe: int, rerank_r: int | str
+    split_cte: str,
+    k: int,
+    nprobe: int,
+    rerank_r: int | str,
+    train_pred: str | None = None,
 ) -> str:
     """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
     → ADC over PQ codes WITHIN probed cells only → exact rerank of the R
     survivors. SQL twin of similarity.knn_ivfpq; the coarse k-means chain
-    is prefixed ``ivf_`` to coexist with the PQ codebook ``cents`` CTE."""
+    is prefixed ``ivf_`` to coexist with the PQ codebook ``cents`` CTE.
+    ``train_pred`` bounds BOTH quantizers' training sets (upsert keys:
+    the initial slice — frozen quantizers; default: TRAIN_SAMPLE cap)."""
     from toy_vector_db_spark.operators.similarity import (
         KMEANS_ITERS,
         TRAIN_SAMPLE,
     )
 
+    if train_pred is None:
+        train_pred = f"vec_id < {TRAIN_SAMPLE}"
     m_, _, _, sub = _pq_layout()
     ivf_train = (
         f"SELECT vec_id, embedding::DOUBLE[] AS v"
-        f" FROM base WHERE vec_id < {TRAIN_SAMPLE}"
+        f" FROM base WHERE {train_pred}"
     )
     ivf_chain = kmeans_chain(
         "ivf_", N_CENTROIDS, KMEANS_ITERS, ivf_train, V.sql_cosine_distance
@@ -447,7 +459,7 @@ def knn_ivfpq_sql(
         for m in range(m_)
     )
     return f"""
-    WITH {_pq_common_ctes(split_cte)},
+    WITH {_pq_common_ctes(split_cte, train_pred)},
     {ivf_chain},
     assign AS (
       SELECT vec_id, centroid_id FROM (

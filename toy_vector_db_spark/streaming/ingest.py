@@ -1,0 +1,115 @@
+"""Structured-Streaming ingest into the IVF-PQ vector index.
+
+The batch upsert (operators/similarity.ivfpq_upsert) proves the frozen-
+quantizer append contract; this module drives the SAME contract through
+the streaming engine: arriving vectors flow readStream → foreachBatch,
+each micro-batch is assigned + encoded under the frozen quantizers and
+APPENDED as parquet into the index sink directory — the continuous-
+ingest shape of a production vector pipeline (source swaps to
+Kafka/queue, sink to the cell-partitioned index table, checkpointing
+makes it exactly-once). Because per-row assignment/encoding is
+deterministic and batch boundaries only partition the work, the drained
+index is row-identical to the batch upsert — so search over it shares
+ivfpq_upsert_search's DuckDB oracle (asserted by the driver and in
+tests).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
+
+
+N_STREAM_FILES = 4  # staged source files → ≥4 real micro-batches
+
+
+def _stream_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the (read-only) embeddings table into a directory the
+    streaming file source can watch (the windows._stream_input_dir
+    idiom) — split into N_STREAM_FILES range-partitioned files so the
+    maxFilesPerTrigger=1 drain runs MULTIPLE genuine micro-batches (a
+    single-file stage would collapse the 'stream' into one batch and
+    prove nothing about batch-boundary independence)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(FIXTURE_DIR, "stream_embeddings", tag)
+    marker = os.path.join(d, "_STAGED")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(N_STREAM_FILES, "vec_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w") as fh:
+            fh.write("staged")
+    return d
+
+
+# (appId, sf_dir, lo, hi) → sink dir of an already-drained ingest: the
+# stream is drained once per session; reruns read the written artifact —
+# exactly how a long-lived ingest pipeline's consumers behave.
+_INGEST_CACHE: dict[tuple, str] = {}
+
+
+def stream_ingest_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    cents: DataFrame,
+    books: list,
+) -> DataFrame:
+    """Drain the arriving vector slice (lo ≤ vec_id < hi) through the
+    streaming engine into the index sink: per micro-batch, assign cells
+    under the frozen ``cents``, encode codes under the frozen ``books``
+    (both vectorized kernels — operators/similarity), and append the
+    cell-keyed code rows as parquet. Returns the ingested codes⋈cells
+    frame read back from the sink."""
+    from toy_vector_db_spark.operators import similarity
+
+    key = (spark.sparkContext.applicationId, sf_dir, lo, hi)
+    if key not in _INGEST_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        sink = os.path.join(
+            FIXTURE_DIR, "sink_out", "stream_ingest", tag, f"{lo}_{hi}"
+        )
+        if os.path.exists(sink):
+            shutil.rmtree(sink)
+        os.makedirs(sink, exist_ok=True)
+
+        src_dir = _stream_embeddings_dir(spark, sf_dir)
+        schema = spark.read.parquet(src_dir).schema
+        arriving = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .where(f"vec_id >= {lo} AND vec_id < {hi}")
+        )
+
+        def _process(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            codes = similarity.encode_codes(batch_df, books)
+            assign = similarity.ivf_assign(batch_df, cents).select(
+                "vec_id", "centroid_id"
+            )
+            codes.join(assign, "vec_id").write.mode("append").parquet(sink)
+
+        q = (
+            arriving.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _INGEST_CACHE[key] = sink
+    return spark.read.parquet(_INGEST_CACHE[key])
