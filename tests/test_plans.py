@@ -60,6 +60,14 @@ def test_batch_knn_single_shuffle(plans):
     assert explain.count_exchanges(plan) == 1
 
 
+def test_range_search_no_shuffle(plans):
+    plan = plans("knn_range_search")
+    # radius search = scored scan + filter: no sort, no limit heaps, no
+    # exchange at all — strictly narrower than top-k
+    assert explain.count_exchanges(plan) == 0
+    assert "Sort" not in plan
+
+
 def test_tpch_q1_partial_aggregation(plans):
     plan = plans("tpch_q1_pricing_summary")
     # map-side partial agg before the single exchange

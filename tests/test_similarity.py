@@ -203,6 +203,38 @@ def test_ivfpq_upsert_equals_frozen_rebuild(spark, embeddings):
     assert scratch.exceptAll(up).count() == 0
 
 
+def test_ivfpq_delete_tombstones(spark, embeddings):
+    """Tombstone delete semantics: deleted ids never appear in results,
+    every query still gets a FULL k (back-filled by next-nearest
+    survivors), and un-deleted result rows keep their exact distances
+    (deletion only removes candidates, never rescores)."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cc = similarity.cached_codes_cells(base)
+    mod = 17
+    tomb = base.select("vec_id").where(F.col("vec_id") % mod == 0)
+    live = cc.join(F.broadcast(tomb), "vec_id", "left_anti")
+    res = similarity.knn_ivfpq(base, qs, 10, codes_cells=live).collect()
+    assert all(r["vec_id"] % mod != 0 for r in res)
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in res)
+    assert all(c == 10 for c in per_q.values())  # full k back-filled
+    # un-deleted rows keep identical distances vs the undeleted index
+    full = {
+        (r["query_id"], r["vec_id"]): r["dist"]
+        for r in similarity.knn_ivfpq(base, qs, 10).collect()
+    }
+    for r in res:
+        key = (r["query_id"], r["vec_id"])
+        if key in full:
+            assert r["dist"] == full[key]
+
+
 def test_streaming_ingest_equals_batch_upsert(spark, sf_dir):
     """The streaming micro-batch ingest (readStream → foreachBatch →
     append) must produce a cell-keyed codes table ROW-IDENTICAL to the

@@ -423,13 +423,16 @@ def knn_ivfpq_sql(
     nprobe: int,
     rerank_r: int | str,
     train_pred: str | None = None,
+    cand_pred: str | None = None,
 ) -> str:
     """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
     → ADC over PQ codes WITHIN probed cells only → exact rerank of the R
     survivors. SQL twin of similarity.knn_ivfpq; the coarse k-means chain
     is prefixed ``ivf_`` to coexist with the PQ codebook ``cents`` CTE.
     ``train_pred`` bounds BOTH quantizers' training sets (upsert keys:
-    the initial slice — frozen quantizers; default: TRAIN_SAMPLE cap)."""
+    the initial slice — frozen quantizers; default: TRAIN_SAMPLE cap).
+    ``cand_pred`` filters the candidate code rows (delete key: the
+    tombstone exclusion — rows deleted from the index never score)."""
     from toy_vector_db_spark.operators.similarity import (
         KMEANS_ITERS,
         TRAIN_SAMPLE,
@@ -437,6 +440,7 @@ def knn_ivfpq_sql(
 
     if train_pred is None:
         train_pred = f"vec_id < {TRAIN_SAMPLE}"
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
     m_, _, _, sub = _pq_layout()
     ivf_train = (
         f"SELECT vec_id, embedding::DOUBLE[] AS v"
@@ -482,7 +486,8 @@ def knn_ivfpq_sql(
       JOIN assign a ON a.vec_id = co.vec_id
       JOIN probes p ON p.centroid_id = a.centroid_id
       JOIN nq ON nq.query_id = p.query_id
-      {joins}),
+      {joins}
+      WHERE {cand_where}),
     pruned AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,

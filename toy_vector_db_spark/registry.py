@@ -77,6 +77,7 @@ _PRIORITY = [
     # -- SURVEY §2 reference parity (S1-S3, V1-V5, E3, H1/H2, H*, X1-X3) --
     "vec_magnitude", "vec_dot", "vec_cosine_sim", "vec_cosine_dist",
     "vec_euclidean_dist", "knn_exact_single", "knn_exact_filtered",
+    "knn_range_search",
     "knn_exact_batch",
     "argmin_dist", "argmax_dist", "hnsw_build", "knn_hnsw",
     "knn_hnsw_exhaustive",
@@ -116,7 +117,7 @@ _PRIORITY = [
     "embedding_near_dups_lsh",
     "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
     "knn_ivfpq", "ivfpq_build", "ivfpq_partitioned_search",
-    "ivfpq_upsert_search",
+    "ivfpq_upsert_search", "ivfpq_delete_search",
     "knn_hnsw_routed",
     "knn_hnsw_routed_exhaustive",
     "mm_decode_image_stats",
@@ -133,12 +134,12 @@ _PRIORITY = [
     # keys in-window)
     "streaming_vector_ingest",
     "streaming_dedup_counts",
-    # -- relational extensions --
+    # -- relational + sketch extensions --
     # (round 6 rotates out running_total_by_supplier, order_priority_pivot,
-    # and top_customer_set_difference — each driver-green in rounds 4 AND
-    # 5 — freeing slots for ivfpq_upsert_search, knn_exact_filtered, and
-    # doc_embedding_pool)
-    "order_price_percentiles", "customers_without_orders",
+    # top_customer_set_difference, order_price_percentiles, and
+    # customers_without_orders — each driver-green in rounds 4 AND 5 —
+    # freeing slots for the round-6 vector-engine keys above; the
+    # relational family's driver record is rounds 1-5)
     "sketch_event_stats", "sketch_event_stats_exact",
 ]
 
@@ -322,6 +323,44 @@ def q_knn_exact_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
     res = knn.knn_exact_single(base, qvec, K)
     return res.select("vec_id", rnd("dist", ROUND).alias("dist"))
+
+
+RANGE_THRESH = 0.75  # radius for the range-search key (measured: a few
+# dozen in-cluster rows at every SF; nearest base distance to the
+# boundary ≥ 1e-3, and both engines compute identical doubles anyway)
+
+_KNN_RANGE_SQL = f"""
+WITH cut AS (
+  SELECT c, least({QUERY_OFFSET}, (SELECT count(*) FROM embeddings) - c - 1) AS off
+  FROM (SELECT {_split_cut_sql()} AS c)
+),
+q AS (SELECT embedding AS qv FROM embeddings, cut WHERE vec_id = c + off),
+scored AS (
+  SELECT b.vec_id AS vec_id,
+         {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+  FROM embeddings b, q, cut WHERE b.vec_id < c
+)
+SELECT vec_id, round(d, {ROUND}) AS dist
+FROM scored WHERE d <= {RANGE_THRESH}
+"""
+
+
+@register("knn_range_search", _KNN_RANGE_SQL)
+def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search (round 6) — the other half of the Faiss-style query
+    API the reference lacks: ALL base vectors within a fixed distance
+    radius of the query, not a fixed count. Result size is data-driven
+    (the dedup/near-match shape: "everything closer than r"), the plan is
+    a pure filter over the scored scan — no sort, no limit, no shuffle at
+    all: strictly cheaper than top-k at 100 TB because the per-partition
+    heaps and the driver merge disappear; the predicate evaluates inside
+    the scan projection."""
+    emb, qid, base = _query_point(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
+    scored = knn.with_distance(base, qvec)
+    return scored.where(F.col("dist") <= RANGE_THRESH).select(
+        "vec_id", rnd("dist", ROUND).alias("dist")
+    )
 
 
 _KNN_FILTERED_SQL = f"""
@@ -1695,6 +1734,33 @@ def q_ivfpq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_MOD = 17  # tombstone set for the delete key: vec_id % 17 == 0
+
+
+@register("ivfpq_delete_search")
+def q_ivfpq_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the vector index via tombstones (round 6) — the third
+    CRUD leg next to build and upsert, and how every production IVF
+    store deletes (Faiss IDSelector / tombstone bitmaps): the deleted
+    ids (here the deterministic set vec_id % 17 == 0) are anti-joined
+    out of the cell-keyed codes BEFORE scoring, so deleted rows never
+    produce candidates and their former neighbors are back-filled by the
+    next-nearest survivors — no re-encode, no re-partition; a compaction
+    rewrite is a separate offline operation. At 100 TB the tombstone
+    set is a broadcast anti-join (or a bitmap pushed into the scan).
+    The oracle applies the same exclusion predicate in the candidate
+    CTE."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    cc = similarity.cached_codes_cells(base)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live = cc.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return similarity.knn_ivfpq(base, qs, K, codes_cells=live)
+
+
 @register("streaming_vector_ingest")
 def q_streaming_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS ingest into the vector index (round 6): the arriving
@@ -2067,6 +2133,12 @@ def _register_similarity_oracles() -> None:
     # partition the work) — same oracle, strongest possible check for a
     # streaming path
     _ORACLES["streaming_vector_ingest"] = _ORACLES["ivfpq_upsert_search"]
+    # tombstone delete: the same serving SQL with the deleted ids
+    # excluded from the candidate codes
+    _ORACLES["ivfpq_delete_search"] = O.knn_ivfpq_sql(
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
+        cand_pred=f"co.vec_id % {DELETE_MOD} <> 0",
+    )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
     # over the on-disk partitioned artifact — one oracle, two sources
