@@ -24,6 +24,21 @@ def test_knn_empty_base(spark, embeddings):
     assert knn.knn_exact_single(base, q, 5).collect() == []
 
 
+def test_batch_knn_empty_sides(spark, embeddings):
+    """The pair_scores kernel path must survive degenerate sides: an
+    empty BASE yields zero batches (empty result), and an empty QUERY
+    set short-circuits before the kernel (an empty closure array would
+    break the (nq, d) slicing)."""
+    qs = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    empty_base = embeddings.where(F.col("vec_id") < 0)
+    assert knn.knn_exact_batch(empty_base, qs, 5).collect() == []
+    empty_qs = qs.where(F.col("query_id") < 0)
+    assert knn.knn_exact_batch(embeddings, empty_qs, 5).collect() == []
+    assert knn.argmin_dist(embeddings, empty_qs).collect() == []
+
+
 def test_local_hnsw_single_point():
     import numpy as np
 

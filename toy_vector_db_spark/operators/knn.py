@@ -221,6 +221,15 @@ def pair_scores(
     import pyarrow as pa
 
     qrows = _collected_queries(queries, query_id_col, query_vec_col)
+    if not qrows:
+        # empty query batch → empty pair set (np.array([]) would be 1-D
+        # and break the (nq, d) slicing below)
+        schema_empty = (
+            f"{query_id_col} long, {id_col} long,"
+            + (" cos_dist double, euc_dist double" if dual_metric
+               else " dist double")
+        )
+        return base.sparkSession.createDataFrame([], schema_empty)
     qids = np.array([q[0] for q in qrows], dtype=np.int64)
     Q = np.array([q[1] for q in qrows], dtype=np.float64)  # (nq, d)
     qmags = np.array([_py_magnitude(q[1]) for q in qrows])
