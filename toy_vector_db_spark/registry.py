@@ -98,14 +98,18 @@ _PRIORITY = [
     # ivfpq_partitioned_search, and decontaminate_embedding. Two further
     # round-5 keys (hybrid_rrf_topk, contamination_report) did NOT fit
     # the 50-slot window then.
-    # Round-6 rotation (verdict r5 item 1): hybrid_rrf_topk and
-    # contamination_report rotate IN (after this, every oracled key in the
-    # repo has ≥1 driver hash row), as do the round-6-created
-    # sketch_event_stats_exact (the sketch path's exact-aggregate twin,
-    # verdict item 4) and hybrid_rrf_ivfpq (BM25 × IVF-PQ rank fusion,
-    # verdict item 6). Rotating OUT: token_batch_packing,
-    # source_mixture_sample, csv_sink_roundtrip, events_json_stats — each
-    # driver-green in BOTH rounds 4 and 5.
+    # Round-6 rotation (verdict r5 item 1): the two round-5 overflow keys
+    # hybrid_rrf_topk and contamination_report rotate IN (after this,
+    # every oracled key in the repo has ≥1 driver hash row), together
+    # with all eight round-6-created keys — sketch_event_stats_exact
+    # (verdict item 4), hybrid_rrf_ivfpq (verdict item 6),
+    # ivfpq_upsert_search, ivfpq_delete_search, streaming_vector_ingest,
+    # knn_exact_filtered, knn_range_search, and doc_embedding_pool.
+    # Rotating OUT ten keys, each driver-green in BOTH rounds 4 and 5:
+    # token_batch_packing, source_mixture_sample, csv_sink_roundtrip,
+    # events_json_stats, running_total_by_supplier, order_priority_pivot,
+    # top_customer_set_difference, order_price_percentiles,
+    # customers_without_orders, streaming_sliding_counts.
     # Rotated-out keys stay fully oracle-tested locally
     # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
     # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
@@ -1761,6 +1765,45 @@ def q_ivfpq_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivfpq(base, qs, K, codes_cells=live)
 
 
+@register("ivfpq_compact_search")
+def q_ivfpq_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION after tombstone deletes (round 6): the live (un-deleted)
+    codes are REWRITTEN to a fresh cell-partitioned parquet artifact and
+    the tombstone set is retired — the offline maintenance job that keeps
+    the anti-join/bitmap cost from accumulating forever. Search over the
+    compacted on-disk index must equal tombstone search over the old
+    artifact exactly, so this key shares ivfpq_delete_search's oracle.
+    OVERFLOW position (the 50-slot driver window is full of round-6 keys;
+    local-oracle-green at sf0.001/0.01, queued to rotate in next round —
+    COVERAGE.md records the same)."""
+    import hashlib
+    import os
+
+    from toy_vector_db_spark.operators import similarity
+    from toy_vector_db_spark.sources.fixtures import FIXTURE_DIR
+
+    base, qs = _split(spark, sf_dir)
+    cc = similarity.cached_codes_cells(base)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live = cc.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    # content-keyed path (the written_codes_cells idiom): identical
+    # inputs overwrite with identical bytes instead of accumulating dirs
+    tag = hashlib.md5(
+        repr((base.semanticHash(), DELETE_MOD)).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(FIXTURE_DIR, "sink_out", "ivfpq_compacted", tag)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        live.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    compacted = spark.read.parquet(path)
+    return similarity.knn_ivfpq(base, qs, K, codes_cells=compacted)
+
+
+_POST_WINDOW_OVERFLOW = ["ivfpq_compact_search"]  # queued for round-7 rotation
+
+
 @register("streaming_vector_ingest")
 def q_streaming_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS ingest into the vector index (round 6): the arriving
@@ -2139,6 +2182,9 @@ def _register_similarity_oracles() -> None:
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
         cand_pred=f"co.vec_id % {DELETE_MOD} <> 0",
     )
+    # compaction rewrites the live codes; search over the compacted
+    # artifact is definitionally identical to tombstone search
+    _ORACLES["ivfpq_compact_search"] = _ORACLES["ivfpq_delete_search"]
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
     # over the on-disk partitioned artifact — one oracle, two sources
