@@ -60,6 +60,23 @@ def test_batch_knn_single_shuffle(plans):
     assert explain.count_exchanges(plan) == 1
 
 
+def test_filtered_knn_pushes_label_predicate(plans):
+    plan = plans("knn_exact_filtered")
+    # the metadata filter must reach the parquet scan (partition pruning
+    # on a label-partitioned layout) — and the plan stays shuffle-free
+    assert any("label" in f for f in explain.pushed_filters(plan))
+    assert explain.count_exchanges(plan) == 0
+
+
+def test_doc_embedding_pool_partial_agg(plans):
+    plan = plans("doc_embedding_pool")
+    # the per-(doc,dim) collect_list combines map-side (partial+final
+    # ObjectHashAggregate) around ONE exchange — the explode never
+    # shuffles raw, only the grouped partials move
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert explain.count_exchanges(plan) == 1
+
+
 def test_range_search_no_shuffle(plans):
     plan = plans("knn_range_search")
     # radius search = scored scan + filter: no sort, no limit heaps, no
