@@ -1098,6 +1098,112 @@ def ivfpq_upsert(
     return existing.unionByName(new_cells), cents, books
 
 
+# -- Binary quantization (BQ) ------------------------------------------------
+
+BQ_HALF = 32  # dims packed per 64-bit half (2 halves cover the 64 dims)
+
+
+def _bq_pack(v, start: int) -> "F.Column":
+    """Sign bits of ``BQ_HALF`` consecutive dims packed into one BIGINT
+    (MSB = first dim): a left fold acc·2 + [x > 0]. Two halves per
+    64-dim vector keep every intermediate < 2³², far from BIGINT
+    overflow (DuckDB errors on overflow rather than wrapping, so a
+    single 64-bit pack would be engine-divergent at bit 63)."""
+    return F.aggregate(
+        F.slice(v, start, BQ_HALF),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+    )
+
+
+def bq_codes(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binary quantization: 64 float dims → 64 bits (two BIGINT
+    halves) — the most compressed scan of the module's three index
+    families (HNSW graphs, trained PQ, BQ) and the only TRAINING-FREE
+    one: codes are a pure per-row expression, so the index build is the
+    scan itself (no sample, no k-means, no session artifact). The trade
+    is ranking quality — raw sign-bit Hamming correlates only loosely
+    with cosine on uncentered data (top-10 recall ~0.2-0.3 alone) — so
+    BQ serves exclusively through the Hamming-prune + exact-rerank
+    pipeline (knn_bq_rerank), where the scale-aware R buys it back to
+    0.94/0.74 (sf0.001/sf0.1)."""
+    v = F.col(vec_col)
+    return base.select(
+        id_col,
+        _bq_pack(v, 1).alias("b_hi"),
+        _bq_pack(v, BQ_HALF + 1).alias("b_lo"),
+    )
+
+
+def knn_bq_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """BQ serving pipeline: Hamming distance over the packed sign bits
+    prunes the corpus to the scale-aware R candidates per query
+    (bit_count(xor) — two CPU instructions per half at 8 bytes/vector
+    scanned), then EXACT cosine re-ranks the survivors. Same shape as
+    knn_pq_rerank with the codes 6× smaller and zero training; the
+    pruning is weaker, which the shared scale-aware rerank budget
+    absorbs. Fully deterministic → DuckDB-oracle-able end to end."""
+    if rerank_r is None:
+        rerank_r = _rerank_budget(base, k, id_col)
+    codes = bq_codes(base, id_col, vec_col)
+    qcodes = queries.select(
+        query_id_col,
+        _bq_pack(F.col(query_vec_col), 1).alias("q_hi"),
+        _bq_pack(F.col(query_vec_col), BQ_HALF + 1).alias("q_lo"),
+    )
+    ham = F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
+    cand = codes.crossJoin(F.broadcast(qcodes)).withColumn("h", ham)
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("h").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        query_vec_col,
+        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
+    )
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    scored = (
+        pruned.join(
+            base.select(
+                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
+        .withColumn("dist", F.lit(1.0) - sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    )
+
+
 def lsh_hyperplane_buckets(
     base: DataFrame,
     n_planes: int = N_HYPERPLANES,

@@ -510,6 +510,78 @@ def knn_ivfpq_sql(
     """
 
 
+def _bq_pack_sql(v: str, start: int) -> str:
+    """SQL twin of similarity._bq_pack: sign bits of BQ_HALF dims from
+    1-based ``start`` packed MSB-first into a BIGINT via the same left
+    fold (DuckDB list slicing is 1-based inclusive)."""
+    from toy_vector_db_spark.operators.similarity import BQ_HALF
+
+    return (
+        f"list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(({v})[{start}:{start + BQ_HALF - 1}],"
+        f" x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),"
+        f" (a, x) -> a * 2 + x)"
+    )
+
+
+def bq_codes_sql(split_cte: str) -> str:
+    from toy_vector_db_spark.operators.similarity import BQ_HALF
+
+    return f"""
+    WITH {split_cte}
+    SELECT vec_id,
+           {_bq_pack_sql('embedding', 1)} AS b_hi,
+           {_bq_pack_sql('embedding', BQ_HALF + 1)} AS b_lo
+    FROM base
+    """
+
+
+def knn_bq_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
+    """BQ serving oracle: Hamming prune over the packed sign bits
+    (bit_count(xor) per half) to R candidates, exact cosine rerank —
+    the SQL twin of similarity.knn_bq_rerank."""
+    from toy_vector_db_spark.operators.similarity import BQ_HALF
+
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    return f"""
+    WITH {split_cte},
+    codes AS (
+      SELECT vec_id,
+             {_bq_pack_sql('embedding', 1)} AS b_hi,
+             {_bq_pack_sql('embedding', BQ_HALF + 1)} AS b_lo
+      FROM base),
+    qcodes AS (
+      SELECT query_id,
+             {_bq_pack_sql('qv', 1)} AS q_hi,
+             {_bq_pack_sql('qv', BQ_HALF + 1)} AS q_lo
+      FROM q),
+    cand AS (
+      SELECT qc.query_id, co.vec_id,
+             bit_count(xor(co.b_hi, qc.q_hi))
+               + bit_count(xor(co.b_lo, qc.q_lo)) AS h
+      FROM codes co, qcodes qc),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

@@ -1801,7 +1801,36 @@ def q_ivfpq_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivfpq(base, qs, K, codes_cells=compacted)
 
 
-_POST_WINDOW_OVERFLOW = ["ivfpq_compact_search"]  # queued for round-7 rotation
+@register("bq_codes")
+def q_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary quantization codes over the base split: 64 float
+    dims → 64 bits as two BIGINT halves — the training-free third index
+    family (next to HNSW and trained PQ); the 'build' is a pure per-row
+    expression. OVERFLOW position (window full of round-6 keys; queued
+    next rotation)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.bq_codes(base)
+
+
+@register("knn_bq_rerank")
+def q_knn_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ serving pipeline: Hamming prune over the 8-byte sign-bit codes
+    (bit_count(xor)) to the scale-aware R, exact cosine rerank — recall
+    0.94 (sf0.001) / 0.74 (sf0.1), bought entirely by the rerank since
+    raw sign-bit Hamming alone ranks poorly on uncentered data. OVERFLOW
+    position (queued next rotation)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_bq_rerank(base, qs, K)
+
+
+# queued for round-7 window rotation
+_POST_WINDOW_OVERFLOW = [
+    "ivfpq_compact_search", "bq_codes", "knn_bq_rerank",
+]
 
 
 @register("streaming_vector_ingest")
@@ -2185,6 +2214,10 @@ def _register_similarity_oracles() -> None:
     # compaction rewrites the live codes; search over the compacted
     # artifact is definitionally identical to tombstone search
     _ORACLES["ivfpq_compact_search"] = _ORACLES["ivfpq_delete_search"]
+    _ORACLES["bq_codes"] = O.bq_codes_sql(_SPLIT_CTE)
+    _ORACLES["knn_bq_rerank"] = O.knn_bq_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K)
+    )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
     # over the on-disk partitioned artifact — one oracle, two sources
