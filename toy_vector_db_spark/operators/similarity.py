@@ -861,6 +861,55 @@ def _adc_expr() -> "F.Column":
     return approx
 
 
+def _exact_rerank(
+    pruned: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The shared exact-cosine rescore + top-k over a BOUNDED
+    (query_id, id) candidate list — the final leg of every
+    compressed-index pipeline here (PQ rerank, IVF-PQ, BQ rerank):
+    id-join point-fetch of the full-precision vectors, broadcast query
+    join, inline clamped-cosine fold, per-query top-k window.
+    Deliberately the EXPRESSION form, not the Arrow kernel: with only
+    R·|queries| pairs the kernel's Python hop measured ~0.5 s slower
+    than the fold that pipelines straight into the window (see knn.py);
+    the kernel is for |base|×|queries| products."""
+    qv = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        query_vec_col,
+        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
+    )
+    sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_v_mag") * F.col("_q_mag")),
+    )
+    scored = (
+        pruned.join(
+            base.select(
+                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
+        .withColumn("dist", F.lit(1.0) - sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    )
+
+
 def knn_pq_adc(
     base: DataFrame,
     queries: DataFrame,
@@ -918,40 +967,8 @@ def knn_pq_rerank(
     cand = knn_pq_adc(
         base, queries, rerank_r, id_col, vec_col, query_id_col, query_vec_col
     ).select(query_id_col, id_col)
-    # exact re-score of the R survivors stays in the EXPRESSION form
-    # (broadcast query join + inline fold): R is bounded, so the fold
-    # cost is small, and it pipelines within the same stage as the top-k
-    # window — a measured round-6 Arrow-rescore variant was ~0.5 s SLOWER
-    # here (the extra Python hop broke the whole-stage pipeline for only
-    # ~19k pairs), so the kernel path is reserved for the |base|×|queries|
-    # products (knn.pair_scores) where it wins 10-25×
-    qv = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        query_vec_col,
-        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
-    )
-    sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
-        / (F.col("_v_mag") * F.col("_q_mag")),
-    )
-    scored = (
-        cand.join(
-            base.select(
-                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
-            ),
-            id_col,
-        )
-        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
-        .withColumn("dist", F.lit(1.0) - sim)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    return _exact_rerank(
+        cand, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -1027,37 +1044,8 @@ def knn_ivfpq(
         .where(F.col("rr") <= rerank_r)
         .select(query_id_col, id_col)
     )
-
-    # exact re-score stays in the expression form — see the knn_pq_rerank
-    # comment (bounded R; the Arrow hop measured slower than the inline
-    # fold that pipelines into the top-k window)
-    qv = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        query_vec_col,
-        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
-    )
-    sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
-        / (F.col("_v_mag") * F.col("_q_mag")),
-    )
-    scored = (
-        pruned.join(
-            base.select(
-                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
-            ),
-            id_col,
-        )
-        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
-        .withColumn("dist", F.lit(1.0) - sim)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -1174,33 +1162,8 @@ def knn_bq_rerank(
         .where(F.col("rr") <= rerank_r)
         .select(query_id_col, id_col)
     )
-    qv = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        query_vec_col,
-        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
-    )
-    sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
-        / (F.col("_v_mag") * F.col("_q_mag")),
-    )
-    scored = (
-        pruned.join(
-            base.select(
-                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
-            ),
-            id_col,
-        )
-        .join(F.broadcast(qv), F.col(query_id_col) == F.col("_qid"))
-        .withColumn("dist", F.lit(1.0) - sim)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, rnd("dist", ROUND).alias("dist"), "rank")
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
