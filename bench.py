@@ -55,6 +55,7 @@ HEADLINE = [
     "pq_train",
     "pq_codes",
     "knn_pq_rerank",
+    "knn_bq_rerank",
     "ivfpq_build",
     "knn_ivfpq",
     "ivfpq_partitioned_search",
