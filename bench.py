@@ -8,16 +8,27 @@ Each query is timed action-to-completion (collect of the final, already
 small, result set — top-k / aggregate outputs), so the measured cost is the
 distributed plan, not driver-side materialization of bulk data.
 
-Build keys (index/quantizer construction that populates a session cache)
-are timed ONCE, on first touch — a repeat would measure the cache hit.
-Every other key reports the MEDIAN of 3 runs (round-6 bench hygiene,
-verdict r5 item 8: n=1/min-of-2 let ±25% shared-box noise drive
-round-over-round conclusions; a median resists one bad run in either
-direction). The first run still pays any plan-analysis cost; nothing is
-cached between runs for these keys beyond what a long-lived engine
-session would legitimately reuse. Per-key run counts are reported in
-"runs" so the driver log shows which numbers are medians and which are
-one-shot builds.
+EVERY key reports the MEDIAN of 3 runs (round-6 added medians for search
+keys; round 7 extends them to build keys, verdict r6 item 1: the n=1
+build policy let one noisy 7.48 s sample become round 6's official
+hnsw_build number — verified 2.29 s in isolation). Build keys populate
+session caches (the trained quantizers, the HNSW graph, the pair graph),
+so a naive repeat would measure a dict hit; instead the session caches
+are snapshotted before a build key's first run and restored between
+repeats (toy_vector_db_spark/caches.py), making every repeat a real
+rebuild. The final repeat's artifacts are kept, so downstream search
+keys reuse them exactly as before. Per-key run counts are reported in
+"runs". The first run of any key still pays plan-analysis cost; nothing
+is cached between runs beyond what a long-lived engine session would
+legitimately reuse.
+
+Output contract (round 7, verdict r6 items 1-2): the full record line
+(queries + queries_min + runs) outgrew the driver's 2 kB tail capture in
+round 6 ("parsed": null — the round's headline total was lost), so the
+LAST line printed is now a compact summary (metric/value/
+r1_comparable_total/sf + 2-decimal per-query medians, dropped if they
+would push the line past the capture window) and the full-detail record
+is printed immediately before it.
 """
 
 from __future__ import annotations
@@ -121,6 +132,8 @@ def main() -> None:
         .count()
     )
 
+    from toy_vector_db_spark import caches
+
     qmap = registry.queries()
     if "--all" in sys.argv:
         # regression guard for queries outside the headline set (and outside
@@ -129,13 +142,14 @@ def main() -> None:
         names = list(qmap)
     else:
         names = [n for n in HEADLINE if n in qmap]
-    # first call builds + caches a session artifact; a second timed run
-    # would measure the cache hit instead of the build
-    # (dedup_minhash_lsh builds the session pair cache that dup_clusters
-    # then legitimately reuses — the pair graph is the dedup pipeline's
-    # shared build artifact; eval_recall materializes the two retrieval
-    # runs that all three evaluation metrics score, so it is timed once
-    # with that materialization included)
+    # Build keys populate session caches that later search keys reuse
+    # (dedup_minhash_lsh builds the pair cache that dup_clusters reuses;
+    # eval_recall materializes the two retrieval runs all three evaluation
+    # metrics score). A repeat of a build key would measure the cache hit,
+    # so between repeats the caches are rolled back to their pre-key state
+    # (entries ADDED by the run are dropped; artifacts from earlier build
+    # keys stay) — each repeat re-executes the real build, and the final
+    # repeat's artifacts remain for the downstream keys.
     build_keys = {
         "hnsw_build", "ivf_train", "pq_train", "pq_codes", "ivfpq_build",
         "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
@@ -146,9 +160,12 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     for name in names:
-        runs = 1 if name in build_keys else 3
+        runs = 3
+        snap = caches.snapshot() if name in build_keys else None
         samples = []
-        for _ in range(runs):
+        for i in range(runs):
+            if snap is not None and i > 0:
+                caches.restore(snap)
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
             # force full execution; result sets are small by construction
@@ -166,6 +183,8 @@ def main() -> None:
     r1_total = round(
         sum(t for n, t in timings.items() if n in R1_COMPARABLE), 3
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full-detail record first ...
     print(
         json.dumps(
             {
@@ -176,10 +195,27 @@ def main() -> None:
                 "queries_min": timings_min,
                 "runs": run_counts,
                 "r1_comparable_total": r1_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    # ... then a compact summary as the LAST line, sized to fit the
+    # driver's 2 kB tail capture (round 6's full line outgrew it and the
+    # round's headline total was recorded as "parsed": null). Per-query
+    # medians ride along at 2-decimal precision when they fit; if the
+    # headline set ever grows past the window, they are dropped before
+    # the totals are.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "r1_comparable_total": r1_total,
+        "sf": sf_val,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if len(json.dumps(summary)) > 1800:
+        del summary["queries"]
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -1,4 +1,4 @@
-"""IVF search quality: probing N_PROBE (=6 since round 5) of 16 cells must
+"""IVF search quality: probing N_PROBE (=8 since round 6) of 16 cells must
 retain high recall vs exact (clustered fixtures route most true neighbors
 into probed cells)."""
 

@@ -1,0 +1,85 @@
+"""Session-cache registry: snapshot/restore for bench hygiene.
+
+Several operators populate module-level session caches (trained
+quantizers, persisted assignment/code frames, the HNSW graph, the
+minhash pair graph, written index artifacts). That is correct engine
+behavior — a long-lived serving session builds once and reuses — but it
+breaks bench measurement of the BUILD keys: a second timed run of
+``hnsw_build`` measures a dict hit, not a build, so bench.py historically
+timed build keys once (n=1), and round 6's record shows exactly what n=1
+costs: one noisy 7.48 s sample became the round's official ``hnsw_build``
+number (verified 2.29 s in isolation; r7 verdict item 1).
+
+The fix: bench.py snapshots every session cache before a build key's
+first run and restores the snapshot between repeats, so each repeat
+re-executes the real build; the final run's artifacts are kept so
+downstream search keys still reuse them exactly as before. Restore
+removes only the entries a run ADDED (pre-existing artifacts from
+earlier build keys — e.g. the ivf_train centroids that ivfpq_build
+legitimately consumes — stay), and unpersists any Spark-persisted frames
+it drops so repeats don't accumulate executor storage.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def _cache_dicts() -> list[dict]:
+    """Every module-level session cache, by reference. New caches must be
+    added here (tests/test_bench_contract.py greps for the _CACHE naming
+    convention and fails if a cache dict is missing from this list)."""
+    from toy_vector_db_spark import registry
+    from toy_vector_db_spark.operators import dedup, hnsw, knn, similarity
+    from toy_vector_db_spark.streaming import ingest
+
+    return [
+        similarity._SAMPLE_CACHE,
+        similarity._TRAINED_CACHE,
+        similarity._ASSIGN_CACHE,
+        similarity._CODES_CELLS_CACHE,
+        similarity._WRITTEN_INDEX_CACHE,
+        similarity._COUNT_CACHE,
+        similarity._CELL_VECTORS_CACHE,
+        similarity._PQ_BOOKS_CACHE,
+        similarity._CODES_CACHE,
+        dedup._PAIRS_CACHE,
+        hnsw._INDEX_CACHE,
+        knn._QUERY_BATCH_CACHE,
+        ingest._INGEST_CACHE,
+        registry._N_CACHE,
+        registry._EVAL_CACHE,
+    ]
+
+
+def snapshot() -> list[tuple[dict, frozenset]]:
+    """Key-set snapshot of every session cache (values are not copied —
+    restore only ever REMOVES entries added after the snapshot; existing
+    entries are never mutated by the operators)."""
+    return [(d, frozenset(d.keys())) for d in _cache_dicts()]
+
+
+def _unpersist(value: Any) -> None:
+    # cache values are DataFrames, tuples of DataFrames, plain lists/ints
+    # or path strings; unpersist what Spark is holding storage for
+    from pyspark.sql import DataFrame
+
+    if isinstance(value, DataFrame):
+        try:
+            value.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            _unpersist(v)
+
+
+def restore(snap: list[tuple[dict, frozenset]]) -> int:
+    """Drop every cache entry added since ``snap`` (unpersisting dropped
+    Spark frames); returns the number of entries dropped."""
+    dropped = 0
+    for d, keys in snap:
+        for k in [k for k in d if k not in keys]:
+            _unpersist(d.pop(k))
+            dropped += 1
+    return dropped

@@ -117,18 +117,22 @@ _PRIORITY = [
     # lsh_buckets, semantic_search, text_langid, text_token_stats,
     # curation_filter, mm_feature_extract, mm_frame_sample,
     # doc_fingerprint rotated out after going green in rounds 2 and 3.
-    "span_dedup_scrub",
+    # Round-7 rotation (verdict r6 item 2): the three round-6 overflow
+    # keys — ivfpq_compact_search, bq_codes, knn_bq_rerank — rotate IN
+    # (after this, every oracled key in the repo once again has ≥1 driver
+    # hash row). Rotating OUT span_dedup_scrub, vocab_topk, and
+    # training_shard_assign, each driver-green in BOTH rounds 5 and 6.
     "embedding_near_dups_lsh",
     "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
     "knn_ivfpq", "ivfpq_build", "ivfpq_partitioned_search",
-    "ivfpq_upsert_search", "ivfpq_delete_search",
+    "ivfpq_upsert_search", "ivfpq_delete_search", "ivfpq_compact_search",
+    "bq_codes", "knn_bq_rerank",
     "knn_hnsw_routed",
     "knn_hnsw_routed_exhaustive",
     "mm_decode_image_stats",
     "hybrid_rrf_topk", "hybrid_rrf_ivfpq",
     "contamination_report",
     "doc_embedding_pool",
-    "vocab_topk", "training_shard_assign",
     "decontaminate_ngram", "decontaminate_eval_fixture",
     "decontaminate_embedding",
     "doc_repetition_stats", "model_quality_inference",
@@ -1773,9 +1777,8 @@ def q_ivfpq_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti-join/bitmap cost from accumulating forever. Search over the
     compacted on-disk index must equal tombstone search over the old
     artifact exactly, so this key shares ivfpq_delete_search's oracle.
-    OVERFLOW position (the 50-slot driver window is full of round-6 keys;
-    local-oracle-green at sf0.001/0.01, queued to rotate in next round —
-    COVERAGE.md records the same)."""
+    Created in round 6 as a window-overflow key; rotated into the driver
+    window in round 7 (verdict r6 item 2)."""
     import hashlib
     import os
 
@@ -1806,8 +1809,8 @@ def q_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit binary quantization codes over the base split: 64 float
     dims → 64 bits as two BIGINT halves — the training-free third index
     family (next to HNSW and trained PQ); the 'build' is a pure per-row
-    expression. OVERFLOW position (window full of round-6 keys; queued
-    next rotation)."""
+    expression. Created in round 6 as a window-overflow key; rotated into
+    the driver window in round 7."""
     from toy_vector_db_spark.operators import similarity
 
     base, _ = _split(spark, sf_dir)
@@ -1819,18 +1822,21 @@ def q_knn_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BQ serving pipeline: Hamming prune over the 8-byte sign-bit codes
     (bit_count(xor)) to the scale-aware R, exact cosine rerank — recall
     0.94 (sf0.001) / 0.74 (sf0.1), bought entirely by the rerank since
-    raw sign-bit Hamming alone ranks poorly on uncentered data. OVERFLOW
-    position (queued next rotation)."""
+    raw sign-bit Hamming alone ranks poorly on uncentered data. Created
+    in round 6 as a window-overflow key; rotated into the driver window
+    in round 7."""
     from toy_vector_db_spark.operators import similarity
 
     base, qs = _split(spark, sf_dir)
     return similarity.knn_bq_rerank(base, qs, K)
 
 
-# queued for round-7 window rotation
-_POST_WINDOW_OVERFLOW = [
-    "ivfpq_compact_search", "bq_codes", "knn_bq_rerank",
-]
+# Keys created in a round whose 50-slot driver window is already full are
+# queued here (oracled, policy-tested by test_overflow_keys_are_oracled_and
+# _queued) and rotate in next round. Round 7 rotated the round-6 trio
+# (ivfpq_compact_search, bq_codes, knn_bq_rerank) into the window; the
+# queue is currently empty.
+_POST_WINDOW_OVERFLOW: list[str] = []
 
 
 @register("streaming_vector_ingest")
