@@ -1,0 +1,135 @@
+"""QUERY_BATCH_MAX guard (round 7, verdict r6 item 4).
+
+The Arrow pair kernel ships the query batch to the driver and into task
+closures — sane only for a bounded serving batch. These tests pin the
+guard: an oversized query frame must produce the pure-Catalyst fallback
+plan (no driver collect, no Arrow kernel node, no broadcast of the
+oversized side), and the fallback must be value-identical to the kernel
+on the fixture workloads (so driver hashes cannot move).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import knn, similarity
+from toy_vector_db_spark.plans import explain
+from toy_vector_db_spark.sources.ndjson import split_count
+
+
+def _splits(spark, embeddings):
+    n = embeddings.count()
+    cut = split_count(n, 0.75)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = (
+        embeddings.where(F.col("vec_id") >= cut)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .limit(25)
+    )
+    return base, qs
+
+
+def _oversized_queries(spark, embeddings, nrows):
+    """A query frame that is structurally valid but larger than any
+    serving batch — spark.range with a literal vector, built lazily, so
+    constructing the PLAN is cheap; the guard only ever runs a count on
+    it."""
+    vec = [
+        float(x)
+        for x in embeddings.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    return spark.range(nrows).select(
+        F.col("id").alias("query_id"),
+        F.lit(vec).cast("array<double>").alias("query_vec"),
+    )
+
+
+def test_oversized_batch_gets_catalyst_plan_no_collect(spark, embeddings):
+    base, _ = _splits(spark, embeddings)
+    big = _oversized_queries(spark, embeddings, knn.QUERY_BATCH_MAX + 1)
+    before = dict(knn._QUERY_BATCH_CACHE)
+    out = knn.pair_scores(base, big)
+    plan = explain.formatted_plan(out)
+    # pure-Catalyst fallback: no Arrow kernel node in the plan
+    assert "PythonMapInArrow" not in plan and "MapInArrow" not in plan
+    # the oversized frame was never collected to the driver
+    assert dict(knn._QUERY_BATCH_CACHE) == before
+    # and the oversized (right/query) side is never the broadcast side —
+    # with the hint dropped, Spark is free to broadcast the SMALL base
+    # side instead (BuildLeft at fixture scale: correct), but must not
+    # ship the big frame to every executor
+    bnlj = [
+        line for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    ]
+    assert all("BuildRight" not in line for line in bnlj), plan
+
+
+def test_oversized_batch_knn_ivf_probe_join_plan(spark, embeddings):
+    base, _ = _splits(spark, embeddings)
+    big = _oversized_queries(spark, embeddings, knn.QUERY_BATCH_MAX + 1)
+    cents = similarity.cached_trained_centroids(base)
+    out = similarity.knn_ivf(
+        base,
+        big,
+        10,
+        cents=cents,
+        assign=similarity.cached_trained_assign(base),
+        cell_vectors=similarity.cached_cell_vectors(base),
+    )
+    plan = explain.formatted_plan(out)
+    assert "PythonMapInArrow" not in plan and "MapInArrow" not in plan
+    # the probe-join fallback scores via a real join on centroid_id
+    assert "centroid_id" in plan
+
+
+def test_fallback_values_match_kernel(spark, embeddings, monkeypatch):
+    """Force the fallback on the normal 25-query fixture batch and assert
+    bit-identical output vs the kernel path — the driver-hash invariance
+    argument for the guard."""
+    base, qs = _splits(spark, embeddings)
+    kernel = knn.knn_exact_batch(base, qs, 10).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = knn.knn_exact_batch(base, qs, 10).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_fallback_values_match_kernel_ivf(spark, embeddings, monkeypatch):
+    base, qs = _splits(spark, embeddings)
+    cents = similarity.cached_trained_centroids(base)
+    assign = similarity.cached_trained_assign(base)
+    cv = similarity.cached_cell_vectors(base)
+    kernel = similarity.knn_ivf(
+        base, qs, 10, cents=cents, assign=assign, cell_vectors=cv
+    ).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = similarity.knn_ivf(
+        base, qs, 10, cents=cents, assign=assign, cell_vectors=cv
+    ).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_fallback_values_match_kernel_dual_metric(spark, embeddings,
+                                                  monkeypatch):
+    base, qs = _splits(spark, embeddings)
+    kernel = knn.pair_scores(base, qs, dual_metric=True).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = knn.pair_scores(base, qs, dual_metric=True).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_oversized_with_cells_routing_raises(spark, embeddings):
+    base, _ = _splits(spark, embeddings)
+    big = _oversized_queries(spark, embeddings, knn.QUERY_BATCH_MAX + 1)
+    with pytest.raises(ValueError, match="bounded query batch"):
+        knn.pair_scores(base, big, cells_by_query={0: [0]})

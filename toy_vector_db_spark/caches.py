@@ -46,6 +46,7 @@ def _cache_dicts() -> list[dict]:
         dedup._PAIRS_CACHE,
         hnsw._INDEX_CACHE,
         knn._QUERY_BATCH_CACHE,
+        knn._QUERY_COUNT_CACHE,
         ingest._INGEST_CACHE,
         registry._N_CACHE,
         registry._EVAL_CACHE,

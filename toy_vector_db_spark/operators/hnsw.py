@@ -758,6 +758,179 @@ def knn_hnsw_routed_prebuilt(
     )
 
 
+def hnsw_upsert(
+    parted: DataFrame,
+    edges: DataFrame,
+    batch: DataFrame,
+    num_partitions: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Micro-batch ingest into a PREBUILT hash-sharded index (round 7,
+    verdict r6 item 5 — the lifecycle leg the IVF-PQ family got in round
+    6): the shard function stays FROZEN (pmod(xxhash64(id), P), the
+    frozen-quantizer analogue), new rows hash to their shards, and only
+    the TOUCHED shards do any graph work — untouched shards' edge lists
+    pass through unmodified (at 100 TB: untouched index partitions are
+    not rewritten; a micro-batch touches at most P shards).
+
+    Inside a touched shard the ingest is PROVABLY identical to a
+    from-scratch rebuild of the shard (asserted edge-for-edge in
+    tests/test_hnsw_lifecycle.py): levels are hash-seeded per id and
+    insertion order is id order, so when the batch ids all sort after
+    the shard's existing ids (the append case — monotonically growing
+    ids), reconstructing the stored graph and running Algorithm 1 for
+    just the new ids replays exactly the tail of the scratch insertion
+    sequence. When batch ids interleave with existing ids the kernel
+    falls back to a scratch rebuild OF THAT SHARD ONLY — same result,
+    build cost bounded by the touched shard, never the corpus.
+
+    Returns (parted', edges') in the exact shape ``hnsw_index`` emits,
+    so every search entry point works unchanged on the upserted index."""
+    batch_p = _with_part(
+        batch.select(id_col, vec_col), num_partitions, id_col
+    )
+    # touched-shard set: bounded by P (scalar collect, never data)
+    touched = sorted(
+        int(r[0]) for r in batch_p.select("part").distinct().collect()
+    )
+    union_parted = parted.select(id_col, vec_col, "part").unionByName(
+        batch_p.select(id_col, vec_col, "part")
+    )
+    untouched_edges = edges.where(~F.col("part").isin(touched))
+    touched_vecs = (
+        parted.where(F.col("part").isin(touched))
+        .select(id_col, vec_col, "part", F.lit(False).alias("_is_new"))
+        .unionByName(
+            batch_p.where(F.col("part").isin(touched)).select(
+                id_col, vec_col, "part", F.lit(True).alias("_is_new")
+            )
+        )
+    )
+    touched_edges = edges.where(F.col("part").isin(touched))
+
+    def _ingest(vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["part", "layer", "src", "pos", "dst"]
+        if vec_pdf.empty:
+            return pd.DataFrame(columns=cols).astype(
+                {"part": "int32", "layer": "int32", "src": "int64",
+                 "pos": "int32", "dst": "int64"}
+            )
+        vec_pdf = vec_pdf.sort_values(id_col, ignore_index=True)
+        ids = vec_pdf[id_col].to_numpy()
+        vecs = np.stack(vec_pdf[vec_col].to_numpy())
+        is_new = vec_pdf["_is_new"].to_numpy()
+        part = int(vec_pdf["part"].iloc[0])
+        old_ids = ids[~is_new]
+        new_ids = ids[is_new]
+        levels = [deterministic_level(int(i)) for i in ids]
+        if (
+            len(old_ids) == 0
+            or edge_pdf.empty
+            or (len(new_ids) > 0 and int(new_ids.min()) <= int(old_ids.max()))
+        ):
+            # interleaved ids (or an empty prior shard): scratch rebuild
+            # of this shard — still O(shard), never O(corpus)
+            idx = LocalHNSW(vecs)
+            idx.build(levels)
+        else:
+            # append case: old ids occupy the first len(old_ids) local
+            # offsets of the id-sorted union, so the stored edge list maps
+            # onto the union matrix unchanged; ep/top replay the running-
+            # max rule over the OLD insertion sequence only, then the new
+            # ids run Algorithm 1 in id order — the exact tail of the
+            # scratch build.
+            idx = LocalHNSW(vecs)
+            top, ep = -1, None
+            for i in range(len(old_ids)):
+                if levels[i] > top:
+                    top, ep = levels[i], i
+            idx.top_layer, idx.ep = top, ep
+            id2loc = {int(g): i for i, g in enumerate(ids)}
+            e = edge_pdf.sort_values(["layer", "src", "pos"])
+            for layer, src, dst in zip(
+                e["layer"].to_numpy(), e["src"].to_numpy(),
+                e["dst"].to_numpy(),
+            ):
+                idx.neighbors[int(layer)].setdefault(
+                    id2loc[int(src)], []
+                ).append(id2loc[int(dst)])
+            for local in range(len(old_ids), len(ids)):
+                idx.insert(local, levels[local])
+        rows = [
+            (part, lc, int(ids[src]), pos, int(ids[dst]))
+            for lc, adj in enumerate(idx.neighbors)
+            for src, dsts in adj.items()
+            for pos, dst in enumerate(dsts)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    ingested = (
+        touched_vecs.groupBy("part")
+        .cogroup(touched_edges.groupBy("part"))
+        .applyInPandas(
+            _ingest,
+            schema="part int, layer int, src long, pos int, dst long",
+        )
+    )
+    return union_parted, untouched_edges.unionByName(ingested)
+
+
+def knn_hnsw_deleted(
+    parted: DataFrame,
+    edges: DataFrame,
+    tombstones: DataFrame,
+    queries: DataFrame,
+    k: int,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    emit: int | None = None,
+) -> DataFrame:
+    """Tombstone DELETE on the graph (round 7): deleted ids stay in the
+    edge lists as routing waypoints (the graph is never rewritten — that
+    is compaction's job) and are filtered AFTER the per-shard beam
+    emission, before the global rerank — the HNSW twin of
+    ivfpq_delete_search's anti-join.
+
+    Starvation guard: each shard emits its top-(k + t_max) where t_max
+    is the largest per-shard tombstone count (a bounded scalar agg — at
+    100 TB the live tombstone set between compactions is bounded by ops
+    policy, the same argument the IVF-PQ delete leg makes), so even if
+    every tombstone in a shard outranks the live neighbors, the shard
+    still surfaces its true live top-k."""
+    t_max_row = (
+        parted.join(tombstones.select(id_col), id_col)
+        .groupBy("part")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    t_max = int(t_max_row or 0)
+    kk = k + t_max
+    cand = knn_hnsw_prebuilt(
+        parted, edges, queries, kk, ef,
+        id_col, vec_col, query_id_col, query_vec_col,
+        emit=max(emit or 0, kk),
+    )
+    live = cand.join(
+        F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        live.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 class HNSWIndex:
     """Index-protocol wrapper mirroring the reference trait
     (/root/reference/src/index.rs:4-10, src/hnsw.rs:330-338)."""

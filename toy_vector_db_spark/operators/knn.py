@@ -125,29 +125,82 @@ def _scored_product(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    dual_metric: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """base × broadcast(queries) with the clamped-cosine distance, side
-    magnitudes computed once per row/query (see knn_exact_batch). This is
-    the pure-Catalyst EXPRESSION form — kept as the bit-parity reference
-    for the vectorized ``pair_scores`` kernel below (the fixture-path
-    operators serve from the kernel; tests assert the two forms equal
-    bit-for-bit, the pq_codes pattern)."""
+    """base × queries with the clamped-cosine distance, side magnitudes
+    computed once per row/query (see knn_exact_batch). This is the
+    pure-Catalyst EXPRESSION form — the bit-parity reference for the
+    vectorized ``pair_scores`` kernel below (the fixture-path operators
+    serve from the kernel; tests assert the two forms equal bit-for-bit,
+    the pq_codes pattern) AND the fallback plan when the query frame is
+    too large to collect (see QUERY_BATCH_MAX below).
+
+    ``dual_metric`` adds the polarization-identity euclidean
+    (``sqrt(greatest(0, |v|² + |q|² − 2·dot))``) as ``euc_dist`` next to
+    ``cos_dist`` — the same staged expression tree (and therefore the
+    same IEEE sequence) as the kernel's dual-metric path.
+    ``broadcast_queries=False`` drops the broadcast hint for query frames
+    that are NOT small — Spark/AQE then plans the cartesian product
+    without shipping the query side to every executor whole."""
     base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
     q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    dot = V.dot(F.col(vec_col), F.col(query_vec_col))
     sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
-        / (F.col("_v_mag") * F.col("_q_mag")),
+        F.lit(0.0), dot / (F.col("_v_mag") * F.col("_q_mag"))
     )
-    return base_m.crossJoin(F.broadcast(q_m)).withColumn(
-        "dist", F.lit(1.0) - sim
+    right = F.broadcast(q_m) if broadcast_queries else q_m
+    out = base_m.crossJoin(right)
+    if dual_metric:
+        # ((|v|²+|q|²) − 2·dot) then clamp then sqrt — the kernel's exact
+        # associativity (vm² + qm² first, then subtract the doubled dot)
+        euc = F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("_v_mag") * F.col("_v_mag")
+                + F.col("_q_mag") * F.col("_q_mag")
+                - F.lit(2.0) * dot,
+            )
+        )
+        return out.withColumn("cos_dist", F.lit(1.0) - sim).withColumn(
+            "euc_dist", euc
+        )
+    return out.withColumn("dist", F.lit(1.0) - sim)
+
+
+# Above this many query rows, a "query batch" is not a bounded serving
+# workload anymore and must NOT be collected to the driver (round-7
+# verdict item 4: a caller passing a corpus-sized frame as `queries` —
+# e.g. millions of eval rows used batch-KNN-style — previously got a
+# silent driver OOM instead of a distributed plan). At or below the
+# threshold the vectorized Arrow kernel serves the product; above it,
+# operators fall back to the pure-Catalyst forms (``_scored_product``
+# here; the probe-join form in similarity.knn_ivf), which are
+# bit-parity-tested against the kernel, so the fallback changes the plan
+# shape, never the values.
+QUERY_BATCH_MAX = 100_000
+
+# (appId, queries plan hash) → row count backing the guard: one scalar
+# count job per distinct query frame per session (the _rerank_budget
+# cached-count idiom).
+_QUERY_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def query_batch_count(queries: DataFrame) -> int:
+    key = (
+        queries.sparkSession.sparkContext.applicationId,
+        queries.semanticHash(),
     )
+    if key not in _QUERY_COUNT_CACHE:
+        _QUERY_COUNT_CACHE[key] = queries.count()
+    return _QUERY_COUNT_CACHE[key]
 
 
 # (appId, queries plan hash, cols) → collected query batch. The query
 # side is the BROADCAST side by construction (a query workload, not the
-# corpus); collecting it driver-side is the same data movement as
-# F.broadcast, cached per session like the centroid/codebook artifacts.
+# corpus — enforced by the QUERY_BATCH_MAX guard above); collecting it
+# driver-side is the same data movement as F.broadcast, cached per
+# session like the centroid/codebook artifacts.
 _QUERY_BATCH_CACHE: dict[tuple, list] = {}
 
 
@@ -217,8 +270,38 @@ def pair_scores(
     euclidean (``sqrt(greatest(0, |v|² + |q|² − 2·dot))`` — the
     evaluation pipeline's staged-dot form, registry._eval_frames) as
     ``euc_dist`` next to ``cos_dist``: one dot pass, two metrics, same
-    expression tree as the Catalyst/oracle form op for op."""
+    expression tree as the Catalyst/oracle form op for op.
+
+    GUARD (round 7): the kernel ships the query batch driver-side and
+    into task closures, which is only sane for a bounded serving batch.
+    Above QUERY_BATCH_MAX query rows this falls back to the
+    pure-Catalyst ``_scored_product`` form (no driver collect, no
+    broadcast of the oversized side) — bit-identical values, different
+    physical plan."""
     import pyarrow as pa
+
+    if query_batch_count(queries) > QUERY_BATCH_MAX:
+        if cells_by_query is not None:
+            # the caller already holds a per-query routing dict, i.e. it
+            # collected the oversized frame itself — that's the caller's
+            # bug; knn_ivf guards before building the dict
+            raise ValueError(
+                "cells_by_query routing requires a bounded query batch "
+                f"(> {QUERY_BATCH_MAX} rows); use the probe-join form"
+            )
+        scored = _scored_product(
+            base, queries, id_col, vec_col, query_id_col, query_vec_col,
+            dual_metric=dual_metric, broadcast_queries=False,
+        )
+        cols = [
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(id_col).cast("long").alias(id_col),
+        ]
+        cols += (
+            [F.col("cos_dist"), F.col("euc_dist")] if dual_metric
+            else [F.col("dist")]
+        )
+        return scored.select(*cols)
 
     qrows = _collected_queries(queries, query_id_col, query_vec_col)
     if not qrows:

@@ -322,16 +322,19 @@ def knn_pq_adc_sql(split_cte: str, k: int) -> str:
 
 def rerank_budget_sql(k: int, base_cte: str = "base") -> str:
     """SQL twin of similarity._rerank_budget: R = max(RERANK_MULT·k,
-    ceildiv(n_base, RERANK_DEN)) with the count as a scalar subquery and
-    integer ceil-division — bit-exact cross-engine (no float ceil)."""
+    min(ceildiv(n_base, RERANK_DEN), RERANK_CAP)) with the count as a
+    scalar subquery and integer ceil-division — bit-exact cross-engine
+    (no float ceil; LEAST/GREATEST mirror Python's min/max on ints)."""
     from toy_vector_db_spark.operators.similarity import (
+        RERANK_CAP,
         RERANK_DEN,
         RERANK_MULT,
     )
 
     return (
-        f"greatest({RERANK_MULT * k}, (SELECT (count(*) + {RERANK_DEN - 1})"
-        f" // {RERANK_DEN} FROM {base_cte}))"
+        f"greatest({RERANK_MULT * k}, least((SELECT (count(*) + "
+        f"{RERANK_DEN - 1}) // {RERANK_DEN} FROM {base_cte}), "
+        f"{RERANK_CAP}))"
     )
 
 
