@@ -69,8 +69,11 @@ HEADLINE = [
     "knn_bq_rerank",
     "ivfpq_build",
     "knn_ivfpq",
+    "knn_ivfpq_filtered",
     "ivfpq_partitioned_search",
     "ivfpq_upsert_search",
+    "hnsw_upsert_search",
+    "hnsw_delete_search",
     "hnsw_routed_build",
     "knn_hnsw_routed",
     "dedup_minhash_lsh",

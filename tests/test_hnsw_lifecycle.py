@@ -1,0 +1,153 @@
+"""HNSW index lifecycle (round 7, verdict r6 item 5): micro-batch
+shard-append ingest and tombstone delete, each proven against the
+from-scratch ground truth — the same equivalence discipline as the
+IVF-PQ lifecycle keys (tests/test_similarity.py's upsert ≡ rebuild)."""
+
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators import evaluation, hnsw, knn
+from toy_vector_db_spark.sources.ndjson import split_count
+
+P = 8
+
+
+def _edge_set(df):
+    return sorted(
+        (r["part"], r["layer"], r["src"], r["pos"], r["dst"])
+        for r in df.collect()
+    )
+
+
+def test_upsert_append_equals_scratch_build(spark, embeddings):
+    """The append case (batch ids all greater than existing ids — the
+    production shape for monotonically-assigned ids): reconstructing each
+    touched shard's stored graph and replaying Algorithm 1 for the new
+    ids must reproduce the scratch build EDGE FOR EDGE, because levels
+    are hash-seeded and insertion order is id order."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    parted1, edges1 = hnsw.hnsw_upsert(parted0, edges0, batch, P)
+    scratch = hnsw.build_edges(base, P)
+    assert _edge_set(edges1) == _edge_set(scratch)
+    # the upserted vector table is the union, exactly
+    assert parted1.count() == base.count()
+
+
+def test_upsert_interleaved_falls_back_to_shard_rebuild(spark, embeddings):
+    """Interleaved batch ids (even/odd split) can't replay the insertion
+    tail, so touched shards rebuild from scratch — result must STILL
+    equal the full scratch build (and only shard-local work was done)."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    initial = base.where(F.col("vec_id") % 2 == 0)
+    batch = base.where(F.col("vec_id") % 2 == 1)
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    parted1, edges1 = hnsw.hnsw_upsert(parted0, edges0, batch, P)
+    scratch = hnsw.build_edges(base, P)
+    assert _edge_set(edges1) == _edge_set(scratch)
+
+
+def test_upsert_untouched_shards_pass_through(spark, embeddings):
+    """A micro-batch that hashes into a strict subset of shards must leave
+    the other shards' edge lists untouched (at 100 TB: unrewritten index
+    partitions). Constructed by picking batch ids that land in one part
+    under the frozen shard function."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    rest = base.where(F.col("vec_id") >= init_cut)
+    # target part of the FIRST new id; batch = new ids landing in it
+    parts = {
+        r[0]: r[1]
+        for r in hnsw._with_part(rest, P, "vec_id")
+        .select("vec_id", "part")
+        .collect()
+    }
+    target = parts[min(parts)]
+    batch_ids = [i for i, p in parts.items() if p == target]
+    batch = rest.where(F.col("vec_id").isin(batch_ids))
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    _, edges1 = hnsw.hnsw_upsert(parted0, edges0, batch, P)
+    before = {
+        part: rows
+        for part, rows in _group(_edge_set(edges0)).items()
+    }
+    after = _group(_edge_set(edges1))
+    for part in range(P):
+        if part != target:
+            assert after.get(part) == before.get(part), f"part {part} changed"
+    # the touched shard equals its scratch rebuild
+    scratch = _group(
+        _edge_set(
+            hnsw.build_edges(initial.unionByName(batch), P)
+        )
+    )
+    assert after.get(target) == scratch.get(target)
+
+
+def _group(edge_rows):
+    out: dict[int, list] = {}
+    for row in edge_rows:
+        out.setdefault(row[0], []).append(row)
+    return out
+
+
+def test_delete_filters_tombstones_and_keeps_recall(spark, embeddings):
+    """Tombstone delete at the NORMAL serving configuration (8 shards,
+    ef=EF_SEARCH): no deleted id may surface, back-filled neighbors come
+    from the live set, and recall vs exact-over-live holds the same bar
+    as the plain graph (the graph is unchanged — only emission widens by
+    t_max and filters)."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    dead = {r[0] for r in tombstones.collect()}
+    parted, edges = hnsw.hnsw_index(base, P)
+    res = hnsw.knn_hnsw_deleted(parted, edges, tombstones, qs, 10)
+    rows = res.collect()
+    assert rows and all(r["vec_id"] not in dead for r in rows)
+    live = base.where(F.col("vec_id") % 17 != 0)
+    exact = knn.knn_exact_batch(live, qs, 10)
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.90 if small else 0.85), f"deleted-graph recall = {rec}"
+
+
+def test_delete_exhaustive_equals_filtered_exact(spark, embeddings):
+    """ef = |base| + the unreachable guard makes the tombstoned search
+    provably exact over the live set — the property the driver-hashed
+    hnsw_delete_search key rests on."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    n_base = base.count()
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    parted, edges = hnsw.hnsw_index(base, 1)
+    res = hnsw.knn_hnsw_deleted(
+        parted, edges, tombstones, qs, 10, ef=n_base, emit=n_base
+    ).select("query_id", "vec_id", "rank")
+    live = base.where(F.col("vec_id") % 17 != 0)
+    exact = knn.knn_exact_batch(live, qs, 10).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert res.exceptAll(exact).count() == 0
+    assert exact.exceptAll(res).count() == 0

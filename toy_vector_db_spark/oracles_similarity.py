@@ -423,10 +423,11 @@ def ivfpq_build_sql(split_cte: str) -> str:
 def knn_ivfpq_sql(
     split_cte: str,
     k: int,
-    nprobe: int,
+    nprobe: int | str,
     rerank_r: int | str,
     train_pred: str | None = None,
     cand_pred: str | None = None,
+    extra_cand_joins: str = "",
 ) -> str:
     """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
     → ADC over PQ codes WITHIN probed cells only → exact rerank of the R
@@ -435,7 +436,9 @@ def knn_ivfpq_sql(
     ``train_pred`` bounds BOTH quantizers' training sets (upsert keys:
     the initial slice — frozen quantizers; default: TRAIN_SAMPLE cap).
     ``cand_pred`` filters the candidate code rows (delete key: the
-    tombstone exclusion — rows deleted from the index never score)."""
+    tombstone exclusion — rows deleted from the index never score).
+    ``extra_cand_joins`` adds joins to the cand CTE so ``cand_pred`` can
+    reference attribute tables (filtered key: base/query labels)."""
     from toy_vector_db_spark.operators.similarity import (
         KMEANS_ITERS,
         TRAIN_SAMPLE,
@@ -490,6 +493,7 @@ def knn_ivfpq_sql(
       JOIN probes p ON p.centroid_id = a.centroid_id
       JOIN nq ON nq.query_id = p.query_id
       {joins}
+      {extra_cand_joins}
       WHERE {cand_where}),
     pruned AS (
       SELECT query_id, vec_id FROM (
