@@ -151,3 +151,17 @@ def test_delete_exhaustive_equals_filtered_exact(spark, embeddings):
     )
     assert res.exceptAll(exact).count() == 0
     assert exact.exceptAll(res).count() == 0
+
+
+def test_compact_equals_delete_search(spark, sf_dir):
+    """Compaction retires tombstones by REBUILDING the graph over live
+    rows; search over the compacted graph must return exactly what
+    tombstone search over the old graph returns (both provably exact in
+    the registry's degenerate configuration — shared oracle, the
+    ivfpq_compact_search pattern)."""
+    from toy_vector_db_spark import registry
+
+    deleted = registry.queries()["hnsw_delete_search"](spark, sf_dir)
+    compacted = registry.queries()["hnsw_compact_search"](spark, sf_dir)
+    assert deleted.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(deleted).count() == 0

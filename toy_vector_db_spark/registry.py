@@ -1920,6 +1920,39 @@ def q_hnsw_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(live_base, qs, cand)
 
 
+@register(
+    "hnsw_compact_search",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_HNSW_DELETE_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_hnsw_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION after HNSW tombstone deletes (round 7) — the fourth
+    lifecycle leg, completing build/upsert/delete/compact parity with
+    the IVF-PQ family. Unlike IVF-PQ compaction (a pure rewrite of live
+    code rows), an HNSW compaction RE-LINKS: the graph is rebuilt over
+    the live rows only, so former tombstone waypoints disappear from the
+    edge lists and the per-shard anti-join/emission-widening cost of the
+    tombstone path is retired. Search over the compacted graph must
+    equal tombstone search over the old graph — both provably exact in
+    the degenerate configuration — so this key shares
+    hnsw_delete_search's oracle (the exact top-k SQL with the exclusion
+    predicate), exactly the ivfpq_compact_search pattern. Queued in
+    _POST_WINDOW_OVERFLOW (the 50-slot window is full of round-7 keys);
+    oracle-tested locally at every SF by tests/test_registry_oracles.py."""
+    base, qs = _split(spark, sf_dir)
+    live = base.where(F.col("vec_id") % DELETE_MOD != 0)
+    n_live = live.count()
+    parted, edges = hnsw.cached_index(live, f"{sf_dir}#hnsw_compact", 1)
+    cand = hnsw.knn_hnsw_prebuilt(
+        parted, edges, qs, 4 * K, ef=n_live, emit=4 * K
+    )
+    return _exact_rescore(live, qs, cand)
+
+
 @register("knn_ivfpq_filtered")
 def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED ANN (round 7, verdict r6 item 6): label pre-filtering
@@ -1971,9 +2004,10 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keys created in a round whose 50-slot driver window is already full are
 # queued here (oracled, policy-tested by test_overflow_keys_are_oracled_and
 # _queued) and rotate in next round. Round 7 rotated the round-6 trio
-# (ivfpq_compact_search, bq_codes, knn_bq_rerank) into the window; the
-# queue is currently empty.
-_POST_WINDOW_OVERFLOW: list[str] = []
+# (ivfpq_compact_search, bq_codes, knn_bq_rerank) into the window plus its
+# own hnsw_upsert_search / hnsw_delete_search / knn_ivfpq_filtered; the
+# round-7 hnsw_compact_search did not fit and is queued for round 8.
+_POST_WINDOW_OVERFLOW: list[str] = ["hnsw_compact_search"]
 
 
 @register("streaming_vector_ingest")
