@@ -165,3 +165,24 @@ def test_compact_equals_delete_search(spark, sf_dir):
     compacted = registry.queries()["hnsw_compact_search"](spark, sf_dir)
     assert deleted.exceptAll(compacted).count() == 0
     assert compacted.exceptAll(deleted).count() == 0
+
+
+def test_streaming_hnsw_ingest_equals_batch_upsert(spark, sf_dir, embeddings):
+    """The streaming drain (micro-batch upserts, touched-partition
+    rewrites) must leave an edge table identical to the one-shot batch
+    upsert — batch boundaries only partition the work."""
+    from toy_vector_db_spark.sources.ndjson import split_count as sc
+    from toy_vector_db_spark.streaming import ingest
+
+    n = embeddings.count()
+    cut = sc(n, 0.95)
+    init_cut = sc(cut, 0.75)
+    base = embeddings.where(F.col("vec_id") < cut)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    _, edges_stream = ingest.stream_ingest_hnsw(
+        spark, sf_dir, init_cut, cut, P
+    )
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    _, edges_batch = hnsw.hnsw_upsert(parted0, edges0, batch, P)
+    assert _edge_set(edges_stream) == _edge_set(edges_batch)

@@ -1953,6 +1953,44 @@ def q_hnsw_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(live, qs, cand)
 
 
+@register(
+    "streaming_hnsw_ingest",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_COS_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ingest into the HNSW index (round 7): the arriving 25%
+    of the base drains readStream → foreachBatch; every micro-batch runs
+    the shard-append upsert against the on-disk index state, rewriting
+    ONLY the touched shard partitions of the edge table (dynamic
+    partition overwrite) — the streaming twin of hnsw_upsert_search,
+    exactly as streaming_vector_ingest twins ivfpq_upsert_search. The
+    drained graph is edge-identical to the batch upsert and to a scratch
+    build of the union (hnsw_upsert is proven shard-equal to scratch on
+    both its paths, so micro-batch arrival order cannot matter), so the
+    exhaustive-degenerate search shares hnsw_upsert_search's exact-KNN
+    oracle. Queued in _POST_WINDOW_OVERFLOW (window full of round-7
+    keys); oracle-tested locally at every SF."""
+    from toy_vector_db_spark.streaming import ingest
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    parted, edges = ingest.stream_ingest_hnsw(
+        spark, sf_dir, init_cut, cut, HNSW_PARTITIONS
+    )
+    n_base = base.count()
+    cand = hnsw.knn_hnsw_prebuilt(
+        parted, edges, qs, 4 * K, ef=n_base, emit=4 * K
+    )
+    return _exact_rescore(base, qs, cand)
+
+
 @register("knn_ivfpq_filtered")
 def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED ANN (round 7, verdict r6 item 6): label pre-filtering
@@ -2006,8 +2044,11 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _queued) and rotate in next round. Round 7 rotated the round-6 trio
 # (ivfpq_compact_search, bq_codes, knn_bq_rerank) into the window plus its
 # own hnsw_upsert_search / hnsw_delete_search / knn_ivfpq_filtered; the
-# round-7 hnsw_compact_search did not fit and is queued for round 8.
-_POST_WINDOW_OVERFLOW: list[str] = ["hnsw_compact_search"]
+# round-7 hnsw_compact_search and streaming_hnsw_ingest did not fit and
+# are queued for round 8.
+_POST_WINDOW_OVERFLOW: list[str] = [
+    "hnsw_compact_search", "streaming_hnsw_ingest",
+]
 
 
 @register("streaming_vector_ingest")

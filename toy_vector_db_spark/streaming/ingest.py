@@ -113,3 +113,110 @@ def stream_ingest_codes(
             q.stop()
         _INGEST_CACHE[key] = sink
     return spark.read.parquet(_INGEST_CACHE[key])
+
+
+def stream_ingest_hnsw(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    num_partitions: int = 8,
+):
+    """CONTINUOUS ingest into the HNSW index (round 7): the streaming
+    twin of ``hnsw_upsert``, exactly as ``stream_ingest_codes`` twins
+    ``ivfpq_upsert``. The arriving slice (lo ≤ vec_id < hi) drains
+    readStream → foreachBatch; each micro-batch runs the shard-append
+    upsert against the CURRENT on-disk index state, and only the TOUCHED
+    shard partitions of the edge table are rewritten (dynamic partition
+    overwrite — the 100 TB shape: an index partition is rewritten only
+    when its shard ingests), while the vector table appends.
+
+    Determinism: hnsw_upsert is proven shard-equal to a from-scratch
+    build of its union for BOTH its paths (append replay and interleaved
+    fallback), so the drained graph is EDGE-IDENTICAL to the one-shot
+    batch upsert and to a from-scratch build of the union REGARDLESS of
+    the order micro-batches arrive in (asserted in
+    tests/test_hnsw_lifecycle.py) — which is why search over it shares
+    hnsw_upsert_search's oracle.
+
+    Returns (parted, edges) read back from the sink — the same tuple
+    shape every HNSW search entry point takes."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import hnsw as H
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, lo, hi,
+        "hnsw", num_partitions,
+    )
+    if key not in _INGEST_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        sink = os.path.join(
+            FIXTURE_DIR, "sink_out", "stream_hnsw", tag, f"{lo}_{hi}"
+        )
+        if os.path.exists(sink):
+            shutil.rmtree(sink)
+        pdir = os.path.join(sink, "parted")
+        edir = os.path.join(sink, "edges")
+
+        initial = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).where(f"vec_id < {lo}")
+        # the SAME session-cached initial index the batch upsert key uses
+        parted0, edges0 = H.cached_index(
+            initial, f"{sf_dir}#hnsw_upsert_init", num_partitions
+        )
+        parted0.select("vec_id", "embedding", "part").write.partitionBy(
+            "part"
+        ).parquet(pdir)
+        edges0.write.partitionBy("part").parquet(edir)
+
+        src_dir = _stream_embeddings_dir(spark, sf_dir)
+        schema = spark.read.parquet(src_dir).schema
+        arriving = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .where(f"vec_id >= {lo} AND vec_id < {hi}")
+        )
+
+        def _process(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch = batch_df.select("vec_id", "embedding")
+            parted = spark.read.parquet(pdir)
+            edges = spark.read.parquet(edir)
+            _, e2 = H.hnsw_upsert(parted, edges, batch, num_partitions)
+            touched = [
+                int(r[0])
+                for r in H._with_part(batch, num_partitions, "vec_id")
+                .select("part").distinct().collect()
+            ]
+            # rewrite ONLY the touched shard partitions of the edge table
+            (
+                e2.where(F.col("part").isin(touched))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part")
+                .parquet(edir)
+            )
+            (
+                H._with_part(batch, num_partitions, "vec_id")
+                .write.mode("append").partitionBy("part").parquet(pdir)
+            )
+
+        q = (
+            arriving.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _INGEST_CACHE[key] = sink
+    sink = _INGEST_CACHE[key]
+    return (
+        spark.read.parquet(os.path.join(sink, "parted")),
+        spark.read.parquet(os.path.join(sink, "edges")),
+    )
