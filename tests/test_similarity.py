@@ -562,3 +562,51 @@ def test_ivfpq_filtered_recall_and_predicate(spark, embeddings):
     # measured 1.0 at sf0.001 with the widened probe (0.632 without)
     small = base.count() <= 1000
     assert rec >= (0.95 if small else 0.85), f"filtered IVF-PQ recall = {rec}"
+
+
+def test_ivfpq_filter_composes_with_tombstones(spark, embeddings):
+    """The filtered-ANN predicate and the tombstone anti-join are both
+    row predicates on the same compressed scan — the docstrings claim
+    they compose; this proves it: label filter × tombstone delete in one
+    search equals the filtered-exact top-k over the live label-matched
+    slice (full probe ⇒ the probe trade is out of the picture and the
+    equality is exact, the knn_ivfpq ≡ knn_pq_rerank gating pattern)."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    cc = similarity.cached_codes_cells(base.select("vec_id", "embedding"))
+    live_codes = cc.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    res = similarity.knn_ivfpq(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"),
+        10,
+        nprobe=similarity.N_CENTROIDS,  # full probe: exactness gate
+        codes_cells=live_codes,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select("query_id", "qlabel"),
+    )
+    live = base.where(F.col("vec_id") % 17 != 0)
+    scored = knn._scored_product(
+        live.select("vec_id", "embedding", "label"),
+        qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    got = res.select("query_id", "vec_id", "rank")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
