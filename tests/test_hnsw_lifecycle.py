@@ -186,3 +186,44 @@ def test_streaming_hnsw_ingest_equals_batch_upsert(spark, sf_dir, embeddings):
     parted0, edges0 = hnsw.hnsw_index(initial, P)
     _, edges_batch = hnsw.hnsw_upsert(parted0, edges0, batch, P)
     assert _edge_set(edges_stream) == _edge_set(edges_batch)
+
+
+def test_hnsw_filtered_predicate_and_recall(spark, embeddings):
+    """Label-partitioned graph search: every result satisfies the
+    query's label predicate BY CONSTRUCTION (routing is the filter), and
+    normal-ef recall vs filtered-exact holds the family bar — on one
+    n/|labels| graph the beam is near-exhaustive, so the floor is high."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    parted, edges = hnsw.labeled_index(base)
+    res = hnsw.knn_hnsw_filtered(parted, edges, qs, 10)
+    joined = (
+        res.join(base.select("vec_id", "label"), "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.count() == res.count()
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"), qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= 0.95, f"label-partitioned graph recall = {rec}"

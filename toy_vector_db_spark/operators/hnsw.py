@@ -758,6 +758,83 @@ def knn_hnsw_routed_prebuilt(
     )
 
 
+def labeled_index(
+    base: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """FILTERED-search index layout for the graph family (round 7): the
+    shard key is the filter ATTRIBUTE itself — one HNSW graph per label —
+    so an equality-filtered query routes to exactly its label's graph and
+    never touches (or post-filters) another label's rows. This is the
+    production answer for selective filters on graph indexes: a graph
+    walk cannot pre-filter (excluded nodes break connectivity), so the
+    partitioning does the filtering. Per-query work is one graph of
+    n/|labels| vectors — CHEAPER than unfiltered search — at the cost of
+    one graph per distinct label value (attribute cardinality must be
+    bounded; for high-cardinality predicates, IVF-PQ's row-predicate
+    filter — knn_ivfpq_filtered — is the right family). Same
+    (parted, edges) shape as hnsw_index, so every search entry point
+    works unchanged."""
+    cells = (
+        base.select(
+            id_col, vec_col, F.col(label_col).cast("int").alias("part")
+        ).persist()
+    )
+    edges = _edges_from_parted(cells, id_col, vec_col).persist()
+    edges.count()
+    return cells, edges
+
+
+def cached_labeled_index(
+    base: DataFrame,
+    cache_key: str,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        "labeled",
+        cache_key,
+        label_col,
+    )
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = labeled_index(base, label_col, id_col, vec_col)
+    return _INDEX_CACHE[key]
+
+
+def knn_hnsw_filtered(
+    parted: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "qlabel",
+    emit: int | None = None,
+) -> DataFrame:
+    """Equality-filtered graph search over a label-partitioned index
+    (``labeled_index``): each query routes to the single graph whose
+    part equals its label — the routing IS the filter, so results
+    satisfy the predicate by construction and the beam never wastes
+    steps on non-matching rows."""
+    routed = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.col(query_label_col).cast("int").alias("part"),
+    )
+    return _prebuilt_search(
+        parted, edges, routed, k, ef,
+        id_col, vec_col, query_id_col, query_vec_col,
+        emit=emit,
+    )
+
+
 def hnsw_upsert(
     parted: DataFrame,
     edges: DataFrame,

@@ -1991,6 +1991,61 @@ def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(base, qs, cand)
 
 
+@register(
+    "knn_hnsw_filtered",
+    f"""
+    WITH cut AS (SELECT {_split_cut_sql()} AS c),
+    qf AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings, cut WHERE vec_id >= c),
+    bf AS (SELECT vec_id, embedding, label
+           FROM embeddings, cut WHERE vec_id < c),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM (SELECT q.query_id, b.vec_id,
+                   {V.sql_cosine_distance('b.embedding', 'q.qv')} AS d
+            FROM bf b, qf q WHERE b.label = q.qlabel)
+      QUALIFY rank <= {K})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_knn_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED graph search (round 7): the HNSW answer to the filtered-
+    ANN feature. A graph walk cannot pre-filter row-by-row (excluding
+    nodes breaks connectivity — the reason knn_ivfpq_filtered's
+    IDSelector shape doesn't transplant), so the index is PARTITIONED BY
+    THE FILTER ATTRIBUTE instead: one graph per label
+    (hnsw.labeled_index), and a query routes to exactly its label's
+    graph — the routing IS the filter, results satisfy the predicate by
+    construction, and per-query work is one n/|labels| graph, CHEAPER
+    than unfiltered search. Bounded attribute cardinality is the
+    documented contract (one graph per value); high-cardinality
+    predicates belong to the IVF-PQ row-filter instead. Driver-hashed
+    via the exhaustive degenerate (ef=|base| ≥ every label shard, with
+    the unreachable-point guard): provably the filtered-exact batch
+    top-k. Queued in _POST_WINDOW_OVERFLOW."""
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    parted, edges = hnsw.cached_labeled_index(base, sf_dir)
+    n_base = base.count()
+    cand = hnsw.knn_hnsw_filtered(
+        parted, edges, qs, 4 * K, ef=n_base, emit=4 * K
+    )
+    return _exact_rescore(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"),
+        cand,
+    )
+
+
 @register("knn_ivfpq_filtered")
 def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED ANN (round 7, verdict r6 item 6): label pre-filtering
@@ -2047,7 +2102,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-7 hnsw_compact_search and streaming_hnsw_ingest did not fit and
 # are queued for round 8.
 _POST_WINDOW_OVERFLOW: list[str] = [
-    "hnsw_compact_search", "streaming_hnsw_ingest",
+    "hnsw_compact_search", "streaming_hnsw_ingest", "knn_hnsw_filtered",
 ]
 
 
