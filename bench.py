@@ -70,6 +70,7 @@ HEADLINE = [
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",
+    "knn_hnsw_filtered",
     "ivfpq_partitioned_search",
     "ivfpq_upsert_search",
     "hnsw_upsert_search",
