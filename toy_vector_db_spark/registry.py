@@ -82,7 +82,12 @@ _PRIORITY = [
     "argmin_dist", "argmax_dist", "hnsw_build", "knn_hnsw",
     "knn_hnsw_exhaustive",
     "result_intersection", "eval_recall", "eval_precision",
-    "scan_ndjson", "split_dataset", "first_sentence",
+    # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
+    # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
+    # — rotate IN (after this, every oracled key in the repo once again
+    # has ≥1 driver hash row). Rotating OUT scan_ndjson, split_dataset,
+    # first_sentence — each driver-green in every round r1-r7.
+    "hnsw_compact_search", "streaming_hnsw_ingest", "knn_hnsw_filtered",
     # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
     # (round-5 rotation: the three round-4 operators that had never seen
     # a driver CORRECTNESS row — decontaminate_ngram, doc_repetition_stats,
@@ -1940,8 +1945,8 @@ def q_hnsw_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal tombstone search over the old graph — both provably exact in
     the degenerate configuration — so this key shares
     hnsw_delete_search's oracle (the exact top-k SQL with the exclusion
-    predicate), exactly the ivfpq_compact_search pattern. Queued in
-    _POST_WINDOW_OVERFLOW (the 50-slot window is full of round-7 keys);
+    predicate), exactly the ivfpq_compact_search pattern. Rotated into
+    the 50-key driver window in round 8 (was round-7 overflow);
     oracle-tested locally at every SF by tests/test_registry_oracles.py."""
     base, qs = _split(spark, sf_dir)
     live = base.where(F.col("vec_id") % DELETE_MOD != 0)
@@ -1973,8 +1978,8 @@ def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     build of the union (hnsw_upsert is proven shard-equal to scratch on
     both its paths, so micro-batch arrival order cannot matter), so the
     exhaustive-degenerate search shares hnsw_upsert_search's exact-KNN
-    oracle. Queued in _POST_WINDOW_OVERFLOW (window full of round-7
-    keys); oracle-tested locally at every SF."""
+    oracle. Rotated into the driver window in round 8 (was round-7
+    overflow); oracle-tested locally at every SF."""
     from toy_vector_db_spark.streaming import ingest
 
     base, qs = _split(spark, sf_dir)
@@ -2025,7 +2030,7 @@ def q_knn_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates belong to the IVF-PQ row-filter instead. Driver-hashed
     via the exhaustive degenerate (ef=|base| ≥ every label shard, with
     the unreachable-point guard): provably the filtered-exact batch
-    top-k. Queued in _POST_WINDOW_OVERFLOW."""
+    top-k. Rotated into the driver window in round 8."""
     emb = table(spark, sf_dir, "embeddings")
     cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
     base = emb.where(F.col("vec_id") < cut)
@@ -2096,14 +2101,11 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Keys created in a round whose 50-slot driver window is already full are
 # queued here (oracled, policy-tested by test_overflow_keys_are_oracled_and
-# _queued) and rotate in next round. Round 7 rotated the round-6 trio
-# (ivfpq_compact_search, bq_codes, knn_bq_rerank) into the window plus its
-# own hnsw_upsert_search / hnsw_delete_search / knn_ivfpq_filtered; the
-# round-7 hnsw_compact_search and streaming_hnsw_ingest did not fit and
-# are queued for round 8.
-_POST_WINDOW_OVERFLOW: list[str] = [
-    "hnsw_compact_search", "streaming_hnsw_ingest", "knn_hnsw_filtered",
-]
+# _queued) and rotate in next round. Round 8 rotated the round-7 trio
+# (hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered) into
+# the window; as of round 8 the queue is empty — every oracled key has at
+# least one green driver row in the merged r1-r8 record.
+_POST_WINDOW_OVERFLOW: list[str] = []
 
 
 @register("streaming_vector_ingest")
