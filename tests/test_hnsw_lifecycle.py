@@ -227,3 +227,88 @@ def test_hnsw_filtered_predicate_and_recall(spark, embeddings):
         evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
     )
     assert rec >= 0.95, f"label-partitioned graph recall = {rec}"
+
+
+def test_delete_multi_shard_tombstones_do_not_starve_global_cut(
+    spark, embeddings
+):
+    """Round-7 advice item 1: with P>1 shards, tombstones from SEVERAL
+    shards can together outrank the live neighbors in the global top-kk
+    window — a per-shard-max widening (the round-7 cut) under-counts and
+    can starve live rows out of the final top-k. Construct the worst
+    case: tombstone exactly the global top-T neighbors of every query
+    (hash sharding spreads them over many shards, so T >> per-shard
+    max), then assert the exhaustive delete search still equals exact
+    search over the live set."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    n_base = base.count()
+    qs = (
+        embeddings.where(F.col("vec_id") >= cut)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .limit(5)
+    )
+    # the global top-30 of EVERY query becomes a tombstone: spread over
+    # all 8 hash shards, so total T is ~8x any single shard's count
+    top = knn.knn_exact_batch(base, qs, 30).select("vec_id").distinct()
+    tombstones = top
+    parted, edges = hnsw.hnsw_index(base, P)
+    res = hnsw.knn_hnsw_deleted(
+        parted, edges, tombstones, qs, 10, ef=n_base, emit=n_base
+    ).select("query_id", "vec_id", "rank")
+    live = base.join(tombstones, "vec_id", "left_anti")
+    exact = knn.knn_exact_batch(live, qs, 10).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert res.exceptAll(exact).count() == 0
+    assert exact.exceptAll(res).count() == 0
+
+
+def test_upsert_rejects_duplicate_ids(spark, embeddings):
+    """Round-7 advice item 3: the ingest is append-only — a batch that
+    re-sends an already-indexed id must fail fast instead of silently
+    creating a duplicate graph node."""
+    import pytest
+
+    base = embeddings.limit(60)
+    initial = base.where(F.col("vec_id") < 40)
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    overlapping = base.where(F.col("vec_id") >= 30)  # 30-39 already in
+    with pytest.raises(ValueError, match="append-only"):
+        hnsw.hnsw_upsert(parted0, edges0, overlapping, P)
+
+
+def test_labeled_index_rejects_null_and_uncastable_labels(spark, embeddings):
+    """Round-7 advice item 2: a label that casts to NULL (string
+    category, or a genuinely NULL label) would silently collapse every
+    such row into one NULL-keyed graph — the filter disabled with no
+    error. Both the build and the query side must fail fast instead."""
+    import pytest
+
+    base = embeddings.limit(40)
+    stringy = base.withColumn(
+        "label", F.concat(F.lit("cat_"), F.col("label").cast("string"))
+    )
+    with pytest.raises(ValueError, match="non-int-castable"):
+        hnsw.labeled_index(stringy)
+    nully = base.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ),
+    )
+    with pytest.raises(ValueError, match="non-int-castable"):
+        hnsw.labeled_index(nully)
+    # query side: same check on the routed label
+    parted, edges = hnsw.labeled_index(base)
+    qs = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.concat(F.lit("x"), F.col("label").cast("string")).alias("qlabel"),
+    ).limit(3)
+    with pytest.raises(ValueError, match="non-int-castable"):
+        hnsw.knn_hnsw_filtered(parted, edges, qs, 5)

@@ -133,3 +133,17 @@ def test_oversized_with_cells_routing_raises(spark, embeddings):
     big = _oversized_queries(spark, embeddings, knn.QUERY_BATCH_MAX + 1)
     with pytest.raises(ValueError, match="bounded query batch"):
         knn.pair_scores(base, big, cells_by_query={0: [0]})
+
+
+def test_query_batch_count_is_limit_bounded(spark):
+    """Round-7 advice item 4: the guard count is limit(MAX+1)-bounded —
+    exact for frames at or under QUERY_BATCH_MAX, capped at MAX+1 above
+    it (the guard only compares against MAX, so a frame just over the
+    threshold must not pay a full extra scan)."""
+    small = spark.range(37).select(F.col("id").alias("query_id"))
+    assert knn.query_batch_count(small) == 37
+    big = spark.range(knn.QUERY_BATCH_MAX + 500_000).select(
+        F.col("id").alias("query_id")
+    )
+    c = knn.query_batch_count(big)
+    assert c == knn.QUERY_BATCH_MAX + 1  # capped, still > MAX

@@ -758,6 +758,23 @@ def knn_hnsw_routed_prebuilt(
     )
 
 
+def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
+    """Fail fast if any label is NULL or not int-castable — a NULL part
+    key would collapse all such rows into ONE graph that every
+    NULL-routed query hits, silently disabling the filter (round-7
+    advice item 2). limit(1)-shaped check: cost is one short-circuit
+    scan at build/route time, nothing at search time. try_cast, because
+    under ANSI mode a plain cast of a malformed label would surface as a
+    mid-build executor crash instead of this typed error."""
+    bad = df.where(F.col(label_col).try_cast("int").isNull())
+    if not bad.isEmpty():
+        raise ValueError(
+            f"{what}: column {label_col!r} has NULL or non-int-castable "
+            "labels; label-partitioned HNSW requires non-null int-encodable "
+            "labels (pre-encode arbitrary label types to dense ints)"
+        )
+
+
 def labeled_index(
     base: DataFrame,
     label_col: str = "label",
@@ -776,7 +793,17 @@ def labeled_index(
     bounded; for high-cardinality predicates, IVF-PQ's row-predicate
     filter — knn_ivfpq_filtered — is the right family). Same
     (parted, edges) shape as hnsw_index, so every search entry point
-    works unchanged."""
+    works unchanged.
+
+    Labels must be non-null and int-castable (round-7 advice item 2): a
+    label whose cast comes back NULL would silently merge into one
+    NULL-keyed graph that every query routes to — the filter would be
+    disabled with no error — so both the index and query sides fail
+    fast instead. Arbitrary label types are supported by pre-encoding
+    (dense-rank the distinct labels to ints once at build time); a
+    hash-derived int part is deliberately NOT used because a hash
+    collision would silently merge two labels' graphs."""
+    _check_int_label(base, label_col, "labeled_index base")
     cells = (
         base.select(
             id_col, vec_col, F.col(label_col).cast("int").alias("part")
@@ -822,7 +849,9 @@ def knn_hnsw_filtered(
     (``labeled_index``): each query routes to the single graph whose
     part equals its label — the routing IS the filter, so results
     satisfy the predicate by construction and the beam never wastes
-    steps on non-matching rows."""
+    steps on non-matching rows. Query labels get the same fail-fast
+    NULL/castability check as the index side."""
+    _check_int_label(queries, query_label_col, "knn_hnsw_filtered queries")
     routed = queries.select(
         query_id_col,
         query_vec_col,
@@ -862,11 +891,29 @@ def hnsw_upsert(
     falls back to a scratch rebuild OF THAT SHARD ONLY — same result,
     build cost bounded by the touched shard, never the corpus.
 
+    APPEND-ONLY id contract (round-7 advice item 3): batch ids must be
+    NEW — re-ingesting an already-indexed id would create a duplicate
+    node (same global id) in the rebuilt shard graph and could surface
+    the same vec_id twice in results. This matches ivfpq_upsert's
+    contract (update = tombstone delete + re-insert under a new id, or
+    compact first); unlike there, it is CHECKED here: a broadcast
+    semi-join asserts disjointness before the union (limit-1 shaped,
+    one short-circuit scan per micro-batch).
+
     Returns (parted', edges') in the exact shape ``hnsw_index`` emits,
     so every search entry point works unchanged on the upserted index."""
     batch_p = _with_part(
         batch.select(id_col, vec_col), num_partitions, id_col
     )
+    dup = parted.join(
+        F.broadcast(batch_p.select(id_col)), id_col, "semi"
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            "hnsw_upsert: batch contains ids already present in the index; "
+            "the ingest is append-only (tombstone-delete + re-insert under "
+            "a new id, or compact, to update an existing row)"
+        )
     # touched-shard set: bounded by P (scalar collect, never data)
     touched = sorted(
         int(r[0]) for r in batch_p.select("part").distinct().collect()
@@ -972,21 +1019,20 @@ def knn_hnsw_deleted(
     emission, before the global rerank — the HNSW twin of
     ivfpq_delete_search's anti-join.
 
-    Starvation guard: each shard emits its top-(k + t_max) where t_max
-    is the largest per-shard tombstone count (a bounded scalar agg — at
-    100 TB the live tombstone set between compactions is bounded by ops
-    policy, the same argument the IVF-PQ delete leg makes), so even if
-    every tombstone in a shard outranks the live neighbors, the shard
-    still surfaces its true live top-k."""
-    t_max_row = (
-        parted.join(tombstones.select(id_col), id_col)
-        .groupBy("part")
-        .count()
-        .agg(F.max("count"))
-        .first()[0]
+    Starvation guard: the candidate cut is widened to k + T where T is
+    the TOTAL tombstone count present in the index (a bounded scalar agg
+    — at 100 TB the live tombstone set between compactions is bounded by
+    ops policy, the same argument the IVF-PQ delete leg makes). T — not
+    the per-shard max — because knn_hnsw_prebuilt applies a GLOBAL
+    top-kk window before the anti-join: with P>1 shards, tombstones from
+    several shards can together occupy more than any one shard's count
+    of the global top-kk slots (round-7 advice item 1). k+T guarantees
+    ≥k live rows survive the global cut, and each shard's emission of
+    top-kk ≥ top-(k + its own tombstones) surfaces its true live top-k."""
+    t_total_row = (
+        parted.join(tombstones.select(id_col), id_col).count()
     )
-    t_max = int(t_max_row or 0)
-    kk = k + t_max
+    kk = k + int(t_total_row or 0)
     cand = knn_hnsw_prebuilt(
         parted, edges, queries, kk, ef,
         id_col, vec_col, query_id_col, query_vec_col,

@@ -180,19 +180,33 @@ def _scored_product(
 # shape, never the values.
 QUERY_BATCH_MAX = 100_000
 
-# (appId, queries plan hash) → row count backing the guard: one scalar
-# count job per distinct query frame per session (the _rerank_budget
-# cached-count idiom).
+# (appId, queries plan hash) → UPPER-BOUNDED row count backing the
+# guard: one scalar count job per distinct query frame per session (the
+# _rerank_budget cached-count idiom). Round-8 (advice item 4): the count
+# is limit(MAX+1)-bounded — the guard only ever compares against
+# QUERY_BATCH_MAX, so a frame just over the threshold costs a
+# short-circuit partial scan, not a full extra pass. CAVEAT: the cache
+# is keyed by plan hash, so a frame whose UNDERLYING FILES grow between
+# calls (e.g. a re-read streaming staging dir) keeps its first count;
+# both callers re-derive their query frame per invocation from the
+# fixture tables, where the plan hash changes with the input, but a
+# long-lived serving process re-scanning a growing source should bypass
+# the cache (pass fresh frames or clear via caches.py rollback).
 _QUERY_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def query_batch_count(queries: DataFrame) -> int:
+    """Row count of the query frame, capped at QUERY_BATCH_MAX + 1
+    (exact when ≤ QUERY_BATCH_MAX — limit returns every row there —
+    and 'too big' otherwise, which is all the guard needs)."""
     key = (
         queries.sparkSession.sparkContext.applicationId,
         queries.semanticHash(),
     )
     if key not in _QUERY_COUNT_CACHE:
-        _QUERY_COUNT_CACHE[key] = queries.count()
+        _QUERY_COUNT_CACHE[key] = queries.limit(
+            QUERY_BATCH_MAX + 1
+        ).count()
     return _QUERY_COUNT_CACHE[key]
 
 
