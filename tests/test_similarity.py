@@ -170,9 +170,11 @@ def test_pq_codes_arrow_kernel_equals_fold_form(spark, embeddings):
 def test_bq_rerank_recall(spark, embeddings):
     """Binary quantization (round 6): the Hamming-prune + exact-rerank
     pipeline must retain high recall despite the weak raw sign-bit
-    ranking. Measured: 0.944 at sf0.001, 0.739 at sf0.1 (scale-aware R);
-    raw Hamming-only top-10 sits at ~0.2-0.3, so the rerank budget is
-    what carries the family. Codes must round-trip to 2×32 sign bits."""
+    ranking. Round 8 gave BQ its own 2× rerank floor (BQ_RERANK_MULT=32
+    — the 8 B/vector scan affords it): measured 0.854 at sf0.1 at
+    constant cost (0.699 at the shared floor); raw Hamming-only top-10
+    sits at ~0.2-0.3, so the rerank budget is what carries the family.
+    Codes must round-trip to 2×32 sign bits."""
     n = embeddings.count()
     cut = split_count(n, 0.95)
     base = embeddings.where(F.col("vec_id") < cut)
@@ -192,7 +194,7 @@ def test_bq_rerank_recall(spark, embeddings):
     bq = similarity.knn_bq_rerank(base, qs, 10)
     rec = evaluation.evaluate_recall(bq, exact).agg(F.avg("recall")).first()[0]
     small = base.count() <= 1000
-    assert rec >= (0.90 if small else 0.70), f"BQ rerank recall@10 = {rec}"
+    assert rec >= (0.90 if small else 0.80), f"BQ rerank recall@10 = {rec}"
 
 
 def test_ann_recall_at_10x_scale(spark):
@@ -496,11 +498,12 @@ def test_fixed_rerank_budget_recall(spark, embeddings, monkeypatch):
     ivfpq = similarity.knn_ivfpq(base, qs, 10)
     rec_pq = evaluation.evaluate_recall(ivfpq, exact).agg(F.avg("recall")).first()[0]
     assert rec_pq >= (0.75 if small else 0.70), f"fixed-R IVF-PQ = {rec_pq}"
-    # honest gap (SCALE.md): BQ has no codebook-resolution lever; fixed-R
-    # sf0.1 measures 0.699 — gated at 0.65 with the gap documented
+    # round 8: BQ's fixed floor is 2× the shared one (BQ_RERANK_MULT=32,
+    # R=320 at k=10) — measured 0.854 at sf0.1, clearing ≥0.70 with
+    # margin at constant cost (scripts/bq_recall_study.py)
     bq = similarity.knn_bq_rerank(base, qs, 10)
     rec_bq = evaluation.evaluate_recall(bq, exact).agg(F.avg("recall")).first()[0]
-    assert rec_bq >= (0.90 if small else 0.65), f"fixed-R BQ rerank = {rec_bq}"
+    assert rec_bq >= (0.90 if small else 0.80), f"fixed-R BQ rerank = {rec_bq}"
 
 
 def test_ivfpq_filtered_recall_and_predicate(spark, embeddings):

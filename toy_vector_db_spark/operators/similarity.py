@@ -75,6 +75,18 @@ RERANK_DEN = 10  # scale-aware rerank: R >= ceil(n_base / RERANK_DEN)
 # inactive (n ≤ 1900), so fixture results are unchanged; the oracle
 # mirrors the cap with LEAST() (oracles_similarity.rerank_budget_sql).
 RERANK_CAP = 16384
+# BQ-specific rerank floor (round 8, verdict r7 item 2): at the shared
+# fixed budget R = 16k, BQ-rerank measured 0.699 recall@10 at sf0.1 — a
+# hair UNDER the ≥0.70 deployment floor — and sign-bit codes have no
+# codebook-resolution knob to buy it back (the code IS the sign
+# pattern). BQ's lever is the one the other families don't have: its
+# candidate scan is 8 B/vector (vs 48-bit PQ codes + LUT work), so at
+# equal total cost BQ affords a DEEPER exact rerank. Measured at sf0.1
+# (scripts/bq_recall_study.py): fixed R=160 → 0.699, R=320 → 0.854,
+# R=640 → 0.960. Shipped: a 2× floor (BQ_RERANK_MULT = 32, R ≥ 320 at
+# k=10) — constant cost, clears the 0.70 floor with margin; the oracle
+# mirrors it (oracles_similarity.bq_rerank_budget_sql).
+BQ_RERANK_MULT = 32
 
 
 def centroids_df(base: DataFrame, n: int = N_CENTROIDS,
@@ -1214,10 +1226,15 @@ def knn_bq_rerank(
     (bit_count(xor) — two CPU instructions per half at 8 bytes/vector
     scanned), then EXACT cosine re-ranks the survivors. Same shape as
     knn_pq_rerank with the codes 6× smaller and zero training; the
-    pruning is weaker, which the shared scale-aware rerank budget
-    absorbs. Fully deterministic → DuckDB-oracle-able end to end."""
+    pruning is weaker, which a DEEPER rerank floor absorbs
+    (BQ_RERANK_MULT = 2× the shared floor — BQ's 8 B/vector scan
+    affords it at equal total cost; measured 0.854 recall@10 at sf0.1
+    vs 0.699 at the shared floor, scripts/bq_recall_study.py). Fully
+    deterministic → DuckDB-oracle-able end to end."""
     if rerank_r is None:
-        rerank_r = _rerank_budget(base, k, id_col)
+        rerank_r = max(
+            BQ_RERANK_MULT * k, _rerank_budget(base, k, id_col)
+        )
     codes = bq_codes(base, id_col, vec_col)
     qcodes = queries.select(
         query_id_col,

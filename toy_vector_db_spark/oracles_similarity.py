@@ -338,6 +338,18 @@ def rerank_budget_sql(k: int, base_cte: str = "base") -> str:
     )
 
 
+def bq_rerank_budget_sql(k: int, base_cte: str = "base") -> str:
+    """SQL twin of knn_bq_rerank's deeper floor (round 8): R_bq =
+    max(BQ_RERANK_MULT·k, shared scale-aware budget). BQ's 8 B/vector
+    Hamming scan affords a 2× rerank at equal total cost — the lever
+    that clears its ≥0.70 recall floor (0.854 measured at sf0.1)."""
+    from toy_vector_db_spark.operators.similarity import BQ_RERANK_MULT
+
+    return (
+        f"greatest({BQ_RERANK_MULT * k}, {rerank_budget_sql(k, base_cte)})"
+    )
+
+
 def knn_pq_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
     m_, _, _, sub = _pq_layout()
     joins = "\n      ".join(
