@@ -312,3 +312,63 @@ def test_labeled_index_rejects_null_and_uncastable_labels(spark, embeddings):
     ).limit(3)
     with pytest.raises(ValueError, match="non-int-castable"):
         hnsw.knn_hnsw_filtered(parted, edges, qs, 5)
+
+
+def test_routed_upsert_equals_frozen_centroid_rebuild(spark, embeddings):
+    """Round-8 routed-family lifecycle (verdict r7 item 7): ingest into
+    the cell-partitioned index under FROZEN centroids must be
+    edge-identical to building the per-cell graphs from scratch over the
+    full corpus assigned under the SAME frozen centroids — the
+    ivfpq_upsert ≡ frozen-rebuild proof transplanted to the graph
+    family (the shared _upsert_parted core makes the shard-local
+    argument identical; what's new is the centroid shard function)."""
+    from toy_vector_db_spark.operators import similarity
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    cells0, edges0, cents = hnsw.routed_index(initial)
+    cells1, edges1 = hnsw.hnsw_routed_upsert(cells0, edges0, cents, batch)
+    # scratch rebuild: FULL base assigned under the same frozen centroids
+    assign = similarity.ivf_assign(base, cents).select(
+        "vec_id", "centroid_id"
+    )
+    parted = (
+        base.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .withColumn("part", F.col("centroid_id").cast("int"))
+        .select("vec_id", "embedding", "part")
+    )
+    scratch = hnsw._edges_from_parted(parted, "vec_id", "embedding")
+    assert _edge_set(edges1) == _edge_set(scratch)
+    assert cells1.count() == base.count()
+
+
+def test_routed_delete_exhaustive_equals_filtered_exact(spark, embeddings):
+    """Routed tombstone delete in the exhaustive degenerate (all cells
+    probed, ef=|base|) must equal exact search over the live set — the
+    property the driver-hashed hnsw_routed_delete_search key rests on."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    n_base = base.count()
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    cells, edges, cents = hnsw.routed_index(base)
+    n_cells = cents.count()
+    res = hnsw.knn_hnsw_routed_deleted(
+        cells, edges, cents, tombstones, qs, 10,
+        nprobe=n_cells, ef=n_base, emit=n_base,
+    ).select("query_id", "vec_id", "rank")
+    live = base.where(F.col("vec_id") % 17 != 0)
+    exact = knn.knn_exact_batch(live, qs, 10).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert res.exceptAll(exact).count() == 0
+    assert exact.exceptAll(res).count() == 0

@@ -522,20 +522,19 @@ def test_ivfpq_filtered_recall_and_predicate(spark, embeddings):
         F.col("embedding").alias("query_vec"),
         F.col("label").alias("qlabel"),
     )
-    # inverse-selectivity probe widening (see q_knn_ivfpq_filtered):
-    # at the unfiltered nprobe=8 the filtered recall measured 0.632 —
-    # the label constraint pushes true neighbors into unprobed cells
-    n_labels = base.select("label").distinct().count()
-    nprobe_f = min(
-        similarity.N_CENTROIDS, similarity.N_PROBE * n_labels
-    )
+    # round 8: label-aware probe selection via the per-label cell-hit
+    # histogram (replaces the round-7 global inverse-selectivity
+    # widening — at the unfiltered nprobe=8 with label-blind probing the
+    # filtered recall had measured 0.632)
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
     res = similarity.knn_ivfpq(
-        base.select("vec_id", "embedding"),
+        bvec,
         qs.select("query_id", "query_vec"),
         10,
-        nprobe=nprobe_f,
-        labels=base.select("vec_id", "label"),
+        labels=labels,
         query_labels=qs.select("query_id", "qlabel"),
+        label_hist=similarity.label_cell_hist(bvec, labels),
     )
     # predicate holds on every output row
     joined = (
@@ -613,3 +612,80 @@ def test_ivfpq_filter_composes_with_tombstones(spark, embeddings):
     got = res.select("query_id", "vec_id", "rank")
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
+
+
+def test_filtered_label_probes_few_cells_when_correlated(spark):
+    """Round-8 'done' criterion for label-aware probing (verdict r7 item
+    6): on a corpus where labels correlate with the vector distribution
+    (the common case — category-skewed corpora cluster by category), a
+    filtered query must probe FAR fewer cells than C while holding the
+    filtered-exact recall bar. The round-7 global widening probed
+    min(C, nprobe·n_labels) = all C cells here; the histogram rule
+    probes only the cells that hold the query's label, in distance
+    order, until the rerank budget of label rows is covered."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(7)
+    n, d, kc, sigma = 8000, 64, 8, 1.5
+    centers = rng.normal(0, 1, (kc, d))
+    lab = rng.integers(0, kc, n)
+    X = centers[lab] + rng.normal(0, sigma, (n, d))
+    rows = [
+        (i, int(lab[i]), [float(x) for x in X[i]]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    cut = n - 50
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    hist = similarity.label_cell_hist(bvec, labels)
+    cents = similarity.cached_trained_centroids(bvec)
+    r_target = similarity._rerank_budget(bvec, 10)
+    probes = similarity._ivf_probes_labeled(
+        qs.select("query_id", "query_vec"), cents,
+        qs.select("query_id", "qlabel"), hist,
+        similarity.N_PROBE, r_target,
+    )
+    per_q = probes.groupBy("query_id").count()
+    avg_cells = per_q.agg(F.avg("count")).first()[0]
+    max_cells = per_q.agg(F.max("count")).first()[0]
+    C = similarity.N_CENTROIDS
+    # probed cells ≪ C: the whole point of the histogram — the widening
+    # rule would have probed all C cells for every query here
+    assert max_cells < C, f"max probed cells {max_cells} not < C={C}"
+    assert avg_cells <= C * 0.75, f"avg probed cells {avg_cells} vs C={C}"
+    res = similarity.knn_ivfpq(
+        bvec, qs.select("query_id", "query_vec"), 10,
+        labels=labels,
+        query_labels=qs.select("query_id", "qlabel"),
+        label_hist=hist,
+    )
+    joined = (
+        res.join(base.select("vec_id", "label"), "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"), qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= 0.85, f"correlated filtered recall = {rec}"

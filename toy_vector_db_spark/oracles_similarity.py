@@ -48,23 +48,31 @@ def kmeans_chain(
 
     ``train_sql`` must yield (vec_id, v DOUBLE[]); ``metric_sql`` is a
     (a, b) -> SQL-string callable (cosine for IVF, squared euclidean for
-    PQ sub-codebooks)."""
+    PQ sub-codebooks).
+
+    Every chain CTE is ``AS MATERIALIZED`` (round 8): each ``c{it}`` is
+    referenced twice (by the next assign AND the empty-cell LEFT JOIN),
+    so DuckDB's default inlining re-evaluates prefixes of the chain —
+    at PQ_K=256 the un-materialized pq_train oracle measured 13.0 s at
+    sf0.01 vs 2.98 s materialized (and materialization also beats the
+    old PQ_K=64 un-materialized cost of 4.96 s). Values are unchanged —
+    materialization is an evaluation strategy, not a semantic hint."""
     p = prefix
     d = metric_sql("t.v", "c.centroid_vec")
     ctes = [
-        f"{p}train AS ({train_sql})",
-        f"{p}c0 AS (SELECT vec_id AS centroid_id, v AS centroid_vec"
-        f" FROM {p}train WHERE vec_id < {n})",
+        f"{p}train AS MATERIALIZED ({train_sql})",
+        f"{p}c0 AS MATERIALIZED (SELECT vec_id AS centroid_id,"
+        f" v AS centroid_vec FROM {p}train WHERE vec_id < {n})",
     ]
     for it in range(iters):
         prev, cur = f"{p}c{it}", f"{p}c{it + 1}"
-        ctes.append(f"""{p}a{it} AS (
+        ctes.append(f"""{p}a{it} AS MATERIALIZED (
       SELECT vec_id, v, centroid_id FROM (
         SELECT t.vec_id, t.v, c.centroid_id,
                row_number() OVER (PARTITION BY t.vec_id
                                   ORDER BY {d} ASC, c.centroid_id ASC) AS rn
         FROM {p}train t, {prev} c) WHERE rn = 1)""")
-        ctes.append(f"""{p}m{it} AS (
+        ctes.append(f"""{p}m{it} AS MATERIALIZED (
       SELECT centroid_id, list(s ORDER BY dim) AS mean_vec FROM (
         SELECT centroid_id, dim,
                list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
@@ -73,7 +81,7 @@ def kmeans_chain(
                      unnest(range(1, len(v) + 1)) AS dim FROM {p}a{it})
         GROUP BY centroid_id, dim)
       GROUP BY centroid_id)""")
-        ctes.append(f"""{cur} AS (
+        ctes.append(f"""{cur} AS MATERIALIZED (
       SELECT p.centroid_id, coalesce(m.mean_vec, p.centroid_vec) AS centroid_vec
       FROM {prev} p LEFT JOIN {p}m{it} m USING (centroid_id))""")
     ctes.append(
@@ -440,6 +448,7 @@ def knn_ivfpq_sql(
     train_pred: str | None = None,
     cand_pred: str | None = None,
     extra_cand_joins: str = "",
+    label_probe_r: int | str | None = None,
 ) -> str:
     """IVF-PQ serving plan: coarse-cell probe (cosine, trained centroids)
     → ADC over PQ codes WITHIN probed cells only → exact rerank of the R
@@ -450,7 +459,13 @@ def knn_ivfpq_sql(
     ``cand_pred`` filters the candidate code rows (delete key: the
     tombstone exclusion — rows deleted from the index never score).
     ``extra_cand_joins`` adds joins to the cand CTE so ``cand_pred`` can
-    reference attribute tables (filtered key: base/query labels)."""
+    reference attribute tables (filtered key: base/query labels).
+    ``label_probe_r`` (round 8): when set, probe selection itself is
+    label-aware — the SQL twin of similarity._ivf_probes_labeled: a
+    per-label cell-hit histogram from the assignment, cells ranked by
+    centroid distance WITHIN the query's label, probed until the
+    cumulative label-row count reaches the rerank budget (nprobe-cell
+    floor). Requires lbl/qlbl CTEs in ``split_cte``."""
     from toy_vector_db_spark.operators.similarity import (
         KMEANS_ITERS,
         TRAIN_SAMPLE,
@@ -480,23 +495,45 @@ def knn_ivfpq_sql(
         )
         for m in range(m_)
     )
+    if label_probe_r is None:
+        probes_cte = f"""probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
+        FROM q, ivf_cents c)
+      WHERE rn <= {nprobe})"""
+    else:
+        order = f"{d_qc} ASC, c.centroid_id ASC"
+        probes_cte = f"""lhist AS MATERIALIZED (
+      SELECT l.label, a.centroid_id, count(*) AS cnt
+      FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
+      GROUP BY l.label, a.centroid_id),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}) AS rn,
+               coalesce(sum(h.cnt) OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cumprev
+        FROM q
+        JOIN qlbl ql ON ql.query_id = q.query_id
+        JOIN lhist h ON h.label = ql.qlabel
+        JOIN ivf_cents c ON c.centroid_id = h.centroid_id)
+      WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
     return f"""
     WITH {_pq_common_ctes(split_cte, train_pred)},
     {ivf_chain},
-    assign AS (
+    assign AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT b.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
         FROM base b, ivf_cents c)
       WHERE rn = 1),
-    probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
-        FROM q, ivf_cents c)
-      WHERE rn <= {nprobe}),
+    {probes_cte},
     nq AS (SELECT query_id, {_norm_sql('qv')} AS nv FROM q),
     cand AS (
       SELECT p.query_id, co.vec_id, {adc} AS ad2

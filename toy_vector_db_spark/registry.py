@@ -82,8 +82,12 @@ _PRIORITY = [
     "vec_euclidean_dist", "knn_exact_single", "knn_exact_filtered",
     "knn_range_search",
     "knn_exact_batch",
-    "argmin_dist", "argmax_dist", "hnsw_build", "knn_hnsw",
+    # (round 8: argmin_dist / argmax_dist — driver-green r2-r7 — rotate
+    # out for the new routed-lifecycle pair hnsw_routed_upsert_search /
+    # hnsw_routed_delete_search)
+    "hnsw_build", "knn_hnsw",
     "knn_hnsw_exhaustive", "hnsw_recall_gate",
+    "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
     "result_intersection", "eval_recall", "eval_precision",
     # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
     # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
@@ -1842,9 +1846,18 @@ def q_ivfpq_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     live = cc.join(F.broadcast(tombstones), "vec_id", "left_anti")
     # content-keyed path (the written_codes_cells idiom): identical
-    # inputs overwrite with identical bytes instead of accumulating dirs
+    # inputs overwrite with identical bytes instead of accumulating dirs.
+    # The quantizer knobs are PART of the content key (round-8 fix:
+    # unlike _WRITTEN_INDEX_CACHE, whose session-level cache rewrites on
+    # every new appId, this marker-gated write PERSISTS across sessions
+    # — a knob change like PQ_K 64→256 would otherwise silently serve
+    # the stale artifact while the oracle computes with the new knobs)
     tag = hashlib.md5(
-        repr((base.semanticHash(), DELETE_MOD)).encode()
+        repr((
+            base.semanticHash(), DELETE_MOD,
+            similarity.PQ_M, similarity.PQ_K, similarity.N_CENTROIDS,
+            similarity.KMEANS_ITERS, similarity.TRAIN_SAMPLE,
+        )).encode()
     ).hexdigest()[:12]
     path = os.path.join(FIXTURE_DIR, "sink_out", "ivfpq_compacted", tag)
     marker = os.path.join(path, "_SUCCESS")
@@ -1946,9 +1959,10 @@ def q_hnsw_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone DELETE on the HNSW graph (round 7): deleted ids (the
     same deterministic vec_id % 17 set as ivfpq_delete_search) stay in
     the edge lists as routing waypoints — the graph is never rewritten —
-    and are filtered after the per-shard beam emission, with each shard's
-    emission widened by the max per-shard tombstone count so the true
-    live top-k can't be starved (hnsw.knn_hnsw_deleted). Runs in the
+    and are filtered after the per-shard beam emission, with the
+    candidate cut widened by the TOTAL tombstone count so the true
+    live top-k can't be starved (hnsw.knn_hnsw_deleted; round 8 widened
+    the per-shard-max cut — advice item 1). Runs in the
     exhaustive-degenerate configuration over the SAME session-cached
     1-shard graph as knn_hnsw_exhaustive (a tombstone delete costs zero
     build work — that's the point), so the result provably equals exact
@@ -2039,6 +2053,85 @@ def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hnsw_routed_upsert_search",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_COS_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_hnsw_routed_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ingest into the ROUTED (cell-partitioned) graph index
+    (round 8, verdict r7 item 7 — lifecycle parity for the third serving
+    family): the first 75% of the base trains the centroids and builds
+    the per-cell graphs; the last 25% arrives as a micro-batch through
+    ``hnsw_routed_upsert`` — the FROZEN centroids are the shard
+    function (the ivfpq_upsert frozen-quantizer contract on the graph
+    family), so the batch routes to its cells and only TOUCHED cells
+    replay Algorithm 1 / rebuild; untouched cells' edge lists pass
+    through. Driver hash via the routed exhaustive degenerate
+    (nprobe = all cells, ef = |base| — knn_hnsw_routed_exhaustive's
+    argument: the cells partition the corpus, each per-cell beam is
+    exhaustive, so the union contains the exact top-k regardless of
+    which slice trained the centroids). Oracle = knn_exact_batch's SQL
+    over the full base."""
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    cells0, edges0, cents = hnsw.cached_routed_index(
+        initial, f"{sf_dir}#routed_upsert_init"
+    )
+    cells, edges = hnsw.hnsw_routed_upsert(cells0, edges0, cents, batch)
+    n_base = base.count()
+    n_cells = cents.count()
+    cand = hnsw.knn_hnsw_routed_prebuilt(
+        cells, edges, cents, qs, 4 * K,
+        nprobe=n_cells, ef=n_base, emit=4 * K,
+    )
+    return _exact_rescore(base, qs, cand)
+
+
+@register(
+    "hnsw_routed_delete_search",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_HNSW_DELETE_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_hnsw_routed_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone DELETE on the routed graph index (round 8): the same
+    deterministic vec_id % 17 tombstone set as every delete key, filtered
+    AFTER per-cell beam emission with the candidate cut widened by the
+    TOTAL tombstone count (hnsw.knn_hnsw_routed_deleted — the round-8
+    multi-shard starvation fix applies across probed cells too). Runs
+    over the SAME session-cached routed index as
+    knn_hnsw_routed_exhaustive — a tombstone delete costs zero build
+    work — in the exhaustive degenerate (nprobe = all cells,
+    ef = |base|), so the result provably equals exact search over the
+    live set; oracle = the exact top-k SQL with the exclusion predicate
+    in the scored CTE (shared with hnsw_delete_search)."""
+    base, qs = _split(spark, sf_dir)
+    n_base = base.count()
+    cells, edges, cents = hnsw.cached_routed_index(base, sf_dir)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    n_cells = cents.count()
+    cand = hnsw.knn_hnsw_routed_deleted(
+        cells, edges, cents, tombstones, qs, 4 * K,
+        nprobe=n_cells, ef=n_base, emit=n_base,
+    )
+    live_base = base.where(F.col("vec_id") % DELETE_MOD != 0)
+    return _exact_rescore(live_base, qs, cand)
+
+
+@register(
     "knn_hnsw_filtered",
     f"""
     WITH cut AS (SELECT {_split_cut_sql()} AS c),
@@ -2105,18 +2198,20 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     column written with the codes and the filter composes with the
     tombstone anti-join of the delete leg.
 
-    Probe widening: a selective filter thins every probed cell, so the
-    true label-matched neighbors sit farther down the cell ranking —
-    measured at sf0.001: recall 0.632 at the unfiltered nprobe=8 vs 1.0
-    with the probe widened by the inverse filter selectivity (the
-    standard Faiss practice for IDSelector queries). The shipped rule is
-    nprobe_f = min(C, nprobe · n_labels) — deterministic from the data,
-    mirrored in the oracle as a count(DISTINCT label) scalar subquery;
-    at C=16 fixture scale that is a full probe, at 100 TB (C in the
-    thousands) the same widening stays a small fraction of cells.
-    Recall vs filtered-exact is gated in tests/test_similarity.py; the
-    oracle replays the identical pipeline with the label-equality joins
-    in the cand CTE."""
+    Probe selection (round 8, verdict r7 item 6 — replaces the round-7
+    global widening nprobe_f = min(C, nprobe·n_labels), which saturated
+    to a full probe at fixture scale): a per-label cell-hit HISTOGRAM —
+    a build-time aggregate beside the centroids, n_labels·C metadata
+    rows — restricts probe ranking to cells that actually contain the
+    query's label, probed in centroid-distance order until the
+    cumulative label-row count reaches the rerank budget (nprobe-cell
+    floor). A selective label whose rows concentrate in few cells
+    probes only those; a label spread thin probes wide automatically —
+    the inverse-selectivity widening becomes the worst case, not the
+    default. Recall vs filtered-exact is gated in
+    tests/test_similarity.py (incl. a label-correlated 10× fixture
+    asserting probed cells ≪ C); the oracle replays the identical
+    histogram + cumsum probe rule and label-equality cand joins."""
     from toy_vector_db_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
@@ -2127,17 +2222,17 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
         F.col("label"),
     )
-    n_labels = base.select("label").distinct().count()
-    nprobe_f = min(similarity.N_CENTROIDS, similarity.N_PROBE * n_labels)
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
     return similarity.knn_ivfpq(
-        base.select("vec_id", "embedding"),
+        bvec,
         qs.select("query_id", "query_vec"),
         K,
-        nprobe=nprobe_f,
-        labels=base.select("vec_id", "label"),
+        labels=labels,
         query_labels=qs.select(
             "query_id", F.col("label").alias("qlabel")
         ),
+        label_hist=similarity.label_cell_hist(bvec, labels),
     )
 
 
@@ -2544,16 +2639,17 @@ def _register_similarity_oracles() -> None:
     qlbl AS (SELECT vec_id AS query_id, label AS qlabel
              FROM embeddings, cut WHERE vec_id >= c)""",
         K,
-        # inverse-selectivity probe widening, deterministic from the data
-        # (see q_knn_ivfpq_filtered): nprobe_f = min(C, nprobe·n_labels)
-        f"(SELECT least({N_CENTROIDS}, {N_PROBE} * "
-        "count(DISTINCT label)) FROM lbl)",
+        # round 8: label-aware probe selection via the per-label
+        # cell-hit histogram (see q_knn_ivfpq_filtered) — nprobe is the
+        # cell FLOOR, label_probe_r the cumulative-count target
+        N_PROBE,
         O.rerank_budget_sql(K),
         cand_pred="bl.label = ql.qlabel",
         extra_cand_joins=(
             "JOIN lbl bl ON bl.vec_id = co.vec_id\n"
             "      JOIN qlbl ql ON ql.query_id = p.query_id"
         ),
+        label_probe_r=O.rerank_budget_sql(K),
     )
     _ORACLES["bq_codes"] = O.bq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_bq_rerank"] = O.knn_bq_rerank_sql(
