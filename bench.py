@@ -77,6 +77,8 @@ HEADLINE = [
     "hnsw_delete_search",
     "hnsw_routed_build",
     "knn_hnsw_routed",
+    "hnsw_routed_upsert_search",
+    "hnsw_routed_delete_search",
     "dedup_minhash_lsh",
     "dup_clusters",
     "span_dedup_scrub",
@@ -203,24 +205,50 @@ def main() -> None:
             }
         )
     )
-    # ... then a compact summary as the LAST line, sized to fit the
+    # ... then a compact summary as the LAST line(s), sized to fit the
     # driver's 2 kB tail capture (round 6's full line outgrew it and the
-    # round's headline total was recorded as "parsed": null). Per-query
-    # medians ride along at 2-decimal precision when they fit; if the
-    # headline set ever grows past the window, they are dropped before
-    # the totals are.
-    summary = {
+    # round's headline total was recorded as "parsed": null). Round 8
+    # (verdict r7 item 8): when the one-line form outgrows the budget,
+    # per-query medians are SPLIT across two tagged lines instead of
+    # dropped — the LAST parseable line always carries totals plus
+    # per-query numbers (contract-tested at headline count + 10).
+    for line in summary_lines(timings, total, r1_total, sf_val):
+        print(line)
+    spark.stop()
+
+
+SUMMARY_BUDGET = 1800  # bytes per line; driver tail capture is 2 kB
+
+
+def summary_lines(
+    timings: dict, total: float, r1_total: float, sf_val
+) -> list[str]:
+    """1-2 compact JSON summary lines. One line when it fits the
+    budget; otherwise the queries dict splits across a part-1 line and
+    the FINAL totals line (which keeps the tail half), so the last
+    parseable line of the bench output always carries the totals AND
+    per-query medians no matter how the headline set grows."""
+    q2 = {k: round(v, 2) for k, v in timings.items()}
+    base = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "r1_comparable_total": r1_total,
         "sf": sf_val,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
     }
-    if len(json.dumps(summary)) > 1800:
-        del summary["queries"]
-    print(json.dumps(summary))
-    spark.stop()
+    one = json.dumps({**base, "queries": q2})
+    if len(one) <= SUMMARY_BUDGET:
+        return [one]
+    keys = list(q2)
+    half = len(keys) // 2
+    part1 = {k: q2[k] for k in keys[:half]}
+    part2 = {k: q2[k] for k in keys[half:]}
+    return [
+        json.dumps(
+            {"metric": "headline_queries_part1", "queries": part1}
+        ),
+        json.dumps({**base, "part": 2, "queries": part2}),
+    ]
 
 
 if __name__ == "__main__":

@@ -69,22 +69,33 @@ def test_bench_emits_trailing_summary_line():
     assert "runs = 3" in src and "runs = 1" not in src
 
 
-def test_summary_line_fits_tail_capture():
-    """The summary with the CURRENT headline set at 2-decimal precision
-    must fit the driver's 2 kB tail window with margin."""
+def test_summary_lines_carry_queries_even_past_budget():
+    """Round 8 (verdict r7 item 8): the LAST parseable bench line must
+    carry totals AND per-query medians no matter how the headline set
+    grows — pinned at the current headline count + 10 extra keys. When
+    the one-line form outgrows the budget, the split keeps every line
+    under SUMMARY_BUDGET and the union of the queries dicts complete."""
     import bench
 
-    fake = {name: 99.99 for name in bench.HEADLINE}
-    summary = {
-        "metric": "headline_queries_total",
-        "value": 9999.999,
-        "unit": "sec",
-        "r1_comparable_total": 9999.999,
-        "sf": 0.1,
-        "queries": fake,
-    }
-    line = json.dumps(summary)
-    assert len(line) <= 1800, (
-        f"summary line {len(line)}B — headline set has outgrown the "
-        "tail-capture budget; bench would drop per-query medians"
-    )
+    # current set: must stay a single line (driver parses exactly one)
+    fake_now = {name: 99.99 for name in bench.HEADLINE}
+    lines = bench.summary_lines(fake_now, 9999.999, 9999.999, 0.1)
+    assert len(lines) == 1 and len(lines[0]) <= bench.SUMMARY_BUDGET
+    parsed = json.loads(lines[0])
+    assert parsed["queries"] and parsed["value"] == 9999.999
+
+    # current + 10 future keys: per-query numbers must SURVIVE, split or
+    # not, with every line within budget and the LAST line carrying
+    # totals + a non-empty queries dict
+    fake_grown = dict(fake_now)
+    for i in range(10):
+        fake_grown[f"future_operator_with_long_name_{i:02d}"] = 99.99
+    lines = bench.summary_lines(fake_grown, 9999.999, 9999.999, 0.1)
+    assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines)
+    last = json.loads(lines[-1])
+    assert last["metric"] == "headline_queries_total"
+    assert last["value"] == 9999.999 and last["queries"]
+    union = {}
+    for ln in lines:
+        union.update(json.loads(ln)["queries"])
+    assert union == fake_grown, "split dropped per-query medians"
