@@ -372,3 +372,18 @@ def test_routed_delete_exhaustive_equals_filtered_exact(spark, embeddings):
     )
     assert res.exceptAll(exact).count() == 0
     assert exact.exceptAll(res).count() == 0
+
+
+def test_routed_compact_equals_routed_delete_search(spark, sf_dir):
+    """Routed compaction (round 8) retires tombstones by rebuilding the
+    per-cell graphs over live rows under FROZEN centroids; search over
+    the compacted index must return exactly what tombstone search over
+    the old index returns (both provably exact in the registry's routed
+    exhaustive degenerate — shared oracle, the ivfpq_compact_search
+    pattern on the third family)."""
+    from toy_vector_db_spark import registry
+
+    deleted = registry.queries()["hnsw_routed_delete_search"](spark, sf_dir)
+    compacted = registry.queries()["hnsw_routed_compact_search"](spark, sf_dir)
+    assert deleted.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(deleted).count() == 0

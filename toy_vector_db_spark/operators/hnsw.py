@@ -838,6 +838,48 @@ def knn_hnsw_routed_deleted(
     )
 
 
+def routed_compact(
+    cells: DataFrame,
+    edges: DataFrame,
+    cents: DataFrame,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """COMPACTION on the routed index (round 8 — completing
+    build/upsert/delete/compact parity for the third serving family):
+    per-cell graphs are REBUILT over the live rows only, retiring the
+    tombstone waypoints and the delete leg's cut-widening cost. The
+    CENTROIDS stay FROZEN (compaction rewrites the index, it does not
+    retrain the router — the IVF-PQ compact contract) and live rows keep
+    their existing cell assignment, so only the edge lists change.
+    Search over the compacted index must equal tombstone search over the
+    old one — both provably exact in the degenerate configuration."""
+    live_cells = cells.join(
+        F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+    ).persist()
+    new_edges = _edges_from_parted(live_cells, id_col, vec_col).persist()
+    new_edges.count()
+    return live_cells, new_edges
+
+
+def cached_routed_compact(
+    cells: DataFrame,
+    edges: DataFrame,
+    cents: DataFrame,
+    tombstones: DataFrame,
+    cache_key: str,
+) -> tuple[DataFrame, DataFrame]:
+    key = (
+        cells.sparkSession.sparkContext.applicationId,
+        "routed_compact",
+        cache_key,
+    )
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = routed_compact(cells, edges, cents, tombstones)
+    return _INDEX_CACHE[key]
+
+
 def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
     """Fail fast if any label is NULL or not int-castable — a NULL part
     key would collapse all such rows into ONE graph that every

@@ -78,16 +78,18 @@ _PRIORITY = [
     # (round 8: vec_dot — driver-green r1-r7, exercised indirectly by
     # every cosine key — rotates out for the new hnsw_recall_gate, the
     # REAL ef=100 serving config's driver row)
-    "vec_magnitude", "vec_cosine_sim", "vec_cosine_dist",
+    "vec_magnitude", "vec_cosine_sim",
     "vec_euclidean_dist", "knn_exact_single", "knn_exact_filtered",
     "knn_range_search",
     "knn_exact_batch",
-    # (round 8: argmin_dist / argmax_dist — driver-green r2-r7 — rotate
-    # out for the new routed-lifecycle pair hnsw_routed_upsert_search /
-    # hnsw_routed_delete_search)
+    # (round 8: argmin_dist / argmax_dist / vec_cosine_dist —
+    # driver-green r1/2-r7 — rotate out for the new routed-lifecycle
+    # trio hnsw_routed_upsert_search / hnsw_routed_delete_search /
+    # hnsw_routed_compact_search)
     "hnsw_build", "knn_hnsw",
     "knn_hnsw_exhaustive", "hnsw_recall_gate",
     "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
+    "hnsw_routed_compact_search",
     "result_intersection", "eval_recall", "eval_precision",
     # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
     # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
@@ -2128,6 +2130,44 @@ def q_hnsw_routed_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=n_cells, ef=n_base, emit=n_base,
     )
     live_base = base.where(F.col("vec_id") % DELETE_MOD != 0)
+    return _exact_rescore(live_base, qs, cand)
+
+
+@register(
+    "hnsw_routed_compact_search",
+    f"""
+    WITH {_SPLIT_CTE},
+    ranked AS ({_topk_cte(_HNSW_DELETE_SCORED)})
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked
+    """,
+)
+def q_hnsw_routed_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION on the routed index (round 8): per-cell graphs rebuilt
+    over the live rows only, CENTROIDS FROZEN (compaction rewrites the
+    index, it does not retrain the router — the IVF-PQ compact contract)
+    and live rows keep their cell assignment, so the delete leg's
+    tombstone waypoints and cut-widening cost are retired. Search over
+    the compacted index must equal tombstone search over the old one —
+    both provably exact in the routed exhaustive degenerate — so this
+    key shares hnsw_routed_delete_search's oracle, the
+    ivfpq_compact_search pattern on the third family. Completes
+    build/upsert/delete/compact parity for all three index families."""
+    base, qs = _split(spark, sf_dir)
+    cells, edges, cents = hnsw.cached_routed_index(base, sf_dir)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live_cells, live_edges = hnsw.cached_routed_compact(
+        cells, edges, cents, tombstones, sf_dir
+    )
+    live_base = base.where(F.col("vec_id") % DELETE_MOD != 0)
+    n_live = live_base.count()
+    n_cells = cents.count()
+    cand = hnsw.knn_hnsw_routed_prebuilt(
+        live_cells, live_edges, cents, qs, 4 * K,
+        nprobe=n_cells, ef=n_live, emit=4 * K,
+    )
     return _exact_rescore(live_base, qs, cand)
 
 
