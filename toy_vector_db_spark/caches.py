@@ -43,6 +43,7 @@ def _cache_dicts() -> list[dict]:
         similarity._CELL_VECTORS_CACHE,
         similarity._PQ_BOOKS_CACHE,
         similarity._CODES_CACHE,
+        similarity._LABEL_HIST_CACHE,
         dedup._PAIRS_CACHE,
         hnsw._INDEX_CACHE,
         knn._QUERY_BATCH_CACHE,

@@ -477,6 +477,33 @@ def _ivf_probes(
     )
 
 
+# (appId, base plan hash, labels plan hash) → persisted per-label
+# cell-hit histogram: a BUILD-time artifact (written beside the
+# centroids at 100 TB), so serving never recomputes the assign⋈labels
+# aggregate per query batch.
+_LABEL_HIST_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_label_cell_hist(
+    base: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        labels.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _LABEL_HIST_CACHE:
+        h = label_cell_hist(base, labels, id_col, vec_col).persist()
+        h.count()
+        _LABEL_HIST_CACHE[key] = h
+    return _LABEL_HIST_CACHE[key]
+
+
 def label_cell_hist(
     base: DataFrame,
     labels: DataFrame,

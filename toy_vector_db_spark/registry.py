@@ -2272,7 +2272,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_labels=qs.select(
             "query_id", F.col("label").alias("qlabel")
         ),
-        label_hist=similarity.label_cell_hist(bvec, labels),
+        label_hist=similarity.cached_label_cell_hist(bvec, labels),
     )
 
 
