@@ -222,3 +222,16 @@ def test_training_shard_single_exchange(plans):
     plan = plans("training_shard_assign")
     assert plan.count("hashpartitioning(shard") >= 1
     assert explain.count_exchanges(plan) == 1
+
+
+def test_filtered_ivfpq_probe_broadcasts_metadata(plans):
+    """Round-8 label-aware probing: the per-label cell histogram and the
+    centroid table are METADATA (n_labels·C / C rows) and must enter the
+    probe selection as broadcast joins — a sort-merge shuffle on either
+    would move corpus-scale exchanges into the serving path. The probes
+    window itself runs over a per-query ≤C-row frame, never the base."""
+    plan = plans("knn_ivfpq_filtered")
+    # histogram + centroids + query-labels + LUT frame: all broadcast
+    assert explain.count_broadcast_joins(plan) >= 3
+    # no cartesian product anywhere in the filtered serving plan
+    assert "CartesianProduct" not in plan
