@@ -695,3 +695,28 @@ def test_filtered_label_probes_few_cells_when_correlated(spark):
         evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
     )
     assert rec >= 0.85, f"correlated filtered recall = {rec}"
+
+
+def test_filtered_unseen_label_returns_no_rows(spark, embeddings):
+    """Label-aware probing edge case: a query whose label exists in NO
+    base row has no cells to probe — the result must be EMPTY for that
+    query (matching filtered-exact semantics: an equality filter with no
+    matching rows has no top-k), not an error and not unfiltered
+    fallback rows."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    qs = embeddings.where(F.col("vec_id") >= cut).limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.lit(10**6).alias("qlabel"),  # label unseen in base
+    )
+    res = similarity.knn_ivfpq(
+        bvec, qs.select("query_id", "query_vec"), 10,
+        labels=labels,
+        query_labels=qs.select("query_id", "qlabel"),
+        label_hist=similarity.label_cell_hist(bvec, labels),
+    )
+    assert res.count() == 0
