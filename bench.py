@@ -223,11 +223,13 @@ SUMMARY_BUDGET = 1800  # bytes per line; driver tail capture is 2 kB
 def summary_lines(
     timings: dict, total: float, r1_total: float, sf_val
 ) -> list[str]:
-    """1-2 compact JSON summary lines. One line when it fits the
-    budget; otherwise the queries dict splits across a part-1 line and
-    the FINAL totals line (which keeps the tail half), so the last
-    parseable line of the bench output always carries the totals AND
-    per-query medians no matter how the headline set grows."""
+    """Compact JSON summary lines, every one within SUMMARY_BUDGET. One
+    line when it fits; otherwise the queries dict splits GREEDILY BY
+    SERIALIZED SIZE across part lines plus the FINAL totals line (which
+    keeps the last chunk), so the last parseable line of the bench
+    output always carries the totals AND per-query medians no matter
+    how the headline set grows (a half-by-count split re-breaks the
+    budget once the set roughly doubles; size-based chunks don't)."""
     q2 = {k: round(v, 2) for k, v in timings.items()}
     base = {
         "metric": "headline_queries_total",
@@ -239,16 +241,33 @@ def summary_lines(
     one = json.dumps({**base, "queries": q2})
     if len(one) <= SUMMARY_BUDGET:
         return [one]
-    keys = list(q2)
-    half = len(keys) // 2
-    part1 = {k: q2[k] for k in keys[:half]}
-    part2 = {k: q2[k] for k in keys[half:]}
-    return [
+    # greedy chunks: each addition is ~len('"key": 9.99, ') bytes; the
+    # totals line carries the most overhead, so budget every chunk
+    # against the totals-line envelope for a uniform safe bound
+    overhead = len(json.dumps({**base, "part": 1, "queries": {}}))
+    chunks: list[dict] = [{}]
+    used = 0
+    for k, v in q2.items():
+        item = len(json.dumps({k: v})) + 2  # ", " separator slack
+        if overhead + used + item > SUMMARY_BUDGET and chunks[-1]:
+            chunks.append({})
+            used = 0
+        chunks[-1][k] = v
+        used += item
+    lines = [
         json.dumps(
-            {"metric": "headline_queries_part1", "queries": part1}
-        ),
-        json.dumps({**base, "part": 2, "queries": part2}),
+            {"metric": "headline_queries_part", "part": i + 1,
+             "parts": len(chunks), "queries": c}
+        )
+        for i, c in enumerate(chunks[:-1])
     ]
+    lines.append(
+        json.dumps(
+            {**base, "part": len(chunks), "parts": len(chunks),
+             "queries": chunks[-1]}
+        )
+    )
+    return lines
 
 
 if __name__ == "__main__":

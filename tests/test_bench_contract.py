@@ -84,18 +84,27 @@ def test_summary_lines_carry_queries_even_past_budget():
     parsed = json.loads(lines[0])
     assert parsed["queries"] and parsed["value"] == 9999.999
 
-    # current + 10 future keys: per-query numbers must SURVIVE, split or
-    # not, with every line within budget and the LAST line carrying
-    # totals + a non-empty queries dict
-    fake_grown = dict(fake_now)
-    for i in range(10):
-        fake_grown[f"future_operator_with_long_name_{i:02d}"] = 99.99
-    lines = bench.summary_lines(fake_grown, 9999.999, 9999.999, 0.1)
-    assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines)
-    last = json.loads(lines[-1])
-    assert last["metric"] == "headline_queries_total"
-    assert last["value"] == 9999.999 and last["queries"]
-    union = {}
-    for ln in lines:
-        union.update(json.loads(ln)["queries"])
-    assert union == fake_grown, "split dropped per-query medians"
+    # current + 10, + 40, and + 200 future keys: per-query numbers must
+    # SURVIVE, split or not, with EVERY line within budget and the LAST
+    # line carrying totals + a non-empty queries dict. +40 forces the
+    # split branch (review finding: the first version's test stopped
+    # before the branch it claimed to cover); +200 would break a naive
+    # half-by-count split, pinning the size-based chunking.
+    forced_split = False
+    for extra in (10, 40, 200):
+        fake_grown = dict(fake_now)
+        for i in range(extra):
+            fake_grown[f"future_operator_with_long_name_{i:03d}"] = 99.99
+        lines = bench.summary_lines(fake_grown, 9999.999, 9999.999, 0.1)
+        assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines), (
+            f"+{extra}: line over budget: {max(map(len, lines))}B"
+        )
+        last = json.loads(lines[-1])
+        assert last["metric"] == "headline_queries_total"
+        assert last["value"] == 9999.999 and last["queries"]
+        union = {}
+        for ln in lines:
+            union.update(json.loads(ln)["queries"])
+        assert union == fake_grown, f"+{extra}: split dropped medians"
+        forced_split |= len(lines) > 1
+    assert forced_split, "no growth case exercised the split branch"

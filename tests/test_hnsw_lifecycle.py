@@ -387,3 +387,70 @@ def test_routed_compact_equals_routed_delete_search(spark, sf_dir):
     compacted = registry.queries()["hnsw_routed_compact_search"](spark, sf_dir)
     assert deleted.exceptAll(compacted).count() == 0
     assert compacted.exceptAll(deleted).count() == 0
+
+
+def test_upsert_rejects_intra_batch_duplicate_ids(spark, embeddings):
+    """Review finding (round 8): the append-only guard must also catch
+    an id repeated WITHIN one batch (at-least-once sources can replay a
+    row into the same micro-batch) — not just batch-vs-index overlap."""
+    import pytest
+
+    base = embeddings.limit(60)
+    initial = base.where(F.col("vec_id") < 40)
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    fresh = base.where(F.col("vec_id") >= 40)
+    doubled = fresh.unionByName(fresh)  # disjoint from index, dup inside
+    with pytest.raises(ValueError, match="duplicate ids within"):
+        hnsw.hnsw_upsert(parted0, edges0, doubled, P)
+
+
+def test_labeled_index_rejects_truncating_float_labels(spark, embeddings):
+    """Review finding (round 8): try_cast TRUNCATES non-integral
+    numerics (2.3 and 2.6 both → part 2), silently MERGING distinct
+    labels into one graph — the check must reject fractional labels
+    while still accepting int-valued doubles (2.0)."""
+    import pytest
+
+    base = embeddings.limit(40)
+    fractional = base.withColumn(
+        "label", F.col("label").cast("double") + F.lit(0.3)
+    )
+    with pytest.raises(ValueError, match="non-int-valued"):
+        hnsw.labeled_index(fractional)
+    int_valued = base.withColumn("label", F.col("label").cast("double"))
+    parted, edges = hnsw.labeled_index(int_valued)  # 2.0-style: accepted
+    assert parted.count() == 40 and edges.count() > 0
+
+
+def test_delete_serving_ef_widens_past_tombstone_mass(spark, embeddings):
+    """Review finding (round 8): the k+T candidate cut is vacuous if the
+    per-shard BEAM still returns only ef rows — with T > ef − k a beam
+    full of tombstones could starve the live top-k despite the widened
+    window. knn_hnsw_deleted now widens ef to kk as well: tombstone the
+    global top-150 neighbors (T ≫ ef−k at the default ef=100) and
+    assert every query still gets k live rows with high agreement vs
+    exact-over-live at the DEFAULT serving ef."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = (
+        embeddings.where(F.col("vec_id") >= cut)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .limit(5)
+    )
+    top = knn.knn_exact_batch(base, qs, 150).select("vec_id").distinct()
+    parted, edges = hnsw.hnsw_index(base, 1)
+    res = hnsw.knn_hnsw_deleted(parted, edges, top, qs, 10)  # default ef
+    per_q = res.groupBy("query_id").count()
+    assert per_q.where(F.col("count") < 10).count() == 0, (
+        "a query was starved below k live results"
+    )
+    live = base.join(top, "vec_id", "left_anti")
+    exact = knn.knn_exact_batch(live, qs, 10)
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= 0.9, f"deleted-graph recall under heavy tombstones = {rec}"

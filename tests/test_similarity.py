@@ -720,3 +720,29 @@ def test_filtered_unseen_label_returns_no_rows(spark, embeddings):
         label_hist=similarity.label_cell_hist(bvec, labels),
     )
     assert res.count() == 0
+
+
+def test_ivfpq_filter_param_contract(spark, embeddings):
+    """Review finding (round 8): label_hist without the row-level filter
+    would return predicate-violating rows (probing restricts CELLS, the
+    labels join restricts ROWS) — the combination is a typed error, as
+    is passing only one of labels/query_labels."""
+    import pytest
+
+    base = embeddings.limit(50)
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    qs = base.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    hist = similarity.label_cell_hist(bvec, labels)
+    with pytest.raises(ValueError, match="label_hist requires"):
+        similarity.knn_ivfpq(
+            bvec, qs.select("query_id", "query_vec"), 5, label_hist=hist
+        )
+    with pytest.raises(ValueError, match="passed together"):
+        similarity.knn_ivfpq(
+            bvec, qs.select("query_id", "query_vec"), 5, labels=labels
+        )

@@ -811,37 +811,27 @@ def knn_hnsw_routed_deleted(
     """Tombstone DELETE on the routed index (round 8): deleted ids stay
     in the per-cell edge lists as routing waypoints and are filtered
     AFTER beam emission — knn_hnsw_deleted's contract on the routed
-    family. The candidate cut is widened by the TOTAL tombstone count T
-    (the round-8 multi-shard starvation fix applies doubly here: probed
-    cells AND shards both contribute tombstones to the global top-kk
-    window), a bounded scalar agg."""
+    family. The candidate cut AND the per-cell beam are widened by the
+    TOTAL tombstone count T (the round-8 multi-shard starvation fix
+    applies doubly here: probed cells AND shards both contribute
+    tombstones to the global top-kk window; the beam widening keeps the
+    cut non-vacuous when T > ef − k — see knn_hnsw_deleted), a bounded
+    scalar agg. Shares the anti-join + re-rank tail with the
+    hash-sharded family (_tombstone_filtered_topk)."""
     t_total = cells.join(tombstones.select(id_col), id_col).count()
     kk = k + int(t_total or 0)
     cand = knn_hnsw_routed_prebuilt(
-        cells, edges, cents, queries, kk, nprobe, ef,
+        cells, edges, cents, queries, kk, nprobe, max(ef, kk),
         id_col, vec_col, query_id_col, query_vec_col,
         emit=max(emit or 0, kk),
     )
-    live = cand.join(
-        F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
-    )
-    return (
-        live.drop("rank")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "dist", "rank")
+    return _tombstone_filtered_topk(
+        cand, tombstones, k, id_col, query_id_col
     )
 
 
 def routed_compact(
     cells: DataFrame,
-    edges: DataFrame,
-    cents: DataFrame,
     tombstones: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -852,9 +842,12 @@ def routed_compact(
     tombstone waypoints and the delete leg's cut-widening cost. The
     CENTROIDS stay FROZEN (compaction rewrites the index, it does not
     retrain the router — the IVF-PQ compact contract) and live rows keep
-    their existing cell assignment, so only the edge lists change.
-    Search over the compacted index must equal tombstone search over the
-    old one — both provably exact in the degenerate configuration."""
+    their existing cell assignment (already baked into ``cells``'s part
+    column — which is why neither the old edge lists nor the centroid
+    table is an input: only the edge lists change, derived from the
+    live vectors alone). Search over the compacted index must equal
+    tombstone search over the old one — both provably exact in the
+    degenerate configuration."""
     live_cells = cells.join(
         F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
     ).persist()
@@ -865,36 +858,67 @@ def routed_compact(
 
 def cached_routed_compact(
     cells: DataFrame,
-    edges: DataFrame,
-    cents: DataFrame,
     tombstones: DataFrame,
     cache_key: str,
 ) -> tuple[DataFrame, DataFrame]:
+    """Session cache for the compacted index. The key includes the
+    semantic hashes of BOTH inputs — a cache_key-only key would hand a
+    second caller with a different tombstone set the first caller's
+    compacted index (deleted rows resurfacing with no error)."""
     key = (
         cells.sparkSession.sparkContext.applicationId,
         "routed_compact",
         cache_key,
+        cells.semanticHash(),
+        tombstones.semanticHash(),
     )
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = routed_compact(cells, edges, cents, tombstones)
+        _INDEX_CACHE[key] = routed_compact(cells, tombstones)
     return _INDEX_CACHE[key]
 
 
+# (appId, plan hash, label col) → label-check verdict: the validity
+# scan runs ONCE per distinct frame per session, not once per serving
+# call (the query_batch_count cached-scan idiom).
+_LABEL_CHECK_CACHE: dict[tuple, bool] = {}
+
+
 def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
-    """Fail fast if any label is NULL or not int-castable — a NULL part
-    key would collapse all such rows into ONE graph that every
-    NULL-routed query hits, silently disabling the filter (round-7
-    advice item 2). limit(1)-shaped check: cost is one short-circuit
-    scan at build/route time, nothing at search time. try_cast, because
-    under ANSI mode a plain cast of a malformed label would surface as a
-    mid-build executor crash instead of this typed error."""
-    bad = df.where(F.col(label_col).try_cast("int").isNull())
+    """Fail fast if any label is NULL, not int-castable, OR not
+    int-VALUED — a NULL part key would collapse all such rows into ONE
+    graph that every NULL-routed query hits, silently disabling the
+    filter (round-7 advice item 2), and a truncating cast (double 2.3
+    and 2.6 both → part 2) would silently MERGE distinct labels into
+    one graph, which is the same failure with a different spelling. The
+    value check compares the label and its int cast as doubles, so
+    int-valued doubles (2.0) pass while fractional ones fail.
+    try_cast, because under ANSI mode a plain cast of a malformed label
+    would surface as a mid-build executor crash instead of this typed
+    error. The scan runs once per distinct plan per session (cached by
+    semanticHash); a clean frame costs one full validity pass the first
+    time it is seen, nothing on subsequent serving calls."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        label_col,
+    )
+    if _LABEL_CHECK_CACHE.get(key):
+        return
+    as_int = F.col(label_col).try_cast("int")
+    as_dbl = F.col(label_col).try_cast("double")
+    bad = df.where(
+        as_int.isNull()
+        | as_dbl.isNull()
+        | (as_dbl != as_int.cast("double"))
+    )
     if not bad.isEmpty():
         raise ValueError(
-            f"{what}: column {label_col!r} has NULL or non-int-castable "
-            "labels; label-partitioned HNSW requires non-null int-encodable "
-            "labels (pre-encode arbitrary label types to dense ints)"
+            f"{what}: column {label_col!r} has NULL, non-int-castable, or "
+            "non-int-valued labels; label-partitioned HNSW requires "
+            "non-null integer-valued labels (pre-encode arbitrary label "
+            "types to dense ints)"
         )
+    _LABEL_CHECK_CACHE[key] = True
 
 
 def labeled_index(
@@ -1053,6 +1077,19 @@ def _upsert_parted(
             "the ingest is append-only (tombstone-delete + re-insert under "
             "a new id, or compact, to update an existing row)"
         )
+    # ... and the batch must not repeat an id WITHIN itself either (an
+    # at-least-once source replaying a row into one micro-batch would
+    # otherwise union two rows per id and build two graph nodes for one
+    # global id — the same corruption the cross-check above prevents)
+    intra_dup = (
+        batch_p.groupBy(id_col).count().where(F.col("count") > 1)
+    )
+    if not intra_dup.isEmpty():
+        raise ValueError(
+            "hnsw upsert: batch contains duplicate ids within itself; "
+            "deduplicate the micro-batch (e.g. dropDuplicates on the id) "
+            "before ingest"
+        )
     # touched-shard set: bounded by P (scalar collect, never data)
     touched = sorted(
         int(r[0]) for r in batch_p.select("part").distinct().collect()
@@ -1167,21 +1204,44 @@ def knn_hnsw_deleted(
     several shards can together occupy more than any one shard's count
     of the global top-kk slots (round-7 advice item 1). k+T guarantees
     ≥k live rows survive the global cut, and each shard's emission of
-    top-kk ≥ top-(k + its own tombstones) surfaces its true live top-k."""
+    top-kk ≥ top-(k + its own tombstones) surfaces its true live top-k.
+
+    The BEAM is widened to kk too (round 8): LocalHNSW.search returns
+    at most ef rows, so an emission request of kk past an unwidened
+    ef=100 beam would silently emit only the beam's ef candidates — in
+    the worst case all tombstones — and the k+T guarantee above would
+    be vacuous whenever T > ef − k. Widening ef under delete is the
+    standard filtered-search move (Faiss efSearch widening); the cost
+    is the tombstone count, which compaction bounds."""
     t_total_row = (
         parted.join(tombstones.select(id_col), id_col).count()
     )
     kk = k + int(t_total_row or 0)
     cand = knn_hnsw_prebuilt(
-        parted, edges, queries, kk, ef,
+        parted, edges, queries, kk, max(ef, kk),
         id_col, vec_col, query_id_col, query_vec_col,
         emit=max(emit or 0, kk),
     )
+    return _tombstone_filtered_topk(
+        cand, tombstones, k, id_col, query_id_col
+    )
+
+
+def _tombstone_filtered_topk(
+    cand: DataFrame,
+    tombstones: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Shared delete-leg tail for both graph families: broadcast
+    anti-join the tombstones out of the (widened) candidate stream,
+    then re-rank to the final top-k."""
+    from pyspark.sql import Window
+
     live = cand.join(
         F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )

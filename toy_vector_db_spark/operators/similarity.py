@@ -1219,6 +1219,19 @@ def knn_ivfpq(
     nprobe·n_labels) widening, which saturated to a full probe at
     fixture scale and over-probes whenever labels correlate with
     cells."""
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_ivfpq: labels and query_labels must be passed together "
+            "(the filter needs both the stored attribute and the query "
+            "predicate)"
+        )
+    if label_hist is not None and labels is None:
+        raise ValueError(
+            "knn_ivfpq: label_hist requires labels and query_labels — "
+            "histogram-guided probing restricts WHICH cells are ranked, "
+            "but only the row-level label filter keeps non-matching rows "
+            "in those cells out of the result"
+        )
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
     if cents is None:

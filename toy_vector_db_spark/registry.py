@@ -614,21 +614,29 @@ def q_hnsw_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric — mean recall@10 of the ef=EF_SEARCH beam search vs exact
     (src/main.rs:89-93) — IN-PLAN and emits the threshold boolean, which
     IS deterministic (hash-seeded levels → deterministic graph →
-    deterministic beam → recall a fixed number; only its >= 0.9
-    comparison is emitted, so float formatting can't drift the hash).
-    The oracle asserts the gate passes; a beam-search regression now
-    turns a driver row red instead of only failing local tests. The
-    whole computation is one DataFrame: beam candidates → exact top-k →
-    per-query semi-join count → avg — no driver-side collect."""
+    deterministic beam → recall a fixed number). The comparison runs in
+    INTEGER arithmetic (10·Σhits ≥ 9·k·n_queries, exact since every
+    query has exactly k relevant rows) — a float avg's partial-
+    aggregation order is partition-dependent, and an ulp flip at the
+    threshold is precisely what a gate key can't afford. The oracle
+    asserts the gate passes; a beam-search regression now turns a
+    driver row red instead of only failing local tests. The whole
+    computation is one DataFrame: beam candidates → exact top-k →
+    per-query semi-join count → integer sum — no driver-side collect."""
     base, qs = _split(spark, sf_dir)
     parted, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
     ann = hnsw.knn_hnsw_prebuilt(parted, edges, qs, K)
     exact = knn.knn_exact_batch(base, qs, K)
-    rec = evaluation.evaluate_recall(ann, exact)
-    return rec.agg(F.avg("recall").alias("r")).select(
+    inter = evaluation.intersection_count(ann, exact)
+    gate_num = int(round(RECALL_GATE * 10))  # 0.9 → 9, exact in ints
+    return inter.agg(
+        F.sum("n_common").alias("hits"), F.count("*").alias("nq")
+    ).select(
         F.lit(K).cast("int").alias("k"),
         F.lit(hnsw.EF_SEARCH).cast("int").alias("ef"),
-        (F.col("r") >= F.lit(RECALL_GATE)).alias("passed"),
+        (
+            F.col("hits") * 10 >= F.lit(gate_num) * K * F.col("nq")
+        ).alias("passed"),
     )
 
 
@@ -2159,7 +2167,7 @@ def q_hnsw_routed_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % DELETE_MOD == 0
     )
     live_cells, live_edges = hnsw.cached_routed_compact(
-        cells, edges, cents, tombstones, sf_dir
+        cells, tombstones, sf_dir
     )
     live_base = base.where(F.col("vec_id") % DELETE_MOD != 0)
     n_live = live_base.count()
