@@ -746,3 +746,97 @@ def test_ivfpq_filter_param_contract(spark, embeddings):
         similarity.knn_ivfpq(
             bvec, qs.select("query_id", "query_vec"), 5, labels=labels
         )
+
+
+def test_bq_filtered_predicate_and_recall(spark, embeddings):
+    """Filtered BQ (round 8 — the third family's IDSelector): every
+    returned row satisfies the query's label predicate (equality applied
+    BEFORE the Hamming top-R cut), and recall vs filtered-exact holds a
+    high bar — BQ scans the whole corpus, so with the deeper budget
+    R ≥ the label subset at fixture scale the filtered search is a full
+    rerank of the qualifying rows (measured 1.0 at sf0.001 AND sf0.1)."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    res = similarity.knn_bq_rerank(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"), 10,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select("query_id", "qlabel"),
+    )
+    joined = (
+        res.join(base.select("vec_id", "label"), "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.count() == res.count()
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"), qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.95 if small else 0.90), f"filtered BQ recall = {rec}"
+
+
+def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):
+    """Core invariant of the histogram probe rule: for every query,
+    either the probed cells' cumulative label count reaches the rerank
+    budget, or EVERY cell containing the label was probed (plus the
+    nprobe floor always holds) — the property that makes the cumsum
+    cut safe regardless of how the label mass is distributed."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    hist = similarity.label_cell_hist(bvec, labels)
+    r_target = similarity._rerank_budget(bvec, 10)
+    probes = similarity._ivf_probes_labeled(
+        qs.select("query_id", "query_vec"),
+        similarity.cached_trained_centroids(bvec),
+        qs.select("query_id", "qlabel"), hist,
+        similarity.N_PROBE, r_target,
+    )
+    got = (
+        probes.join(qs.select("query_id", "qlabel"), "query_id")
+        .join(hist, (F.col("qlabel") == F.col("label"))
+              & (probes["centroid_id"] == hist["centroid_id"]))
+        .groupBy("query_id")
+        .agg(F.sum("cnt").alias("covered"), F.count("*").alias("ncells"))
+    )
+    lbl_totals = hist.groupBy("label").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("allcells")
+    )
+    chk = got.join(qs.select("query_id", "qlabel"), "query_id").join(
+        lbl_totals, F.col("qlabel") == F.col("label")
+    )
+    bad = chk.where(
+        ~(
+            (F.col("covered") >= F.lit(r_target))
+            | (F.col("ncells") == F.col("allcells"))
+        )
+    )
+    assert bad.count() == 0, bad.limit(5).collect()

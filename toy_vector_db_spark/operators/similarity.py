@@ -1377,6 +1377,8 @@ def knn_bq_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
 ) -> DataFrame:
     """BQ serving pipeline: Hamming distance over the packed sign bits
     prunes the corpus to the scale-aware R candidates per query
@@ -1387,7 +1389,20 @@ def knn_bq_rerank(
     (BQ_RERANK_MULT = 2× the shared floor — BQ's 8 B/vector scan
     affords it at equal total cost; measured 0.854 recall@10 at sf0.1
     vs 0.699 at the shared floor, scripts/bq_recall_study.py). Fully
-    deterministic → DuckDB-oracle-able end to end."""
+    deterministic → DuckDB-oracle-able end to end.
+
+    FILTERED search (round 8 — the third family's IDSelector): pass
+    ``labels``/``query_labels`` to restrict each query's candidates to
+    label-equal rows BEFORE the Hamming top-R cut, so the whole rerank
+    budget lands on qualifying rows. BQ has no cells, so no probe
+    widening is needed — the full-corpus Hamming scan simply re-targets
+    its R budget; this makes BQ the structurally simplest filtered
+    family (the 8 B/vector scan cost is unchanged by the filter)."""
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_bq_rerank: labels and query_labels must be passed "
+            "together"
+        )
     if rerank_r is None:
         rerank_r = max(
             BQ_RERANK_MULT * k, _rerank_budget(base, k, id_col)
@@ -1400,6 +1415,13 @@ def knn_bq_rerank(
     )
     ham = F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
     cand = codes.crossJoin(F.broadcast(qcodes)).withColumn("h", ham)
+    if labels is not None:
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("h").asc(), F.col(id_col).asc()
     )

@@ -592,12 +592,22 @@ def bq_codes_sql(split_cte: str) -> str:
     """
 
 
-def knn_bq_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
+def knn_bq_rerank_sql(
+    split_cte: str,
+    k: int,
+    rerank_r: int | str,
+    cand_pred: str | None = None,
+    extra_cand_joins: str = "",
+) -> str:
     """BQ serving oracle: Hamming prune over the packed sign bits
     (bit_count(xor) per half) to R candidates, exact cosine rerank —
-    the SQL twin of similarity.knn_bq_rerank."""
+    the SQL twin of similarity.knn_bq_rerank. ``cand_pred`` +
+    ``extra_cand_joins`` mirror knn_ivfpq_sql's hooks (round 8: the
+    filtered key's label-equality joins, applied before the top-R
+    cut)."""
     from toy_vector_db_spark.operators.similarity import BQ_HALF
 
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
     return f"""
     WITH {split_cte},
@@ -615,7 +625,9 @@ def knn_bq_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
       SELECT qc.query_id, co.vec_id,
              bit_count(xor(co.b_hi, qc.q_hi))
                + bit_count(xor(co.b_lo, qc.q_lo)) AS h
-      FROM codes co, qcodes qc),
+      FROM codes co, qcodes qc
+      {extra_cand_joins}
+      WHERE {cand_where}),
     pruned AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,

@@ -90,7 +90,10 @@ _PRIORITY = [
     "knn_hnsw_exhaustive", "hnsw_recall_gate",
     "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
     "hnsw_routed_compact_search",
-    "result_intersection", "eval_recall", "eval_precision",
+    # (round 8: eval_precision — driver-green r1-r7, sibling eval_recall
+    # stays in-window — rotates out for knn_bq_filtered, completing
+    # filtered ANN on all three index families)
+    "result_intersection", "eval_recall", "knn_bq_filtered",
     # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
     # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
     # — rotate IN (after this, every oracled key in the repo once again
@@ -1907,6 +1910,37 @@ def q_knn_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bq_rerank(base, qs, K)
 
 
+@register("knn_bq_filtered")
+def q_knn_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN on the third family (round 8): label equality
+    applied BEFORE the Hamming top-R cut, so BQ's deeper rerank budget
+    lands entirely on qualifying rows — the IDSelector contract now
+    holds on ALL THREE index families (IVF-PQ: histogram-guided probes
+    + row filter; HNSW: label-partitioned graphs; BQ: row filter on the
+    full-corpus 8 B/vector scan — no probe widening needed because
+    there are no cells to miss). Oracle = the same filtered prune in
+    SQL via knn_bq_rerank_sql's cand hooks."""
+    from toy_vector_db_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label"),
+    )
+    return similarity.knn_bq_rerank(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"),
+        K,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select(
+            "query_id", F.col("label").alias("qlabel")
+        ),
+    )
+
+
 @register(
     "hnsw_upsert_search",
     f"""
@@ -2702,6 +2736,20 @@ def _register_similarity_oracles() -> None:
     _ORACLES["bq_codes"] = O.bq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_bq_rerank"] = O.knn_bq_rerank_sql(
         _SPLIT_CTE, K, O.bq_rerank_budget_sql(K)
+    )
+    _ORACLES["knn_bq_filtered"] = O.knn_bq_rerank_sql(
+        _SPLIT_CTE
+        + """,
+    lbl AS (SELECT vec_id, label FROM embeddings, cut WHERE vec_id < c),
+    qlbl AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings, cut WHERE vec_id >= c)""",
+        K,
+        O.bq_rerank_budget_sql(K),
+        cand_pred="bl.label = ql.qlabel",
+        extra_cand_joins=(
+            "JOIN lbl bl ON bl.vec_id = co.vec_id\n"
+            "      JOIN qlbl ql ON ql.query_id = qc.query_id"
+        ),
     )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
