@@ -71,6 +71,7 @@ HEADLINE = [
     "knn_ivfpq",
     "knn_ivfpq_filtered",
     "knn_hnsw_filtered",
+    "knn_bq_filtered",
     "ivfpq_partitioned_search",
     "ivfpq_upsert_search",
     "hnsw_upsert_search",
