@@ -244,8 +244,14 @@ def summary_lines(
         return [one]
     # greedy chunks: each addition is ~len('"key": 9.99, ') bytes; the
     # totals line carries the most overhead, so budget every chunk
-    # against the totals-line envelope for a uniform safe bound
-    overhead = len(json.dumps({**base, "part": 1, "queries": {}}))
+    # against the totals-line envelope — probed WITH the parts key and
+    # two-digit counters, so the measured envelope is never smaller
+    # than the real final line's (round-8 review: omitting "parts"
+    # under-counted by ~14 bytes, enough to breach the budget when the
+    # last chunk holds few very-long keys)
+    overhead = len(
+        json.dumps({**base, "part": 99, "parts": 99, "queries": {}})
+    )
     chunks: list[dict] = [{}]
     used = 0
     for k, v in q2.items():

@@ -35,3 +35,28 @@ def test_recall_precision(result_sets):
             evaluation.evaluate_precision(retrieved, relevant).collect()}
     assert rec == {1: 0.5, 2: 0.0}  # 2/4, 0/2
     assert prec == {1: pytest.approx(2 / 3, abs=1e-6), 2: 0.0}  # 2/3, 0/2
+
+
+def test_intersection_universe_comes_from_first_arg(spark):
+    """Round-8 review: hnsw_recall_gate derives its query universe from
+    intersection_count's FIRST argument, which must therefore be the
+    EXACT side — a retrieval run that emits zero rows for a query has
+    to count as 0 hits for that query, not vanish from the denominator
+    (the gate-can't-see-starved-queries hole)."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import evaluation
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, vec_id long"
+    )
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, vec_id long"
+    )
+    inter = evaluation.intersection_count(exact, ann)
+    rows = {r["query_id"]: r["n_common"] for r in inter.collect()}
+    assert rows == {1: 2, 2: 0}  # query 2 present with 0, not absent
+    agg = inter.agg(
+        F.sum("n_common").alias("hits"), F.count("*").alias("nq")
+    ).first()
+    assert (agg["hits"], agg["nq"]) == (2, 2)

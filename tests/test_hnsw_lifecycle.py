@@ -303,15 +303,18 @@ def test_labeled_index_rejects_null_and_uncastable_labels(spark, embeddings):
     )
     with pytest.raises(ValueError, match="non-int-castable"):
         hnsw.labeled_index(nully)
-    # query side: same check on the routed label
+    # query side: the validity assertion is EMBEDDED in the routing
+    # projection (zero extra scan, re-evaluates every run — round-8
+    # review), so the error surfaces at action time as a Spark job
+    # failure carrying the typed message and the offending label
     parted, edges = hnsw.labeled_index(base)
     qs = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
         F.concat(F.lit("x"), F.col("label").cast("string")).alias("qlabel"),
     ).limit(3)
-    with pytest.raises(ValueError, match="non-int-castable"):
-        hnsw.knn_hnsw_filtered(parted, edges, qs, 5)
+    with pytest.raises(Exception, match="non-int-valued"):
+        hnsw.knn_hnsw_filtered(parted, edges, qs, 5).collect()
 
 
 def test_routed_upsert_equals_frozen_centroid_rebuild(spark, embeddings):

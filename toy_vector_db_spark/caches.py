@@ -46,7 +46,6 @@ def _cache_dicts() -> list[dict]:
         similarity._LABEL_HIST_CACHE,
         dedup._PAIRS_CACHE,
         hnsw._INDEX_CACHE,
-        hnsw._LABEL_CHECK_CACHE,
         knn._QUERY_BATCH_CACHE,
         knn._QUERY_COUNT_CACHE,
         ingest._INGEST_CACHE,

@@ -877,40 +877,58 @@ def cached_routed_compact(
     return _INDEX_CACHE[key]
 
 
-# (appId, plan hash, label col) → label-check verdict: the validity
-# scan runs ONCE per distinct frame per session, not once per serving
-# call (the query_batch_count cached-scan idiom).
-_LABEL_CHECK_CACHE: dict[tuple, bool] = {}
+def _valid_int_label(label_col: str):
+    """Validity predicate for a partition-key label: non-NULL,
+    int-castable, AND int-VALUED. try_cast (not cast), because under
+    ANSI mode a plain cast of a malformed label crashes the executor
+    instead of returning NULL; the double comparison rejects truncating
+    casts (2.3 and 2.6 would both silently become part 2, MERGING
+    distinct labels into one graph) while accepting int-valued doubles
+    (2.0)."""
+    as_int = F.col(label_col).try_cast("int")
+    as_dbl = F.col(label_col).try_cast("double")
+    return as_int.isNotNull() & as_dbl.isNotNull() & (
+        as_dbl == as_int.cast("double")
+    )
+
+
+def _label_part_expr(label_col: str, what: str):
+    """The routing projection label → int part, with the validity check
+    EMBEDDED (assert_true): it evaluates on the actual rows of every
+    run, so it costs zero extra scans on the serving path AND cannot go
+    stale — a cached eager-check verdict keyed by plan hash would skip
+    re-validation when a re-read source path gains new files with bad
+    labels (round-8 review finding), silently disabling the filter, the
+    exact failure the check exists to prevent."""
+    valid = _valid_int_label(label_col)
+    return F.when(valid, F.col(label_col).try_cast("int")).otherwise(
+        F.assert_true(
+            valid,
+            F.concat(
+                F.lit(
+                    f"{what}: column {label_col!r} has a NULL, "
+                    "non-int-castable, or non-int-valued label "
+                    "(label-partitioned HNSW requires non-null "
+                    "integer-valued labels; pre-encode arbitrary label "
+                    "types to dense ints); offending label: "
+                ),
+                F.coalesce(
+                    F.col(label_col).cast("string"), F.lit("NULL")
+                ),
+            ),
+        ).cast("int")
+    )
 
 
 def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
-    """Fail fast if any label is NULL, not int-castable, OR not
-    int-VALUED — a NULL part key would collapse all such rows into ONE
-    graph that every NULL-routed query hits, silently disabling the
-    filter (round-7 advice item 2), and a truncating cast (double 2.3
-    and 2.6 both → part 2) would silently MERGE distinct labels into
-    one graph, which is the same failure with a different spelling. The
-    value check compares the label and its int cast as doubles, so
-    int-valued doubles (2.0) pass while fractional ones fail.
-    try_cast, because under ANSI mode a plain cast of a malformed label
-    would surface as a mid-build executor crash instead of this typed
-    error. The scan runs once per distinct plan per session (cached by
-    semanticHash); a clean frame costs one full validity pass the first
-    time it is seen, nothing on subsequent serving calls."""
-    key = (
-        df.sparkSession.sparkContext.applicationId,
-        df.semanticHash(),
-        label_col,
-    )
-    if _LABEL_CHECK_CACHE.get(key):
-        return
-    as_int = F.col(label_col).try_cast("int")
-    as_dbl = F.col(label_col).try_cast("double")
-    bad = df.where(
-        as_int.isNull()
-        | as_dbl.isNull()
-        | (as_dbl != as_int.cast("double"))
-    )
+    """Eager fail-fast for the BUILD side: one short validity pass with
+    a typed ValueError BEFORE the expensive graph build starts (the
+    serving side instead embeds the check in the routing projection via
+    _label_part_expr — zero extra scan, never stale). Deliberately
+    UNCACHED: a build is rare and the pass is cheap relative to it,
+    while a plan-hash-keyed verdict cache would go stale when a re-read
+    source gains files."""
+    bad = df.where(~_valid_int_label(label_col))
     if not bad.isEmpty():
         raise ValueError(
             f"{what}: column {label_col!r} has NULL, non-int-castable, or "
@@ -918,7 +936,6 @@ def _check_int_label(df: DataFrame, label_col: str, what: str) -> None:
             "non-null integer-valued labels (pre-encode arbitrary label "
             "types to dense ints)"
         )
-    _LABEL_CHECK_CACHE[key] = True
 
 
 def labeled_index(
@@ -952,7 +969,8 @@ def labeled_index(
     _check_int_label(base, label_col, "labeled_index base")
     cells = (
         base.select(
-            id_col, vec_col, F.col(label_col).cast("int").alias("part")
+            id_col, vec_col,
+            F.col(label_col).try_cast("int").alias("part"),
         ).persist()
     )
     edges = _edges_from_parted(cells, id_col, vec_col).persist()
@@ -995,13 +1013,18 @@ def knn_hnsw_filtered(
     (``labeled_index``): each query routes to the single graph whose
     part equals its label — the routing IS the filter, so results
     satisfy the predicate by construction and the beam never wastes
-    steps on non-matching rows. Query labels get the same fail-fast
-    NULL/castability check as the index side."""
-    _check_int_label(queries, query_label_col, "knn_hnsw_filtered queries")
+    steps on non-matching rows. Query-label validity is asserted INSIDE
+    the routing projection (_label_part_expr): zero extra scan per
+    serving call and it re-evaluates on every run's actual rows, so a
+    growing re-read source can't serve stale validity (round-8 review)
+    — a bad label fails the job with the offending value in the
+    message instead of silently mis-routing."""
     routed = queries.select(
         query_id_col,
         query_vec_col,
-        F.col(query_label_col).cast("int").alias("part"),
+        _label_part_expr(
+            query_label_col, "knn_hnsw_filtered queries"
+        ).alias("part"),
     )
     return _prebuilt_search(
         parted, edges, routed, k, ef,

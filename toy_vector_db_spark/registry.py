@@ -630,15 +630,21 @@ def q_hnsw_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parted, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
     ann = hnsw.knn_hnsw_prebuilt(parted, edges, qs, K)
     exact = knn.knn_exact_batch(base, qs, K)
-    inter = evaluation.intersection_count(ann, exact)
-    gate_num = int(round(RECALL_GATE * 10))  # 0.9 → 9, exact in ints
+    # query universe from the EXACT side (first arg): a beam regression
+    # that emits zero rows for some queries must count them as 0-recall,
+    # not drop them from both numerator and denominator (n_common is
+    # symmetric, so swapping sides only fixes whose queries define nq)
+    inter = evaluation.intersection_count(exact, ann)
+    gate_num = int(round(RECALL_GATE * 100))  # 0.9 → 90; ×100 so any
+    # two-decimal gate stays exact in integers (×10 would banker's-round
+    # 0.85 to 8, silently testing ≥0.80)
     return inter.agg(
         F.sum("n_common").alias("hits"), F.count("*").alias("nq")
     ).select(
         F.lit(K).cast("int").alias("k"),
         F.lit(hnsw.EF_SEARCH).cast("int").alias("ef"),
         (
-            F.col("hits") * 10 >= F.lit(gate_num) * K * F.col("nq")
+            F.col("hits") * 100 >= F.lit(gate_num) * K * F.col("nq")
         ).alias("passed"),
     )
 
