@@ -67,6 +67,10 @@ HEADLINE = [
     "pq_codes",
     "knn_pq_rerank",
     "knn_bq_rerank",
+    # sq_train runs BEFORE knn_sq_rerank (build/search split: the
+    # one-pass bounds scan is the fourth family's entire build)
+    "sq_train",
+    "knn_sq_rerank",
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",

@@ -252,6 +252,14 @@ def test_ann_recall_at_10x_scale(spark):
     # open question (no resolution lever), SCALE.md.
     bq = rec(similarity.knn_bq_rerank(base, qs, 10))
     assert bq >= 0.85, f"BQ-rerank recall@10 at 10x = {bq}"
+    # round 8: the FOURTH family at 10x — shipped budget measures 1.0,
+    # and the constant-cost stress (fixed R=160, the capped-budget
+    # regime's analogue) ALSO measures 1.0: SQ is the bounded-cost
+    # configuration with recall headroom that BQ structurally lacks
+    sq = rec(similarity.knn_sq_rerank(base, qs, 10))
+    assert sq >= 0.98, f"SQ-rerank recall@10 at 10x = {sq}"
+    sq_fixed = rec(similarity.knn_sq_rerank(base, qs, 10, rerank_r=160))
+    assert sq_fixed >= 0.98, f"SQ-rerank fixed-R recall@10 at 10x = {sq_fixed}"
 
 
 def test_ivfpq_upsert_equals_frozen_rebuild(spark, embeddings):
@@ -794,6 +802,121 @@ def test_bq_filtered_predicate_and_recall(spark, embeddings):
     )
     small = base.count() <= 1000
     assert rec >= (0.95 if small else 0.90), f"filtered BQ recall = {rec}"
+
+
+def test_sq_codes_match_python_recompute(spark, embeddings):
+    """SQ8 codes (round 8, fourth family) recomputed row-by-row in pure
+    Python with the engine's exact double op order (sequential-fold
+    normalize, subtract/scale/floor/clamp) must match BIT-EXACTLY for
+    every row — the same determinism contract the DuckDB oracle checks,
+    proven against an independent third implementation. Also pins the
+    range invariant (0..255) and that bounds are per-dim min/max of the
+    normalized corpus."""
+    import math
+
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    raw = {r["vec_id"]: list(r["embedding"])
+           for r in base.select("vec_id", "embedding").collect()}
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        m = math.sqrt(acc)
+        return [float(x) / m for x in v]
+
+    nvs = {i: norm(v) for i, v in raw.items()}
+    dims = len(next(iter(nvs.values())))
+    mins = [min(nv[d] for nv in nvs.values()) for d in range(dims)]
+    maxs = [max(nv[d] for nv in nvs.values()) for d in range(dims)]
+
+    def code(x, mn, mx):
+        if mx == mn:
+            return 0
+        return int(min(255.0, max(0.0, math.floor((x - mn) * 255.0 / (mx - mn)))))
+
+    got = {}
+    for r in similarity.sq_codes(base).collect():
+        got.setdefault(r["vec_id"], {})[r["dim"]] = r["code"]
+    assert set(got) == set(raw)
+    for vid, nv in nvs.items():
+        want = [code(nv[d], mins[d], maxs[d]) for d in range(dims)]
+        have = [got[vid][d] for d in range(dims)]
+        assert have == want, f"vec {vid}: codes diverge from recompute"
+        assert all(0 <= c <= 255 for c in have)
+
+
+def test_sq_rerank_recall(spark, embeddings):
+    """SQ8 serving: 8-bit-per-dim ADC ranks so well that the SHARED
+    rerank floor gives recall ≈ 1.0 (measured 1.0 at sf0.001, sf0.1 AND
+    the 10× fixture under the shipped budget), and even the degenerate
+    R=k prune — pure ADC, zero rerank slack — holds ≥0.95 (measured
+    0.982 sf0.1 / 0.981 at 10×). This is the family-level answer to
+    BQ's missing resolution knob: SQ's 64 B/vector scan buys a
+    constant-cost configuration with recall headroom."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn.knn_exact_batch(base, qs, 10)
+    sq = similarity.knn_sq_rerank(base, qs, 10)
+    rec = evaluation.evaluate_recall(sq, exact).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.98, f"SQ rerank recall@10 = {rec}"
+    adc_only = similarity.knn_sq_rerank(base, qs, 10, rerank_r=10)
+    rec_adc = (
+        evaluation.evaluate_recall(adc_only, exact).agg(F.avg("recall")).first()[0]
+    )
+    assert rec_adc >= 0.95, f"SQ ADC-only recall@10 = {rec_adc}"
+
+
+def test_sq_filtered_predicate_and_recall(spark, embeddings):
+    """Filtered SQ (the fourth family's IDSelector): every returned row
+    satisfies the query's label predicate (equality applied BEFORE the
+    ADC top-R cut), and recall vs filtered-exact stays at the family's
+    ≈1.0 bar — SQ scans the whole corpus, so the filter just re-targets
+    the R budget onto qualifying rows."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    res = similarity.knn_sq_rerank(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"), 10,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select("query_id", "qlabel"),
+    )
+    joined = (
+        res.join(base.select("vec_id", "label"), "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.count() == res.count()
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"), qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.95 if small else 0.90), f"filtered SQ recall = {rec}"
 
 
 def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):

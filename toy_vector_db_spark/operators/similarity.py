@@ -1435,6 +1435,247 @@ def knn_bq_rerank(
     )
 
 
+SQ_DIM = 64  # fixture embedding dim (constant across SFs, see TESTDATA.md)
+SQ_LEVELS = 255  # 8-bit codes: quantized values land in 0..255
+
+
+def _as_double(vec_col: str) -> "F.Column":
+    """array<float> → array<double> BEFORE any arithmetic — the SQ
+    family's cross-engine bit-parity hinges on every product being a
+    double×double (DuckDB's ::DOUBLE[] cast happens first; a float32
+    product differs in the last bits)."""
+    return F.col(vec_col).cast("array<double>")
+
+
+# (appId, plan hash, cols) → persisted one-row per-dim bounds frame
+_SQ_BOUNDS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def sq_bounds(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension min/max of the NORMALIZED corpus — the entirety of
+    SQ8's 'training' (fourth index family, round 8; FAISS calls this
+    ScalarQuantizer.QT_8bit). ONE map-side-combined agg pass with
+    2·SQ_DIM partial-agg expressions — deliberately NOT an explode
+    (unnesting would 64× the row count at 100 TB before aggregating it
+    straight back down); the output is a single row
+    (mins array<double>, maxs array<double>) that serving broadcasts.
+    min/max are exact SELECTIONS (no accumulation), so the bounds are
+    bit-identical cross-engine by construction — stronger than the
+    k-means parity the trained families rely on.
+
+    The double cast BEFORE normalizing is load-bearing for that parity:
+    the fixture embeddings are array<float>, and a float32×float32
+    product differs from DuckDB's ::DOUBLE[] product in the last bits —
+    rounded-output keys absorb that, but SQ's codes are UNROUNDED ints
+    whose bin boundaries would flip (measured: 123/30400 codes at
+    sf0.001 without the cast, 0 with it)."""
+    nb = base.select(_normalize(_as_double(vec_col)).alias("nv"))
+    aggs = []
+    for i in range(1, SQ_DIM + 1):
+        aggs.append(F.min(F.element_at(F.col("nv"), i)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(F.col("nv"), i)).alias(f"mx{i}"))
+    row = nb.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"mn{i}") for i in range(1, SQ_DIM + 1)]).alias(
+            "mins"
+        ),
+        F.array(*[F.col(f"mx{i}") for i in range(1, SQ_DIM + 1)]).alias(
+            "maxs"
+        ),
+    )
+
+
+def cached_sq_bounds(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-cached persisted bounds row (the trained_centroids idiom):
+    the one-pass min/max scan runs once per distinct base plan per
+    session; every serving call reuses the persisted one-row frame.
+    Registered in caches.py for bench snapshot/rollback."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _SQ_BOUNDS_CACHE:
+        _SQ_BOUNDS_CACHE[key] = sq_bounds(base, id_col, vec_col).persist()
+    return _SQ_BOUNDS_CACHE[key]
+
+
+def _sq_code_expr(x, mn, mx):
+    """One dimension's 8-bit code: clamp(floor((x−mn)·255/(mx−mn)), 0,
+    255), with a degenerate-dimension guard (mx = mn → 0, avoiding a
+    0/0 whose NaN semantics differ across engines). Clamps in DOUBLE
+    space before one final int cast; every operation is an IEEE double
+    op in the same order on both sides, so codes are bit-identical
+    cross-engine without any rounding step."""
+    scaled = (x - mn) * F.lit(float(SQ_LEVELS)) / (mx - mn)
+    clamped = F.least(
+        F.lit(float(SQ_LEVELS)),
+        F.greatest(F.lit(0.0), F.floor(scaled).cast("double")),
+    )
+    return (
+        F.when(mx == mn, F.lit(0)).otherwise(clamped.cast("int"))
+    )
+
+
+def sq_code_array(
+    base: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each normalized vector quantized to
+    SQ_DIM 8-bit codes against the broadcast one-row bounds frame.
+    64 B/vector on disk (parquet byte-packs the 0..255 ints): an 8×
+    compressed scan vs the 512 B raw doubles, sitting between BQ
+    (8 B, weak ranking) and PQ (8 B, trained) on the cost/quality
+    curve — SQ needs NO codebook training, only the one-pass bounds.
+    The whole encode is a per-row Catalyst expression over the
+    crossJoin-broadcast bounds row: zero shuffle, zero Python."""
+    z = F.arrays_zip(F.col("nv"), F.col("mins"), F.col("maxs"))
+    codes = F.transform(
+        z, lambda r: _sq_code_expr(r["nv"], r["mins"], r["maxs"])
+    )
+    return (
+        base.select(id_col, _normalize(_as_double(vec_col)).alias("nv"))
+        .crossJoin(F.broadcast(bounds))
+        .select(id_col, codes.alias("codes"))
+    )
+
+
+def sq_train(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-hashable exploded view of the SQ8 bounds: one row per
+    dimension (dim, mn, mx) — the pq_train idiom (scalar rows hash
+    stably; a single array-valued row would not)."""
+    b = sq_bounds(base, id_col, vec_col)
+    return b.select(
+        F.posexplode(F.arrays_zip("mins", "maxs")).alias("dim", "r")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("r.mins").alias("mn"),
+        F.col("r.maxs").alias("mx"),
+    )
+
+
+def sq_codes(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-hashable exploded view of the SQ8 codes: one row per
+    (id, dim) with the scalar int code — hash-stable across engines
+    (array-valued cells hash differently driver-side; scalar rows are
+    the established shape, see pq_train)."""
+    arr = sq_code_array(base, cached_sq_bounds(base, id_col, vec_col),
+                        id_col, vec_col)
+    return arr.select(
+        id_col, F.posexplode("codes").alias("dim", "code")
+    ).select(
+        id_col, F.col("dim").cast("int").alias("dim"), "code"
+    )
+
+
+def _sq_deq(codes, mins, maxs):
+    """Dequantized reconstruction x̂ = mn + (code + 0.5)·(mx − mn)/255 —
+    the bin midpoint, the standard SQ decode (half-bin centering halves
+    the worst-case reconstruction error vs the left edge)."""
+    z = F.arrays_zip(codes, mins, maxs)
+    return F.transform(
+        z,
+        lambda r: r["mins"]
+        + (r["codes"].cast("double") + F.lit(0.5))
+        * (r["maxs"] - r["mins"])
+        / F.lit(float(SQ_LEVELS)),
+    )
+
+
+def knn_sq_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 serving pipeline (fourth index family, round 8): asymmetric
+    distance — squared euclidean between each DEQUANTIZED normalized
+    base code and the raw normalized query (normalize-then-euclid ≡
+    cosine, the PQ argument) — prunes the corpus to the scale-aware R
+    candidates per query, then EXACT cosine re-ranks the survivors.
+
+    Same scan-everything shape as knn_bq_rerank with an 8× (64 B vs
+    512 B) compressed scan instead of 64×, bought back by a far
+    STRONGER prune: 8-bit-per-dim ADC preserves distance ordering well
+    enough that the SHARED rerank floor suffices (no BQ_RERANK_MULT-
+    style deepening) and measured recall@10 is ≈1.0 at fixture scale
+    (tests/test_similarity.py gates ≥ 0.9). No training beyond the
+    one-pass bounds scan — SQ is the family you deploy when PQ's
+    k-means is operationally unwelcome and BQ's ranking is too weak.
+
+    FILTERED search: pass ``labels``/``query_labels`` to restrict each
+    query's candidates to label-equal rows BEFORE the ADC top-R cut
+    (the IDSelector contract, same hook shape as knn_bq_rerank — no
+    cells, so no probe widening needed).
+
+    Fully deterministic → DuckDB-oracle-able end to end: bounds are
+    exact selections, codes are clamped IEEE-double arithmetic in
+    matched op order, and the ADC fold reuses the established
+    _sq_dist ≡ list_sum parity."""
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_sq_rerank: labels and query_labels must be passed "
+            "together"
+        )
+    if rerank_r is None:
+        rerank_r = _rerank_budget(base, k, id_col)
+    bounds = cached_sq_bounds(base, id_col, vec_col)
+    codes = sq_code_array(base, bounds, id_col, vec_col)
+    deq = codes.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        _sq_deq(F.col("codes"), F.col("mins"), F.col("maxs")).alias("deq"),
+    )
+    nq = queries.select(
+        query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
+    )
+    cand = deq.crossJoin(F.broadcast(nq)).withColumn(
+        "ad2", _sq_dist(F.col("deq"), F.col("qnv"))
+    )
+    if labels is not None:
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
 def lsh_hyperplane_buckets(
     base: DataFrame,
     n_planes: int = N_HYPERPLANES,

@@ -650,6 +650,113 @@ def knn_bq_rerank_sql(
     """
 
 
+def _sq_common_ctes(split_cte: str) -> str:
+    """Shared SQ8 CTEs: normalized base, per-dim bounds (exact min/max
+    selections — bit-identical cross-engine by construction), and the
+    one-row bounds list — SQL twin of similarity.sq_bounds. The unnest
+    route is fine HERE (oracle at fixture scale); the engine side
+    deliberately avoids it (64× row blowup at 100 TB) via 128
+    partial-agg expressions."""
+    from toy_vector_db_spark.operators.similarity import SQ_LEVELS
+
+    return f"""{split_cte},
+    nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    sqdim AS (SELECT vec_id, unnest(nv) AS x,
+                     generate_subscripts(nv, 1) AS dim
+              FROM nb),
+    sqb AS (SELECT dim, min(x) AS mn, max(x) AS mx
+            FROM sqdim GROUP BY dim),
+    sqbounds AS (SELECT list(mn ORDER BY dim) AS mins,
+                        list(mx ORDER BY dim) AS maxs
+                 FROM sqb),
+    sqcodes AS (
+      SELECT vec_id,
+             list_transform(list_zip(nv, mins, maxs),
+               p -> CASE WHEN p[3] = p[2] THEN 0
+                         ELSE CAST(least({SQ_LEVELS}.0, greatest(0.0,
+                              floor((p[1] - p[2]) * {SQ_LEVELS}.0
+                                    / (p[3] - p[2])))) AS INT) END
+             ) AS codes
+      FROM nb, sqbounds)"""
+
+
+def sq_train_sql(split_cte: str) -> str:
+    """Exploded per-dim bounds (dim, mn, mx) — SQL twin of
+    similarity.sq_train (0-based dim to match posexplode)."""
+    return f"""
+    WITH {_sq_common_ctes(split_cte)}
+    SELECT CAST(dim - 1 AS INT) AS dim, mn, mx FROM sqb
+    """
+
+
+def sq_codes_sql(split_cte: str) -> str:
+    """Exploded 8-bit codes (vec_id, dim, code) — SQL twin of
+    similarity.sq_codes; clamped IEEE-double arithmetic in the exact
+    engine op order (subtract, multiply by 255.0, divide, floor, clamp,
+    one final int cast)."""
+    return f"""
+    WITH {_sq_common_ctes(split_cte)}
+    SELECT vec_id,
+           CAST(generate_subscripts(codes, 1) - 1 AS INT) AS dim,
+           unnest(codes) AS code
+    FROM sqcodes
+    """
+
+
+def knn_sq_rerank_sql(
+    split_cte: str,
+    k: int,
+    rerank_r: int | str,
+    cand_pred: str | None = None,
+    extra_cand_joins: str = "",
+) -> str:
+    """SQ8 serving oracle: dequantize each code array to the bin
+    midpoint, squared-euclidean ADC against the normalized query, top-R
+    prune, exact cosine rerank — the SQL twin of
+    similarity.knn_sq_rerank. ``cand_pred`` + ``extra_cand_joins``
+    mirror knn_bq_rerank_sql's filtered-search hooks (label-equality
+    joins applied before the top-R cut)."""
+    from toy_vector_db_spark.operators.similarity import SQ_LEVELS
+
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    return f"""
+    WITH {_sq_common_ctes(split_cte)},
+    deq AS (
+      SELECT vec_id,
+             list_transform(list_zip(codes, mins, maxs),
+               p -> p[2] + (CAST(p[1] AS DOUBLE) + 0.5)
+                           * (p[3] - p[2]) / {SQ_LEVELS}.0) AS dq
+      FROM sqcodes, sqbounds),
+    nq AS (SELECT query_id, {_norm_sql('qv')} AS qnv FROM q),
+    cand AS (
+      SELECT nq.query_id, d.vec_id,
+             {_sq_dist_sql('d.dq', 'nq.qnv')} AS ad2
+      FROM deq d, nq
+      {extra_cand_joins}
+      WHERE {cand_where}),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

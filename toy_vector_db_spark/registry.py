@@ -78,10 +78,17 @@ _PRIORITY = [
     # (round 8: vec_dot — driver-green r1-r7, exercised indirectly by
     # every cosine key — rotates out for the new hnsw_recall_gate, the
     # REAL ef=100 serving config's driver row)
-    "vec_magnitude", "vec_cosine_sim",
-    "vec_euclidean_dist", "knn_exact_single", "knn_exact_filtered",
-    "knn_range_search",
+    # (round 8, second rotation: vec_cosine_sim / vec_euclidean_dist —
+    # driver-green r1-r7 and exercised indirectly by every cosine / ADC
+    # key — and knn_range_search / result_intersection — green in both
+    # r6 and r7 (range) / r1-r7 (intersection, sibling eval_recall stays
+    # in-window) — rotate out for the NEW SQ8 family quartet sq_train /
+    # sq_codes / knn_sq_rerank / knn_sq_filtered, the fourth index
+    # family's first driver rows)
+    "vec_magnitude",
+    "knn_exact_single", "knn_exact_filtered",
     "knn_exact_batch",
+    "sq_train", "sq_codes", "knn_sq_rerank", "knn_sq_filtered",
     # (round 8: argmin_dist / argmax_dist / vec_cosine_dist —
     # driver-green r1/2-r7 — rotate out for the new routed-lifecycle
     # trio hnsw_routed_upsert_search / hnsw_routed_delete_search /
@@ -93,7 +100,7 @@ _PRIORITY = [
     # (round 8: eval_precision — driver-green r1-r7, sibling eval_recall
     # stays in-window — rotates out for knn_bq_filtered, completing
     # filtered ANN on all three index families)
-    "result_intersection", "eval_recall", "knn_bq_filtered",
+    "eval_recall", "knn_bq_filtered",
     # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
     # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
     # — rotate IN (after this, every oracled key in the repo once again
@@ -1947,6 +1954,79 @@ def q_knn_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sq_train")
+def q_sq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 'training' (round 8, fourth index family): per-dimension
+    min/max of the normalized base split, exploded to (dim, mn, mx)
+    scalar rows for driver hashing (the pq_train idiom). The engine
+    side is ONE map-side-combined agg pass — no explode (64× row
+    blowup at 100 TB); the oracle unnests, which is fine at fixture
+    scale. Bounds are exact selections, so cross-engine parity is by
+    construction, stronger than the trained families' k-means parity."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.sq_train(base)
+
+
+@register("sq_codes")
+def q_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codes over the base split, exploded to (vec_id, dim, code)
+    scalar rows: each normalized vector quantized per-dimension to
+    0..255 against the broadcast bounds row — 64 B/vector on disk, an
+    8× compressed scan with NO codebook training (the family between
+    BQ's 8 B/weak ranking and PQ's 8 B/trained). Encode is a pure
+    Catalyst expression: zero shuffle, zero Python."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.sq_codes(base)
+
+
+@register("knn_sq_rerank")
+def q_knn_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 serving pipeline (round 8): dequantized-midpoint ADC
+    (squared euclidean on the normalized side ≡ cosine ranking) prunes
+    to the SHARED scale-aware rerank floor — no BQ-style deepened
+    budget needed because 8-bit-per-dim ADC ranks well — then exact
+    cosine rerank. Measured recall@10 ≈ 1.0 at fixture scale and 0.999
+    at sf0.1 under the capped budget (SCALE.md); the fourth index
+    family's driver row."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_sq_rerank(base, qs, K)
+
+
+@register("knn_sq_filtered")
+def q_knn_sq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN on the fourth family: label equality applied BEFORE
+    the ADC top-R cut (the IDSelector contract, same hook shape as
+    knn_bq_filtered — scan-everything family, so no probe widening
+    exists to need). With this, ALL FOUR index families serve filtered
+    search: IVF-PQ (histogram-guided probes), HNSW (label-partitioned
+    graphs), BQ and SQ (pre-cut row filters)."""
+    from toy_vector_db_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label"),
+    )
+    return similarity.knn_sq_rerank(
+        base.select("vec_id", "embedding"),
+        qs.select("query_id", "query_vec"),
+        K,
+        labels=base.select("vec_id", "label"),
+        query_labels=qs.select(
+            "query_id", F.col("label").alias("qlabel")
+        ),
+    )
+
+
 @register(
     "hnsw_upsert_search",
     f"""
@@ -2755,6 +2835,25 @@ def _register_similarity_oracles() -> None:
         extra_cand_joins=(
             "JOIN lbl bl ON bl.vec_id = co.vec_id\n"
             "      JOIN qlbl ql ON ql.query_id = qc.query_id"
+        ),
+    )
+    _ORACLES["sq_train"] = O.sq_train_sql(_SPLIT_CTE)
+    _ORACLES["sq_codes"] = O.sq_codes_sql(_SPLIT_CTE)
+    _ORACLES["knn_sq_rerank"] = O.knn_sq_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K)
+    )
+    _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
+        _SPLIT_CTE
+        + """,
+    lbl AS (SELECT vec_id, label FROM embeddings, cut WHERE vec_id < c),
+    qlbl AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings, cut WHERE vec_id >= c)""",
+        K,
+        O.rerank_budget_sql(K),
+        cand_pred="bl.label = ql.qlabel",
+        extra_cand_joins=(
+            "JOIN lbl bl ON bl.vec_id = d.vec_id\n"
+            "      JOIN qlbl ql ON ql.query_id = nq.query_id"
         ),
     )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
