@@ -919,6 +919,75 @@ def test_sq_filtered_predicate_and_recall(spark, embeddings):
     assert rec >= (0.95 if small else 0.90), f"filtered SQ recall = {rec}"
 
 
+def test_sq_upsert_equals_frozen_rebuild(spark, embeddings):
+    """SQ lifecycle (round 8): frozen-bounds append must be ROW-IDENTICAL
+    to encoding the full corpus under the same frozen bounds — the
+    per-row-expression argument that makes sq_upsert_search's oracle
+    (min/max scan bounded to the initial slice) valid. Also pins the
+    saturation contract: batch values outside the frozen range clamp to
+    0/255, never error or overflow the byte range."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    codes, bounds = similarity.sq_upsert(initial, batch)
+    rebuild = similarity.sq_code_array(base, bounds)
+    got = sorted(
+        (r["vec_id"], list(r["codes"])) for r in codes.collect()
+    )
+    want = sorted(
+        (r["vec_id"], list(r["codes"])) for r in rebuild.collect()
+    )
+    assert got == want
+    assert all(0 <= c <= 255 for _, cs in got for c in cs)
+    # the frozen bounds really are the initial slice's, not the union's:
+    # at least one batch dimension must saturate or the test is vacuous
+    # on a fixture where the batch extends the range
+    full_bounds = similarity.sq_bounds(base).first()
+    init_bounds = bounds.first()
+    assert list(init_bounds["mins"]) != list(full_bounds["mins"]) or list(
+        init_bounds["maxs"]
+    ) != list(full_bounds["maxs"])
+
+
+def test_sq_delete_excludes_tombstones_and_equals_compaction(
+    spark, embeddings
+):
+    """SQ lifecycle (round 8): tombstone delete never returns a deleted
+    id, and the anti-joined code set serves results IDENTICAL to a
+    compacted artifact (codes re-encoded from the live rows under the
+    unchanged bounds) — per-row encode makes compaction a rewrite, not
+    a recompute, so the third CRUD leg is proven rather than shipped as
+    a separate key."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bounds = similarity.cached_sq_bounds(base)
+    codes = similarity.sq_code_array(base, bounds)
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    live = codes.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    res = similarity.knn_sq_rerank(base, qs, 10, bounds=bounds, codes=live)
+    rows = res.collect()
+    assert rows and all(r["vec_id"] % 17 != 0 for r in rows)
+    # compaction equivalence: same bounds, codes rebuilt from live rows
+    live_base = base.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    compacted = similarity.sq_code_array(live_base, bounds)
+    res_c = similarity.knn_sq_rerank(
+        base, qs, 10, bounds=bounds, codes=compacted
+    )
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(tuple(r) for r in res_c.collect())
+    assert a == b
+
+
 def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):
     """Core invariant of the histogram probe rule: for every query,
     either the probed cells' cumulative label count reaches the rerank

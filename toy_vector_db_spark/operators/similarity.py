@@ -1612,6 +1612,8 @@ def knn_sq_rerank(
     query_vec_col: str = "query_vec",
     labels: DataFrame | None = None,
     query_labels: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """SQ8 serving pipeline (fourth index family, round 8): asymmetric
     distance — squared euclidean between each DEQUANTIZED normalized
@@ -1633,6 +1635,14 @@ def knn_sq_rerank(
     (the IDSelector contract, same hook shape as knn_bq_rerank — no
     cells, so no probe widening needed).
 
+    LIFECYCLE injection: pass ``bounds``/``codes`` to serve over an
+    externally-maintained index artifact instead of rebuilding from
+    ``base`` — the upsert key hands in the frozen-bounds appended codes
+    (sq_upsert), the delete key the tombstone-anti-joined live codes.
+    ``base`` still supplies the exact-rerank vectors and the rerank
+    budget (quantizer state and corpus membership are independent
+    axes, the ivfpq_upsert/delete contract).
+
     Fully deterministic → DuckDB-oracle-able end to end: bounds are
     exact selections, codes are clamped IEEE-double arithmetic in
     matched op order, and the ADC fold reuses the established
@@ -1644,8 +1654,10 @@ def knn_sq_rerank(
         )
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
-    bounds = cached_sq_bounds(base, id_col, vec_col)
-    codes = sq_code_array(base, bounds, id_col, vec_col)
+    if bounds is None:
+        bounds = cached_sq_bounds(base, id_col, vec_col)
+    if codes is None:
+        codes = sq_code_array(base, bounds, id_col, vec_col)
     deq = codes.crossJoin(F.broadcast(bounds)).select(
         id_col,
         _sq_deq(F.col("codes"), F.col("mins"), F.col("maxs")).alias("deq"),
@@ -1674,6 +1686,35 @@ def knn_sq_rerank(
     return _exact_rerank(
         pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
+
+
+def sq_upsert(
+    initial: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SQ8 ingest (round 8) — the fourth family's CRUD leg,
+    mirroring ivfpq_upsert's frozen-quantizer contract: the per-dim
+    bounds are computed ONCE over the initial corpus and then FROZEN;
+    every later micro-batch is only encoded against the broadcast
+    bounds row and the new code rows are UNIONed onto the existing
+    artifact — at 100 TB, appended parquet files; the one-pass bounds
+    scan never re-runs. Out-of-range batch values (the reason other
+    engines retrain) are exactly what the encode clamp handles: they
+    saturate to code 0/255 deterministically on both engines.
+
+    Because the encode is a pure per-row expression, the upserted code
+    set is PROVABLY row-identical to encoding the full corpus under the
+    same frozen bounds (asserted in tests/test_similarity.py) — so
+    search over it stays DuckDB-oracle-able end to end (the oracle
+    simply bounds the min/max scan to the initial slice).
+
+    Returns ``(codes, bounds)`` to hand to ``knn_sq_rerank``."""
+    bounds = cached_sq_bounds(initial, id_col, vec_col)
+    existing = sq_code_array(initial, bounds, id_col, vec_col)
+    new_codes = sq_code_array(batch, bounds, id_col, vec_col)
+    return existing.unionByName(new_codes), bounds
 
 
 def lsh_hyperplane_buckets(

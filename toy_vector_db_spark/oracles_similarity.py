@@ -650,20 +650,24 @@ def knn_bq_rerank_sql(
     """
 
 
-def _sq_common_ctes(split_cte: str) -> str:
+def _sq_common_ctes(split_cte: str, bounds_pred: str = "TRUE") -> str:
     """Shared SQ8 CTEs: normalized base, per-dim bounds (exact min/max
     selections — bit-identical cross-engine by construction), and the
     one-row bounds list — SQL twin of similarity.sq_bounds. The unnest
     route is fine HERE (oracle at fixture scale); the engine side
     deliberately avoids it (64× row blowup at 100 TB) via 128
-    partial-agg expressions."""
+    partial-agg expressions. ``bounds_pred`` restricts the min/max scan
+    (upsert key: the frozen initial slice — the SQL twin of
+    similarity.sq_upsert's frozen-bounds contract); codes are always
+    computed over the full base under those bounds, which is exactly
+    what frozen-bounds append produces (per-row encode)."""
     from toy_vector_db_spark.operators.similarity import SQ_LEVELS
 
     return f"""{split_cte},
     nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
     sqdim AS (SELECT vec_id, unnest(nv) AS x,
                      generate_subscripts(nv, 1) AS dim
-              FROM nb),
+              FROM nb WHERE {bounds_pred}),
     sqb AS (SELECT dim, min(x) AS mn, max(x) AS mx
             FROM sqdim GROUP BY dim),
     sqbounds AS (SELECT list(mn ORDER BY dim) AS mins,
@@ -709,19 +713,23 @@ def knn_sq_rerank_sql(
     rerank_r: int | str,
     cand_pred: str | None = None,
     extra_cand_joins: str = "",
+    bounds_pred: str = "TRUE",
 ) -> str:
     """SQ8 serving oracle: dequantize each code array to the bin
     midpoint, squared-euclidean ADC against the normalized query, top-R
     prune, exact cosine rerank — the SQL twin of
     similarity.knn_sq_rerank. ``cand_pred`` + ``extra_cand_joins``
     mirror knn_bq_rerank_sql's filtered-search hooks (label-equality
-    joins applied before the top-R cut)."""
+    joins applied before the top-R cut); ``cand_pred`` is also the
+    delete key's tombstone exclusion (deleted code rows never become
+    candidates). ``bounds_pred`` bounds the min/max training scan
+    (upsert key: the frozen initial slice)."""
     from toy_vector_db_spark.operators.similarity import SQ_LEVELS
 
     cand_where = cand_pred if cand_pred is not None else "TRUE"
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
     return f"""
-    WITH {_sq_common_ctes(split_cte)},
+    WITH {_sq_common_ctes(split_cte, bounds_pred)},
     deq AS (
       SELECT vec_id,
              list_transform(list_zip(codes, mins, maxs),

@@ -2027,6 +2027,60 @@ def q_knn_sq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sq_upsert_search")
+def q_sq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 search over an INCREMENTALLY-INGESTED index (round 8,
+    completing the fourth family's lifecycle): the per-dim bounds train
+    on the first 75% of the base and FREEZE; the last 25% arrives as a
+    micro-batch that is only encoded against the broadcast bounds row
+    and appended (appended partition files at 100 TB — the one-pass
+    bounds scan never re-runs; out-of-range values saturate to 0/255
+    by the encode clamp, deterministically on both engines). Search
+    runs the standard knn_sq_rerank plan over the upserted artifact.
+    Oracle: knn_sq_rerank's SQL with the min/max scan bounded to the
+    initial slice — valid because frozen-bounds append is provably
+    row-identical to a full re-encode (per-row expression, asserted in
+    tests/test_similarity.py)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    codes, bounds = similarity.sq_upsert(initial, batch)
+    return similarity.knn_sq_rerank(
+        base, qs, K, bounds=bounds, codes=codes
+    )
+
+
+@register("sq_delete_search")
+def q_sq_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the SQ8 index via tombstones (round 8): the deleted
+    ids (the shared deterministic set vec_id % 17 == 0) are anti-joined
+    out of the code rows BEFORE the ADC scan, so deleted rows never
+    spend rerank budget and their former neighbors back-fill from the
+    next-nearest survivors — the bounds are NOT retrained (the
+    ivfpq_delete contract: corpus membership and quantizer state are
+    independent axes). At 100 TB the tombstone set is a broadcast
+    anti-join or a bitmap pushed into the scan; compaction (rewriting
+    live codes) is definitionally identical because the encode is
+    per-row — proven in tests rather than shipped as a third key.
+    Oracle: knn_sq_rerank's SQL with the tombstone exclusion in the
+    candidate CTE."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    bounds = similarity.cached_sq_bounds(base)
+    codes = similarity.sq_code_array(base, bounds)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live = codes.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return similarity.knn_sq_rerank(base, qs, K, bounds=bounds, codes=live)
+
+
 @register(
     "hnsw_upsert_search",
     f"""
@@ -2410,7 +2464,12 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered) into
 # the window; as of round 8 the queue is empty — every oracled key has at
 # least one green driver row in the merged r1-r8 record.
-_POST_WINDOW_OVERFLOW: list[str] = []
+# Round-8 late additions: the SQ8 lifecycle pair, created after the
+# round's window rotations were already spent (14 slots churned this
+# round). Both are local-oracle-green; queued to rotate into the driver
+# window next round per the pinned policy
+# (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
+_POST_WINDOW_OVERFLOW: list[str] = ["sq_upsert_search", "sq_delete_search"]
 
 
 @register("streaming_vector_ingest")
@@ -2841,6 +2900,21 @@ def _register_similarity_oracles() -> None:
     _ORACLES["sq_codes"] = O.sq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_sq_rerank"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE, K, O.rerank_budget_sql(K)
+    )
+    # SQ lifecycle (round 8): upsert = same serving SQL with the min/max
+    # scan bounded to the frozen initial slice (frozen-bounds append is
+    # row-identical to a full re-encode — per-row expression); delete =
+    # the tombstone exclusion in the candidate CTE.
+    _ORACLES["sq_upsert_search"] = O.knn_sq_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K),
+        bounds_pred=(
+            f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
+            " FROM cut)"
+        ),
+    )
+    _ORACLES["sq_delete_search"] = O.knn_sq_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K),
+        cand_pred=f"d.vec_id % {DELETE_MOD} <> 0",
     )
     _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE
