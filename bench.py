@@ -164,6 +164,7 @@ def main() -> None:
     build_keys = {
         "hnsw_build", "ivf_train", "pq_train", "pq_codes", "ivfpq_build",
         "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
+        "sq_train",
     }
     import statistics
 

@@ -38,15 +38,25 @@ from toy_vector_db_spark.operators import (  # noqa: E402
 from toy_vector_db_spark.sources.ndjson import split_count  # noqa: E402
 
 
-def recall(spark, base, qs, rerank_r):
+def study(spark, fixture, base, qs):
+    """One persisted exact baseline per fixture (the dominant cost —
+    it is independent of rerank_r), reused across all three configs."""
     exact = knn.knn_exact_batch(base, qs, 10).persist()
     exact.count()
-    sq = similarity.knn_sq_rerank(base, qs, 10, rerank_r=rerank_r)
-    rec = (
-        evaluation.evaluate_recall(sq, exact).agg(F.avg("recall")).first()[0]
-    )
+    for label, r in (
+        ("shipped", None),
+        ("adc_only_R=k", 10),
+        ("fixed_R=160", 160),
+    ):
+        sq = similarity.knn_sq_rerank(base, qs, 10, rerank_r=r)
+        rec = (
+            evaluation.evaluate_recall(sq, exact)
+            .agg(F.avg("recall")).first()[0]
+        )
+        print(json.dumps({
+            "fixture": fixture, "config": label, "recall_at_10": rec,
+        }))
     exact.unpersist()
-    return rec
 
 
 def main() -> None:
@@ -68,15 +78,7 @@ def main() -> None:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    for label, r in (
-        ("shipped", None),
-        ("adc_only_R=k", 10),
-        ("fixed_R=160", 160),
-    ):
-        print(json.dumps({
-            "fixture": sf_dir, "config": label,
-            "recall_at_10": recall(spark, base, qs, r),
-        }))
+    study(spark, sf_dir, base, qs)
 
     # the 10x generated corpus (seed-pinned, identical to the 10x gate)
     rng = np.random.default_rng(42)
@@ -93,15 +95,7 @@ def main() -> None:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    for label, r in (
-        ("shipped", None),
-        ("adc_only_R=k", 10),
-        ("fixed_R=160", 160),
-    ):
-        print(json.dumps({
-            "fixture": "10x_generated", "config": label,
-            "recall_at_10": recall(spark, b10, q10, r),
-        }))
+    study(spark, "10x_generated", b10, q10)
 
 
 if __name__ == "__main__":

@@ -1505,7 +1505,9 @@ def cached_sq_bounds(
         vec_col,
     )
     if key not in _SQ_BOUNDS_CACHE:
-        _SQ_BOUNDS_CACHE[key] = sq_bounds(base, id_col, vec_col).persist()
+        b = sq_bounds(base, id_col, vec_col).persist()
+        b.count()  # materialize NOW — the caller is the build step
+        _SQ_BOUNDS_CACHE[key] = b
     return _SQ_BOUNDS_CACHE[key]
 
 
@@ -1558,8 +1560,11 @@ def sq_train(
 ) -> DataFrame:
     """Driver-hashable exploded view of the SQ8 bounds: one row per
     dimension (dim, mn, mx) — the pq_train idiom (scalar rows hash
-    stably; a single array-valued row would not)."""
-    b = sq_bounds(base, id_col, vec_col)
+    stably; a single array-valued row would not). Reads THROUGH the
+    session bounds cache so the build key warms (and materializes) the
+    same persisted artifact serving reuses — the bench build/search
+    split is real, not cosmetic (q_pq_codes idiom)."""
+    b = cached_sq_bounds(base, id_col, vec_col)
     return b.select(
         F.posexplode(F.arrays_zip("mins", "maxs")).alias("dim", "r")
     ).select(
@@ -1651,6 +1656,12 @@ def knn_sq_rerank(
         raise ValueError(
             "knn_sq_rerank: labels and query_labels must be passed "
             "together"
+        )
+    if codes is not None and bounds is None:
+        raise ValueError(
+            "knn_sq_rerank: injected codes require their matching "
+            "bounds — dequantizing against freshly computed full-base "
+            "bounds would silently mis-decode frozen-bounds artifacts"
         )
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
