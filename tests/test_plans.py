@@ -224,6 +224,31 @@ def test_training_shard_single_exchange(plans):
     assert explain.count_exchanges(plan) == 1
 
 
+def test_sq_rerank_partial_topk_before_exchange(plans):
+    """SQ8 serving (round 8): the per-query ADC top-R cut must compile
+    to a WindowGroupLimit BELOW the exchange (map-side partial
+    limiting), so the query_id shuffle carries ~R·|queries| candidate
+    rows, not the full |base|·|queries| scored product — the property
+    that keeps the scan-everything family's shuffle bounded at 100 TB.
+    The one-row bounds frame and the query batch must enter as
+    broadcasts; the prefix-split filter must reach the parquet scan."""
+    import re
+
+    plan = plans("knn_sq_rerank")
+    # Spark emits Partial→Exchange→Final; in the formatted tree the
+    # map-side Partial prints as the Exchange's direct child
+    assert re.search(
+        r"\+- Exchange [^\n]*\n[\s:]*\+- WindowGroupLimit", plan
+    ), "no map-side partial WindowGroupLimit under the query_id exchange"
+    # bounds + queries ride broadcast joins, never a shuffle join
+    assert explain.count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan
+    # the prefix-split predicate reaches the scan
+    assert any(
+        "LessThan(vec_id" in f for f in explain.pushed_filters(plan)
+    )
+
+
 def test_filtered_ivfpq_probe_broadcasts_metadata(plans):
     """Round-8 label-aware probing: the per-label cell histogram and the
     centroid table are METADATA (n_labels·C / C rows) and must enter the
