@@ -356,6 +356,32 @@ def test_streaming_ingest_equals_batch_upsert(spark, sf_dir):
     assert cc_batch.exceptAll(cc_stream).count() == 0
 
 
+def test_streaming_sq_ingest_equals_batch_upsert(spark, sf_dir):
+    """The SQ8 streaming twin (round 8): draining the arriving slice
+    through readStream → foreachBatch under the frozen bounds must
+    produce a code set ROW-IDENTICAL to the batch sq_upsert — per-row
+    encode means batch boundaries only partition the work, so the
+    continuous path inherits sq_upsert_search's oracle."""
+    from toy_vector_db_spark import registry as R
+    from toy_vector_db_spark.streaming import ingest
+
+    base, _qs = R._split(spark, sf_dir)
+    n = R._emb_count(spark, sf_dir)
+    cut = split_count(n, R.SPLIT_RATIO)
+    init_cut = split_count(cut, R.UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    codes_batch, bounds = similarity.sq_upsert(initial, batch)
+    streamed = ingest.stream_ingest_sq_codes(
+        spark, sf_dir, init_cut, cut, bounds
+    )
+    codes_stream = similarity.sq_code_array(initial, bounds).unionByName(
+        streamed.select(*codes_batch.columns)
+    )
+    assert codes_stream.exceptAll(codes_batch).count() == 0
+    assert codes_batch.exceptAll(codes_stream).count() == 0
+
+
 def test_adc_lut_kernel_equals_fold_form(spark, embeddings):
     """_adc_lut_frame (round 6) computes the ADC lookup tables in an Arrow
     kernel; the Catalyst fold form — aggregate over zip_with squared diffs

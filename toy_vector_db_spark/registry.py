@@ -2469,7 +2469,9 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round). Both are local-oracle-green; queued to rotate into the driver
 # window next round per the pinned policy
 # (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
-_POST_WINDOW_OVERFLOW: list[str] = ["sq_upsert_search", "sq_delete_search"]
+_POST_WINDOW_OVERFLOW: list[str] = [
+    "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
+]
 
 
 @register("streaming_vector_ingest")
@@ -2499,6 +2501,35 @@ def q_streaming_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = existing.unionByName(new_cells.select(*existing.columns))
     return similarity.knn_ivfpq(
         base, qs, K, codes_cells=cc, cents=cents, books=books
+    )
+
+
+@register("streaming_sq_ingest")
+def q_streaming_sq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ingest into the SQ8 index (round 8): the arriving 25%
+    of the base flows through readStream → foreachBatch; each
+    micro-batch is encoded against the FROZEN broadcast bounds row and
+    appended as parquet to the index sink — the fourth family's
+    streaming twin, completing the streaming-ingest trio (IVF-PQ, HNSW,
+    SQ). Per-row encode makes the drained code set row-identical to the
+    batch upsert regardless of batch boundaries, so search over it
+    shares sq_upsert_search's DuckDB oracle exactly."""
+    from toy_vector_db_spark.operators import similarity
+    from toy_vector_db_spark.streaming import ingest
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    bounds = similarity.cached_sq_bounds(initial)
+    existing = similarity.sq_code_array(initial, bounds)
+    streamed = ingest.stream_ingest_sq_codes(
+        spark, sf_dir, init_cut, cut, bounds
+    )
+    codes = existing.unionByName(streamed.select(*existing.columns))
+    return similarity.knn_sq_rerank(
+        base, qs, K, bounds=bounds, codes=codes
     )
 
 
@@ -2916,6 +2947,11 @@ def _register_similarity_oracles() -> None:
         _SPLIT_CTE, K, O.rerank_budget_sql(K),
         cand_pred=f"d.vec_id % {DELETE_MOD} <> 0",
     )
+    # the streaming ingest drains to a code set row-identical to the
+    # batch upsert (per-row encode under frozen bounds; batch boundaries
+    # only partition the work) — same oracle, the strongest possible
+    # check for a streaming path (the streaming_vector_ingest idiom)
+    _ORACLES["streaming_sq_ingest"] = _ORACLES["sq_upsert_search"]
     _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE
         + """,

@@ -115,6 +115,67 @@ def stream_ingest_codes(
     return spark.read.parquet(_INGEST_CACHE[key])
 
 
+def stream_ingest_sq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    bounds: DataFrame,
+) -> DataFrame:
+    """CONTINUOUS ingest into the SQ8 index (round 8): the streaming
+    twin of ``similarity.sq_upsert``, exactly as ``stream_ingest_codes``
+    twins ``ivfpq_upsert`` — the fourth family completes the streaming
+    trio. The arriving slice (lo ≤ vec_id < hi) drains readStream →
+    foreachBatch; each micro-batch is encoded against the FROZEN
+    broadcast ``bounds`` row (a pure per-row Catalyst expression — the
+    cheapest ingest of any family: no assignment, no codebook lookup,
+    no graph surgery) and appended as parquet to the index sink.
+    Per-row encode makes the drained code set row-identical to the
+    batch upsert regardless of batch boundaries, so search over it
+    shares sq_upsert_search's DuckDB oracle exactly. Returns the
+    ingested (vec_id, codes) frame read back from the sink."""
+    from toy_vector_db_spark.operators import similarity
+
+    key = (spark.sparkContext.applicationId, sf_dir, lo, hi, "sq")
+    if key not in _INGEST_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        sink = os.path.join(
+            FIXTURE_DIR, "sink_out", "stream_sq", tag, f"{lo}_{hi}"
+        )
+        if os.path.exists(sink):
+            shutil.rmtree(sink)
+        os.makedirs(sink, exist_ok=True)
+
+        src_dir = _stream_embeddings_dir(spark, sf_dir)
+        schema = spark.read.parquet(src_dir).schema
+        arriving = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .where(f"vec_id >= {lo} AND vec_id < {hi}")
+        )
+
+        def _process(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch = batch_df.select("vec_id", "embedding")
+            similarity.sq_code_array(batch, bounds).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            arriving.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _INGEST_CACHE[key] = sink
+    return spark.read.parquet(_INGEST_CACHE[key])
+
+
 def stream_ingest_hnsw(
     spark: SparkSession,
     sf_dir: str,
