@@ -109,3 +109,41 @@ def test_pair_scores_cell_routing(spark, embeddings):
         ).select("query_id", "vec_id").collect()
     }
     assert kern == joined
+
+
+def test_sq_adc_kernel_equals_fold_form(spark, embeddings):
+    """The SQ ADC Arrow kernel (round 8) must match the interpreted
+    _sq_dist fold — the form the DuckDB oracle evaluates — bit for bit
+    over the full pair set: acc += (x_j − y_j)² one dim at a time in j
+    order from 0.0, no FMA, no pairwise summation."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(embeddings)
+    base = base.select("vec_id", "embedding")
+    bounds = similarity.cached_sq_bounds(base)
+    codes = similarity.sq_code_array(base, bounds)
+    deq = codes.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        similarity._sq_deq(
+            F.col("codes"), F.col("mins"), F.col("maxs")
+        ).alias("deq"),
+    )
+    nq = qs.select(
+        "query_id",
+        similarity._normalize(
+            similarity._as_double("query_vec")
+        ).alias("qnv"),
+    )
+    fold = {
+        (r["query_id"], r["vec_id"]): r["ad2"]
+        for r in deq.crossJoin(F.broadcast(nq)).select(
+            "query_id",
+            "vec_id",
+            similarity._sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
+        ).collect()
+    }
+    kern = {
+        (r["query_id"], r["vec_id"]): r["ad2"]
+        for r in similarity._sq_pair_adc(deq, nq).collect()
+    }
+    assert fold == kern  # exact float equality, full pair set

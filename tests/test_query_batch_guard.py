@@ -147,3 +147,19 @@ def test_query_batch_count_is_limit_bounded(spark):
     )
     c = knn.query_batch_count(big)
     assert c == knn.QUERY_BATCH_MAX + 1  # capped, still > MAX
+
+
+def test_fallback_values_match_kernel_sq_adc(spark, embeddings, monkeypatch):
+    """The SQ ADC kernel's oversized-batch fallback (round 8): force the
+    pure-Catalyst crossJoin form on the fixture batch and assert
+    bit-identical knn_sq_rerank output vs the kernel path."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(spark, embeddings)
+    base = base.select("vec_id", "embedding")
+    kernel = similarity.knn_sq_rerank(base, qs, 10).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = similarity.knn_sq_rerank(base, qs, 10).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()

@@ -1606,6 +1606,76 @@ def _sq_deq(codes, mins, maxs):
     )
 
 
+def _sq_pair_adc(
+    deq: DataFrame,
+    nq: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, ad2) for every (query × dequantized-base) pair
+    — the SQ ADC hot loop as a vectorized Arrow kernel (the pair_scores
+    idiom: the interpreted zip_with/aggregate fold measured ~10 µs/pair,
+    dominating knn_sq_rerank at sf0.1; the kernel is ~1 µs/pair with
+    only 3 scalars emitted per pair).
+
+    BIT-IDENTICAL to the ``_sq_dist`` fold: the kernel accumulates
+    ``acc += (x_j − y_j)·(x_j − y_j)`` one dimension at a time in j
+    order from 0.0 — the same IEEE sequence as aggregate-over-zip_with
+    (one subtract, one multiply, one add per dim; no FMA, no pairwise
+    summation), asserted in tests/test_knn_kernel.py. Requires
+    fixed-dimension vectors (true by construction: deq arrays are
+    SQ_DIM-long). The normalized query batch arrives ALREADY computed
+    by Catalyst (collected, session-cached) so there is no
+    normalization drift to re-prove.
+
+    GUARD: above QUERY_BATCH_MAX query rows this falls back to the
+    pure-Catalyst crossJoin form (no driver collect, no closure
+    shipping) — bit-identical values, different physical plan."""
+    from toy_vector_db_spark.operators import knn
+
+    if knn.query_batch_count(nq) > knn.QUERY_BATCH_MAX:
+        return deq.crossJoin(nq).select(
+            query_id_col,
+            id_col,
+            _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
+        )
+
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = knn._collected_queries(nq, query_id_col, "qnv")
+    schema = f"{query_id_col} long, {id_col} long, ad2 double"
+    if not qrows:
+        # empty query batch → empty pair set, typed
+        return deq.sparkSession.createDataFrame([], schema)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    n_q = len(qrows)
+    src = deq.select(id_col, "deq")
+
+    def _score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy()
+            D = np.array(batch.column("deq").to_pylist(), dtype=np.float64)
+            n, d = D.shape
+            acc = np.zeros((n, n_q))
+            for j in range(d):
+                t = D[:, j: j + 1] - Q[:, j][None, :]
+                acc += t * t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids, n)),
+                    pa.array(np.repeat(ids, n_q)),
+                    pa.array(acc.ravel()),
+                ],
+                names=[query_id_col, id_col, "ad2"],
+            )
+
+    return src.mapInArrow(_score, schema=schema)
+
+
 def knn_sq_rerank(
     base: DataFrame,
     queries: DataFrame,
@@ -1676,9 +1746,7 @@ def knn_sq_rerank(
     nq = queries.select(
         query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
     )
-    cand = deq.crossJoin(F.broadcast(nq)).withColumn(
-        "ad2", _sq_dist(F.col("deq"), F.col("qnv"))
-    )
+    cand = _sq_pair_adc(deq, nq, id_col, query_id_col)
     if labels is not None:
         cand = (
             cand.join(labels, id_col)
