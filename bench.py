@@ -68,9 +68,12 @@ HEADLINE = [
     "knn_pq_rerank",
     "knn_bq_rerank",
     # sq_train runs BEFORE knn_sq_rerank (build/search split: the
-    # one-pass bounds scan is the fourth family's entire build)
+    # one-pass bounds scan is the fourth family's entire build);
+    # knn_ivfsq reuses the coarse quantizer ivf_train built and the
+    # bounds sq_train built — only the cell-keyed codes join is new
     "sq_train",
     "knn_sq_rerank",
+    "knn_ivfsq",
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",

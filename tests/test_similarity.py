@@ -1014,6 +1014,49 @@ def test_sq_delete_excludes_tombstones_and_equals_compaction(
     assert a == b
 
 
+def test_ivfsq_full_probe_equals_sq_rerank(spark, embeddings):
+    """IVF-SQ (round 8): at nprobe = C every cell is probed, so the
+    composition must return EXACTLY the flat SQ pipeline's results —
+    the knn_ivfpq ≡ knn_pq_rerank gating argument applied to the
+    fourth family's composition."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    flat = similarity.knn_sq_rerank(base, qs, 10).collect()
+    full = similarity.knn_ivfsq(
+        base, qs, 10, nprobe=similarity.N_CENTROIDS
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, full))
+
+
+def test_ivfsq_recall(spark, embeddings):
+    """IVF-SQ partial probe: SQ's ADC is near-exact within probed cells,
+    so recall is bounded by the coarse-probe miss rate alone — the same
+    floor knn_ivf carries (measured 0.804 sf0.001 / 0.774 sf0.1; IVF-PQ
+    sits lower because PQ's ADC adds rank error, SQ's does not)."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn.knn_exact_batch(base, qs, 10)
+    ivfsq = similarity.knn_ivfsq(base, qs, 10)
+    rec = (
+        evaluation.evaluate_recall(ivfsq, exact)
+        .agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.75 if small else 0.70), f"IVF-SQ recall@10 = {rec}"
+
+
 def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):
     """Core invariant of the histogram probe rule: for every query,
     either the probed cells' cumulative label count reaches the rerank

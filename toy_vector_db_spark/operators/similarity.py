@@ -1611,6 +1611,8 @@ def _sq_pair_adc(
     nq: DataFrame,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    cells_by_query: dict[int, list] | None = None,
+    cell_col: str = "centroid_id",
 ) -> DataFrame:
     """(query_id, vec_id, ad2) for every (query × dequantized-base) pair
     — the SQ ADC hot loop as a vectorized Arrow kernel (the pair_scores
@@ -1628,12 +1630,25 @@ def _sq_pair_adc(
     by Catalyst (collected, session-cached) so there is no
     normalization drift to re-prove.
 
+    ``cells_by_query`` routes IVF-SQ probing INSIDE the kernel (the
+    pair_scores pattern): pairs are emitted only where the deq row's
+    ``cell_col`` is in the query's probed-cell list — nprobe/C
+    selectivity applied before any row leaves the kernel.
+
     GUARD: above QUERY_BATCH_MAX query rows this falls back to the
     pure-Catalyst crossJoin form (no driver collect, no closure
-    shipping) — bit-identical values, different physical plan."""
+    shipping) — bit-identical values, different physical plan; with
+    ``cells_by_query`` the caller already collected per-query routing,
+    so an oversized batch is the CALLER's bug (knn_ivfsq guards before
+    building the dict — the pair_scores contract)."""
     from toy_vector_db_spark.operators import knn
 
     if knn.query_batch_count(nq) > knn.QUERY_BATCH_MAX:
+        if cells_by_query is not None:
+            raise ValueError(
+                "cells_by_query routing requires a bounded query batch "
+                f"(> {knn.QUERY_BATCH_MAX} rows); use the probe-join form"
+            )
         return deq.crossJoin(nq).select(
             query_id_col,
             id_col,
@@ -1651,7 +1666,18 @@ def _sq_pair_adc(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     n_q = len(qrows)
-    src = deq.select(id_col, "deq")
+    cell_mask_lists = (
+        None
+        if cells_by_query is None
+        else [
+            np.array(cells_by_query.get(int(qid), []), dtype=np.int64)
+            for qid in qids
+        ]
+    )
+    cols = [id_col, "deq"]
+    if cells_by_query is not None:
+        cols.append(cell_col)
+    src = deq.select(*cols)
 
     def _score(batches):
         for batch in batches:
@@ -1664,12 +1690,21 @@ def _sq_pair_adc(
             for j in range(d):
                 t = D[:, j: j + 1] - Q[:, j][None, :]
                 acc += t * t
+            if cell_mask_lists is None:
+                out_q = np.tile(qids, n)
+                out_id = np.repeat(ids, n_q)
+                out_d = acc.ravel()
+            else:
+                cells = batch.column(cell_col).to_numpy()
+                mask = np.empty((n, n_q), dtype=bool)
+                for qi in range(n_q):
+                    mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
+                ri, qi = np.nonzero(mask)
+                out_q = qids[qi]
+                out_id = ids[ri]
+                out_d = acc[ri, qi]
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.tile(qids, n)),
-                    pa.array(np.repeat(ids, n_q)),
-                    pa.array(acc.ravel()),
-                ],
+                [pa.array(out_q), pa.array(out_id), pa.array(out_d)],
                 names=[query_id_col, id_col, "ad2"],
             )
 
@@ -1794,6 +1829,151 @@ def sq_upsert(
     existing = sq_code_array(initial, bounds, id_col, vec_col)
     new_codes = sq_code_array(batch, bounds, id_col, vec_col)
     return existing.unionByName(new_codes), bounds
+
+
+# (appId, plan hash, cols) → persisted cell-keyed SQ codes — the IVF-SQ
+# index artifact (codes ⋈ coarse-cell assignment), the cached_codes_cells
+# idiom for the fourth family
+_SQ_CELLS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_sq_cells(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, centroid_id) persisted per session — the IVF-SQ index
+    artifact: SQ codes keyed by their trained coarse cell, i.e. what a
+    100 TB build WRITES partitioned by centroid_id (64 B/vector inside
+    each cell directory). Derives from the SAME cached trained centroids
+    and frozen bounds the sibling caches use, so a mixed-family serving
+    stack probes one consistent coarse quantizer."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _SQ_CELLS_CACHE:
+        bounds = cached_sq_bounds(base, id_col, vec_col)
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+        assign = ivf_assign(base, cents, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
+        sc = (
+            sq_code_array(base, bounds, id_col, vec_col)
+            .join(assign, id_col)
+            .persist()
+        )
+        sc.count()
+        _SQ_CELLS_CACHE[key] = sc
+    return _SQ_CELLS_CACHE[key]
+
+
+def knn_ivfsq(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cents: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+    sq_cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ (round 8 — the Faiss ``IndexIVFScalarQuantizer`` / IVF_SQ8
+    shape): the coarse-cell probe of knn_ivfpq composed with the SQ8
+    compressed scan instead of PQ codes, completing the quantizer
+    composition matrix (IVF×PQ and IVF×SQ over the same trained coarse
+    quantizer):
+
+      1. coarse probe: nprobe of C trained cells per query — on the
+         written layout, partition pruning; (C−nprobe)/C of the codes
+         never read.
+      2. SQ ADC within probed cells only: 64 B/vector dequantized-
+         midpoint squared-euclidean, routed inside the Arrow kernel
+         (a base row is scored only against queries probing its cell).
+      3. exact rerank of the R survivors.
+
+    vs IVF-PQ: an 8× (not ~10.7×) compressed scan and no codebook
+    training beyond the coarse k-means, with SQ's near-exact ADC
+    ranking — the configuration for deployments that want probe
+    pruning but can't accept PQ's recall floor or its training
+    operational load. ``cents``/``bounds``/``sq_cells`` must come from
+    the same build (default: the session caches, always consistent).
+
+    Fully deterministic → DuckDB-oracle-able end to end (trained
+    centroids via the kmeans_chain parity, bounds by construction, ADC
+    by the _sq_dist fold parity). Oversized query frames fall back to
+    the probe-join Catalyst plan (no driver collect, the knn_ivf
+    guard)."""
+    from toy_vector_db_spark.operators import knn as KNN
+
+    if rerank_r is None:
+        rerank_r = _rerank_budget(base, k, id_col)
+    if cents is None:
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+    if bounds is None:
+        bounds = cached_sq_bounds(base, id_col, vec_col)
+    if sq_cells is None:
+        sq_cells = cached_sq_cells(base, id_col, vec_col)
+    deq = sq_cells.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "centroid_id",
+        _sq_deq(F.col("codes"), F.col("mins"), F.col("maxs")).alias("deq"),
+    )
+    nq = queries.select(
+        query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
+    )
+    probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
+    if KNN.query_batch_count(queries) > KNN.QUERY_BATCH_MAX:
+        # no-collect fallback (the knn_ivf guard): probe frame joined on
+        # centroid_id, ADC inline; the DISTINCT probed-cell IN-filter is
+        # bounded by C, not nq, so that collect stays scalar
+        probed_cells = sorted(
+            int(r[0])
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand = (
+            deq.where(F.col("centroid_id").isin(probed_cells))
+            .join(
+                probes.select(query_id_col, "centroid_id"), "centroid_id"
+            )
+            .join(nq, query_id_col)
+            .select(
+                query_id_col,
+                id_col,
+                _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
+            )
+        )
+    else:
+        cells_by_query: dict[int, list] = {}
+        for r in probes.select(query_id_col, "centroid_id").collect():
+            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        probed_cells = sorted(
+            {c for cs in cells_by_query.values() for c in cs}
+        )
+        cand = _sq_pair_adc(
+            deq.where(F.col("centroid_id").isin(probed_cells)),
+            nq,
+            id_col,
+            query_id_col,
+            cells_by_query=cells_by_query,
+        )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
 
 
 def lsh_hyperplane_buckets(

@@ -765,6 +765,76 @@ def knn_sq_rerank_sql(
     """
 
 
+def knn_ivfsq_sql(
+    split_cte: str,
+    k: int,
+    nprobe: int,
+    rerank_r: int | str,
+) -> str:
+    """IVF-SQ serving oracle (round 8 — the IndexIVFScalarQuantizer
+    composition): the knn_ivf probe chain (trained coarse centroids →
+    nearest-cell assignment → nprobe probes per query) gating the SQ8
+    dequantized-ADC scan of knn_sq_rerank_sql — candidates exist only
+    where a code row's cell is probed by the query — then the shared
+    top-R prune and exact cosine rerank."""
+    from toy_vector_db_spark.operators.similarity import SQ_LEVELS
+
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    return f"""
+    WITH {_sq_common_ctes(split_cte)},
+    {_trained_cents_cte()},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
+        FROM q, cents c)
+      WHERE rn <= {nprobe}),
+    deq AS (
+      SELECT vec_id,
+             list_transform(list_zip(codes, mins, maxs),
+               p -> p[2] + (CAST(p[1] AS DOUBLE) + 0.5)
+                           * (p[3] - p[2]) / {SQ_LEVELS}.0) AS dq
+      FROM sqcodes, sqbounds),
+    nq AS (SELECT query_id, {_norm_sql('qv')} AS qnv FROM q),
+    cand AS (
+      SELECT p.query_id, d.vec_id,
+             {_sq_dist_sql('d.dq', 'nq.qnv')} AS ad2
+      FROM deq d
+      JOIN assign a ON a.vec_id = d.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN nq ON nq.query_id = p.query_id),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

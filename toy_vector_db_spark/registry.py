@@ -2027,6 +2027,23 @@ def q_knn_sq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivfsq")
+def q_knn_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ (round 8 — the Faiss IndexIVFScalarQuantizer / IVF_SQ8
+    shape): the same trained coarse quantizer as knn_ivfpq gates the
+    SQ8 compressed scan — probe nprobe of 16 cells, dequantized-ADC
+    only within probed cells (kernel-routed), exact rerank of the R
+    survivors. Completes the quantizer composition matrix: IVF×PQ and
+    IVF×SQ over one coarse quantizer, so a deployment picks the fine
+    quantizer (PQ 8 B / SQ 64 B per vector) per recall need without
+    retraining the partitioner. Gated ≡ knn_sq_rerank at full probe in
+    tests; DuckDB-oracled end to end."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_ivfsq(base, qs, K)
+
+
 @register("sq_upsert_search")
 def q_sq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 search over an INCREMENTALLY-INGESTED index (round 8,
@@ -2471,6 +2488,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
 _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
+    "knn_ivfsq",
 ]
 
 
@@ -2952,6 +2970,9 @@ def _register_similarity_oracles() -> None:
     # only partition the work) — same oracle, the strongest possible
     # check for a streaming path (the streaming_vector_ingest idiom)
     _ORACLES["streaming_sq_ingest"] = _ORACLES["sq_upsert_search"]
+    _ORACLES["knn_ivfsq"] = O.knn_ivfsq_sql(
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
+    )
     _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE
         + """,
