@@ -163,3 +163,20 @@ def test_fallback_values_match_kernel_sq_adc(spark, embeddings, monkeypatch):
     fallback = similarity.knn_sq_rerank(base, qs, 10).collect()
     assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
     knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_fallback_values_match_kernel_ivfsq(spark, embeddings, monkeypatch):
+    """knn_ivfsq's oversized-batch fallback (probe-join + inline ADC,
+    round 8): force it on the fixture batch and assert bit-identical
+    output vs the kernel-routed path — completing the per-family
+    fallback parity convention."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(spark, embeddings)
+    base = base.select("vec_id", "embedding")
+    kernel = similarity.knn_ivfsq(base, qs, 10).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = similarity.knn_ivfsq(base, qs, 10).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()

@@ -1650,8 +1650,10 @@ def _sq_pair_adc(
                 f"(> {knn.QUERY_BATCH_MAX} rows); use the probe-join form"
             )
         return deq.crossJoin(nq).select(
-            query_id_col,
-            id_col,
+            # cast to the kernel's Arrow schema so the two guard paths
+            # return identical dtypes (the pair_scores fallback contract)
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(id_col).cast("long").alias(id_col),
             _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
         )
 
@@ -1856,10 +1858,10 @@ def cached_sq_cells(
     )
     if key not in _SQ_CELLS_CACHE:
         bounds = cached_sq_bounds(base, id_col, vec_col)
-        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
-        assign = ivf_assign(base, cents, id_col, vec_col).select(
-            id_col, "centroid_id"
-        )
+        # the SAME session-cached assignment cached_codes_cells serves
+        # from — a mixed-family session (bench runs both) computes the
+        # base×C argmin scan once, not per fine quantizer
+        assign = cached_trained_assign(base, id_col, vec_col)
         sc = (
             sq_code_array(base, bounds, id_col, vec_col)
             .join(assign, id_col)
@@ -1912,6 +1914,13 @@ def knn_ivfsq(
     guard)."""
     from toy_vector_db_spark.operators import knn as KNN
 
+    if (sq_cells is None) != (bounds is None):
+        raise ValueError(
+            "knn_ivfsq: sq_cells and bounds must be injected together — "
+            "codes encoded under one bounds row dequantized against "
+            "another silently mis-decode every distance (the "
+            "knn_sq_rerank pairing contract)"
+        )
     if rerank_r is None:
         rerank_r = _rerank_budget(base, k, id_col)
     if cents is None:
@@ -1944,8 +1953,8 @@ def knn_ivfsq(
             )
             .join(nq, query_id_col)
             .select(
-                query_id_col,
-                id_col,
+                F.col(query_id_col).cast("long").alias(query_id_col),
+                F.col(id_col).cast("long").alias(id_col),
                 _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
             )
         )

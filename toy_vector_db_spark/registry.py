@@ -2481,10 +2481,11 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered) into
 # the window; as of round 8 the queue is empty — every oracled key has at
 # least one green driver row in the merged r1-r8 record.
-# Round-8 late additions: the SQ8 lifecycle pair, created after the
-# round's window rotations were already spent (14 slots churned this
-# round). Both are local-oracle-green; queued to rotate into the driver
-# window next round per the pinned policy
+# Round-8 late additions: the SQ8 lifecycle pair, the streaming ingest
+# twin, and the IVF-SQ composition — all created after the round's 14
+# window rotations were already spent. All four are local-oracle-green
+# at three SFs; queued to rotate into the driver window next round per
+# the pinned policy
 # (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
 _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
