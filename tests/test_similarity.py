@@ -260,6 +260,11 @@ def test_ann_recall_at_10x_scale(spark):
     assert sq >= 0.98, f"SQ-rerank recall@10 at 10x = {sq}"
     sq_fixed = rec(similarity.knn_sq_rerank(base, qs, 10, rerank_r=160))
     assert sq_fixed >= 0.98, f"SQ-rerank fixed-R recall@10 at 10x = {sq_fixed}"
+    # the IVF×SQ composition at 10×: near-exact ADC within probed cells
+    # means recall tracks the coarse-probe hit rate (the IVF gate above),
+    # not the IVF-PQ floor
+    ivfsq = rec(similarity.knn_ivfsq(base, qs, 10))
+    assert ivfsq >= 0.90, f"IVF-SQ recall@10 at 10x = {ivfsq}"
 
 
 def test_ivfpq_upsert_equals_frozen_rebuild(spark, embeddings):
