@@ -1062,6 +1062,56 @@ def test_ivfsq_recall(spark, embeddings):
     assert rec >= (0.75 if small else 0.70), f"IVF-SQ recall@10 = {rec}"
 
 
+def test_ivfsq_filtered_predicate_and_recall(spark, embeddings):
+    """Filtered IVF-SQ (round 8): every returned row satisfies the
+    query's label predicate (equality before the ADC top-R cut,
+    histogram-guided probes), and recall vs filtered-exact holds the
+    family bar — the same shared coarse quantizer and histogram serve
+    both compositions."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    res = similarity.knn_ivfsq(
+        bvec,
+        qs.select("query_id", "query_vec"), 10,
+        labels=labels,
+        query_labels=qs.select("query_id", "qlabel"),
+        label_hist=similarity.cached_label_cell_hist(bvec, labels),
+    )
+    joined = (
+        res.join(labels, "vec_id")
+        .join(qs.select("query_id", "qlabel"), "query_id")
+    )
+    assert joined.count() == res.count()
+    assert joined.where(F.col("label") != F.col("qlabel")).count() == 0
+    scored = knn._scored_product(
+        base.select("vec_id", "embedding", "label"), qs,
+        "vec_id", "embedding", "query_id", "query_vec",
+    ).where(F.col("label") == F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rec = (
+        evaluation.evaluate_recall(res, exact).agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.90 if small else 0.85), f"filtered IVF-SQ recall = {rec}"
+
+
 def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):
     """Core invariant of the histogram probe rule: for every query,
     either the probed cells' cumulative label count reaches the rerank

@@ -1885,6 +1885,9 @@ def knn_ivfsq(
     cents: DataFrame | None = None,
     bounds: DataFrame | None = None,
     sq_cells: DataFrame | None = None,
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
+    label_hist: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-SQ (round 8 — the Faiss ``IndexIVFScalarQuantizer`` / IVF_SQ8
     shape): the coarse-cell probe of knn_ivfpq composed with the SQ8
@@ -1911,9 +1914,27 @@ def knn_ivfsq(
     centroids via the kmeans_chain parity, bounds by construction, ADC
     by the _sq_dist fold parity). Oversized query frames fall back to
     the probe-join Catalyst plan (no driver collect, the knn_ivf
-    guard)."""
+    guard).
+
+    FILTERED search (the knn_ivfpq hooks, identically shaped): pass
+    ``labels``/``query_labels`` to restrict candidates to label-equal
+    rows BEFORE the ADC top-R cut, and ``label_hist``
+    (``cached_label_cell_hist``) to make probe SELECTION label-aware —
+    cells containing the query's label probed in distance order until
+    the cumulative label-row count covers the rerank budget."""
     from toy_vector_db_spark.operators import knn as KNN
 
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_ivfsq: labels and query_labels must be passed together"
+        )
+    if label_hist is not None and labels is None:
+        raise ValueError(
+            "knn_ivfsq: label_hist requires labels and query_labels — "
+            "histogram-guided probing restricts WHICH cells are ranked, "
+            "but only the row-level label filter keeps non-matching "
+            "rows in those cells out of the result"
+        )
     if (sq_cells is None) != (bounds is None):
         raise ValueError(
             "knn_ivfsq: sq_cells and bounds must be injected together — "
@@ -1937,7 +1958,15 @@ def knn_ivfsq(
     nq = queries.select(
         query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
     )
-    probes = _ivf_probes(queries, cents, nprobe, query_id_col, query_vec_col)
+    if label_hist is not None:
+        probes = _ivf_probes_labeled(
+            queries, cents, query_labels, label_hist, nprobe,
+            int(rerank_r), query_id_col, query_vec_col,
+        )
+    else:
+        probes = _ivf_probes(
+            queries, cents, nprobe, query_id_col, query_vec_col
+        )
     if KNN.query_batch_count(queries) > KNN.QUERY_BATCH_MAX:
         # no-collect fallback (the knn_ivf guard): probe frame joined on
         # centroid_id, ADC inline; the DISTINCT probed-cell IN-filter is
@@ -1971,6 +2000,15 @@ def knn_ivfsq(
             id_col,
             query_id_col,
             cells_by_query=cells_by_query,
+        )
+    if labels is not None:
+        # pre-filter (IDSelector): label attach on the code side, query
+        # label via broadcast join, equality before the ADC top-R window
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
         )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()

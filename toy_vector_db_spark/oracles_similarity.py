@@ -770,35 +770,66 @@ def knn_ivfsq_sql(
     k: int,
     nprobe: int,
     rerank_r: int | str,
+    cand_pred: str | None = None,
+    extra_cand_joins: str = "",
+    label_probe_r: int | str | None = None,
 ) -> str:
     """IVF-SQ serving oracle (round 8 — the IndexIVFScalarQuantizer
     composition): the knn_ivf probe chain (trained coarse centroids →
     nearest-cell assignment → nprobe probes per query) gating the SQ8
     dequantized-ADC scan of knn_sq_rerank_sql — candidates exist only
     where a code row's cell is probed by the query — then the shared
-    top-R prune and exact cosine rerank."""
+    top-R prune and exact cosine rerank. The filtered-search hooks
+    (``cand_pred``/``extra_cand_joins``/``label_probe_r``) are
+    knn_ivfpq_sql's, identically shaped: label-equality joins applied
+    before the top-R cut, and histogram-guided probe selection via the
+    per-label cell-hit cumsum rule (requires lbl/qlbl CTEs in
+    ``split_cte``)."""
     from toy_vector_db_spark.operators.similarity import SQ_LEVELS
 
     d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
     d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
+    if label_probe_r is None:
+        probes_cte = f"""probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
+        FROM q, cents c)
+      WHERE rn <= {nprobe})"""
+    else:
+        order = f"{d_qc} ASC, c.centroid_id ASC"
+        probes_cte = f"""lhist AS MATERIALIZED (
+      SELECT l.label, a.centroid_id, count(*) AS cnt
+      FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
+      GROUP BY l.label, a.centroid_id),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}) AS rn,
+               coalesce(sum(h.cnt) OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cumprev
+        FROM q
+        JOIN qlbl ql ON ql.query_id = q.query_id
+        JOIN lhist h ON h.label = ql.qlabel
+        JOIN cents c ON c.centroid_id = h.centroid_id)
+      WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
     return f"""
     WITH {_sq_common_ctes(split_cte)},
     {_trained_cents_cte()},
-    assign AS (
+    assign AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT b.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
         FROM base b, cents c)
       WHERE rn = 1),
-    probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
-        FROM q, cents c)
-      WHERE rn <= {nprobe}),
+    {probes_cte},
     deq AS (
       SELECT vec_id,
              list_transform(list_zip(codes, mins, maxs),
@@ -812,7 +843,9 @@ def knn_ivfsq_sql(
       FROM deq d
       JOIN assign a ON a.vec_id = d.vec_id
       JOIN probes p ON p.centroid_id = a.centroid_id
-      JOIN nq ON nq.query_id = p.query_id),
+      JOIN nq ON nq.query_id = p.query_id
+      {extra_cand_joins}
+      WHERE {cand_where}),
     pruned AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,

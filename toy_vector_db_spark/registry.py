@@ -2044,6 +2044,40 @@ def q_knn_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivfsq(base, qs, K)
 
 
+@register("knn_ivfsq_filtered")
+def q_knn_ivfsq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF-SQ (round 8): the knn_ivfpq_filtered machinery —
+    label-equality applied BEFORE the ADC top-R cut (IDSelector) and
+    histogram-guided probe selection (cells containing the query's
+    label probed in distance order until the cumulative label count
+    covers the rerank budget) — over the SQ fine quantizer. The SAME
+    build-time histogram serves both compositions, because both probe
+    the one shared coarse quantizer: filtered search is a property of
+    the partitioner, not the fine quantizer."""
+    from toy_vector_db_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    return similarity.knn_ivfsq(
+        bvec,
+        qs.select("query_id", "query_vec"),
+        K,
+        labels=labels,
+        query_labels=qs.select(
+            "query_id", F.col("label").alias("qlabel")
+        ),
+        label_hist=similarity.cached_label_cell_hist(bvec, labels),
+    )
+
+
 @register("sq_upsert_search")
 def q_sq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 search over an INCREMENTALLY-INGESTED index (round 8,
@@ -2489,7 +2523,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
 _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
-    "knn_ivfsq",
+    "knn_ivfsq", "knn_ivfsq_filtered",
 ]
 
 
@@ -2973,6 +3007,22 @@ def _register_similarity_oracles() -> None:
     _ORACLES["streaming_sq_ingest"] = _ORACLES["sq_upsert_search"]
     _ORACLES["knn_ivfsq"] = O.knn_ivfsq_sql(
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
+    )
+    _ORACLES["knn_ivfsq_filtered"] = O.knn_ivfsq_sql(
+        _SPLIT_CTE
+        + """,
+    lbl AS (SELECT vec_id, label FROM embeddings, cut WHERE vec_id < c),
+    qlbl AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings, cut WHERE vec_id >= c)""",
+        K,
+        N_PROBE,
+        O.rerank_budget_sql(K),
+        cand_pred="bl.label = ql.qlabel",
+        extra_cand_joins=(
+            "JOIN lbl bl ON bl.vec_id = d.vec_id\n"
+            "      JOIN qlbl ql ON ql.query_id = p.query_id"
+        ),
+        label_probe_r=O.rerank_budget_sql(K),
     )
     _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE
