@@ -74,6 +74,7 @@ HEADLINE = [
     "sq_train",
     "knn_sq_rerank",
     "knn_ivfsq",
+    "knn_ivfsq_filtered",
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",

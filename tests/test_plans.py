@@ -249,6 +249,22 @@ def test_sq_rerank_partial_topk_before_exchange(plans):
     )
 
 
+def test_ivfsq_kernel_routed_partial_topk(plans):
+    """IVF-SQ (round 8): the ADC must run inside the Arrow kernel
+    (cell-routed — pairs for unprobed cells never leave it), its output
+    must hit a map-side partial WindowGroupLimit below the query_id
+    exchange, and no join in the serving plan may degrade to a
+    sort-merge shuffle."""
+    import re
+
+    plan = plans("knn_ivfsq")
+    assert "MapInArrow" in plan, "ADC not kernel-routed"
+    assert re.search(
+        r"\+- Exchange [^\n]*\n[\s:]*\+- WindowGroupLimit", plan
+    ), "no map-side partial WindowGroupLimit under the query_id exchange"
+    assert "SortMergeJoin" not in plan
+
+
 def test_filtered_ivfpq_probe_broadcasts_metadata(plans):
     """Round-8 label-aware probing: the per-label cell histogram and the
     centroid table are METADATA (n_labels·C / C rows) and must enter the
