@@ -1062,6 +1062,75 @@ def test_ivfsq_recall(spark, embeddings):
     assert rec >= (0.75 if small else 0.70), f"IVF-SQ recall@10 = {rec}"
 
 
+def test_ivfsq_upsert_equals_frozen_rebuild(spark, embeddings):
+    """IVF-SQ lifecycle (round 8): frozen-quantizer append (coarse
+    centroids AND bounds frozen on the initial slice) must be
+    ROW-IDENTICAL to assigning + encoding the full corpus under the
+    same frozen pair — the per-row argument that validates the upsert
+    oracle's doubly-bounded training."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    init_cut = split_count(cut, 0.75)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    sq_cells, cents, bounds = similarity.ivfsq_upsert(initial, batch)
+    rebuild = similarity.sq_code_array(base, bounds).join(
+        similarity.ivf_assign(base, cents).select("vec_id", "centroid_id"),
+        "vec_id",
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"], list(r["codes"]))
+        for r in sq_cells.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["centroid_id"], list(r["codes"]))
+        for r in rebuild.collect()
+    )
+    assert got == want
+
+
+def test_ivfsq_delete_excludes_tombstones_and_equals_compaction(
+    spark, embeddings
+):
+    """IVF-SQ lifecycle (round 8): tombstone delete never returns a
+    deleted id, and the anti-joined cell-keyed code set serves results
+    identical to a compacted artifact (re-encoded + re-assigned live
+    rows under the unchanged frozen pair)."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cents = similarity.cached_trained_centroids(base)
+    bounds = similarity.cached_sq_bounds(base)
+    cells = similarity.cached_sq_cells(base)
+    tombstones = base.select("vec_id").where(F.col("vec_id") % 17 == 0)
+    live = cells.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    res = similarity.knn_ivfsq(
+        base, qs, 10, cents=cents, bounds=bounds, sq_cells=live
+    )
+    rows = res.collect()
+    assert rows and all(r["vec_id"] % 17 != 0 for r in rows)
+    live_base = base.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    compacted = similarity.sq_code_array(live_base, bounds).join(
+        similarity.ivf_assign(live_base, cents).select(
+            "vec_id", "centroid_id"
+        ),
+        "vec_id",
+    )
+    res_c = similarity.knn_ivfsq(
+        base, qs, 10, cents=cents, bounds=bounds, sq_cells=compacted
+    )
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(tuple(r) for r in res_c.collect())
+    assert a == b
+
+
 def test_ivfsq_filtered_predicate_and_recall(spark, embeddings):
     """Filtered IVF-SQ (round 8): every returned row satisfies the
     query's label predicate (equality before the ADC top-R cut,

@@ -1872,6 +1872,44 @@ def cached_sq_cells(
     return _SQ_CELLS_CACHE[key]
 
 
+def ivfsq_upsert(
+    initial: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental IVF-SQ ingest (round 8) — the composition's CRUD leg,
+    the ivfpq_upsert contract with the SQ fine quantizer: BOTH quantizer
+    states freeze after the initial build (coarse centroids trained on
+    the initial corpus, per-dim bounds scanned over it) and every later
+    micro-batch is only assigned to a cell and encoded — appended
+    partition files at 100 TB, nothing retrained or rewritten. Per-row
+    assign/encode makes the upserted cell-keyed code set provably
+    row-identical to a frozen-quantizer rebuild (tested), so search
+    stays oracle-able: the oracle bounds the coarse k-means training AND
+    the min/max scan to the initial slice.
+
+    Returns ``(sq_cells, cents, bounds)`` — the consistent triple for
+    ``knn_ivfsq``."""
+    cents = cached_trained_centroids(initial, id_col=id_col, vec_col=vec_col)
+    bounds = cached_sq_bounds(initial, id_col, vec_col)
+    assign_i = cached_trained_assign(initial, id_col, vec_col)
+    existing = sq_code_array(initial, bounds, id_col, vec_col).join(
+        assign_i, id_col
+    )
+    assign_b = ivf_assign(batch, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    new_cells = sq_code_array(batch, bounds, id_col, vec_col).join(
+        assign_b, id_col
+    )
+    return (
+        existing.unionByName(new_cells.select(*existing.columns)),
+        cents,
+        bounds,
+    )
+
+
 def knn_ivfsq(
     base: DataFrame,
     queries: DataFrame,

@@ -773,6 +773,8 @@ def knn_ivfsq_sql(
     cand_pred: str | None = None,
     extra_cand_joins: str = "",
     label_probe_r: int | str | None = None,
+    train_pred: str | None = None,
+    bounds_pred: str = "TRUE",
 ) -> str:
     """IVF-SQ serving oracle (round 8 — the IndexIVFScalarQuantizer
     composition): the knn_ivf probe chain (trained coarse centroids →
@@ -784,8 +786,15 @@ def knn_ivfsq_sql(
     knn_ivfpq_sql's, identically shaped: label-equality joins applied
     before the top-R cut, and histogram-guided probe selection via the
     per-label cell-hit cumsum rule (requires lbl/qlbl CTEs in
-    ``split_cte``)."""
-    from toy_vector_db_spark.operators.similarity import SQ_LEVELS
+    ``split_cte``). The lifecycle hooks are the per-family pair:
+    ``train_pred`` bounds the coarse k-means training set and
+    ``bounds_pred`` the SQ min/max scan (upsert key: both frozen to the
+    initial slice); ``cand_pred`` doubles as the delete key's tombstone
+    exclusion."""
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        SQ_LEVELS,
+    )
 
     d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
     d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
@@ -819,9 +828,22 @@ def knn_ivfsq_sql(
         JOIN lhist h ON h.label = ql.qlabel
         JOIN cents c ON c.centroid_id = h.centroid_id)
       WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
+    if train_pred is None:
+        cents_cte = _trained_cents_cte()
+    else:
+        cents_cte = kmeans_chain(
+            "",
+            N_CENTROIDS,
+            KMEANS_ITERS,
+            (
+                f"SELECT vec_id, embedding::DOUBLE[] AS v"
+                f" FROM base WHERE {train_pred}"
+            ),
+            V.sql_cosine_distance,
+        )
     return f"""
-    WITH {_sq_common_ctes(split_cte)},
-    {_trained_cents_cte()},
+    WITH {_sq_common_ctes(split_cte, bounds_pred)},
+    {cents_cte},
     assign AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT b.vec_id, c.centroid_id,

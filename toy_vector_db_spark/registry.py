@@ -2078,6 +2078,55 @@ def q_knn_ivfsq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivfsq_upsert_search")
+def q_ivfsq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ search over an INCREMENTALLY-INGESTED index (round 8):
+    both quantizer states — coarse centroids and per-dim bounds — train
+    on the first 75% of the base and FREEZE; the last 25% arrives as a
+    micro-batch that is only assigned + encoded and appended to the
+    cell-keyed artifact. Search runs the standard knn_ivfsq plan over
+    the upserted index with the frozen pair. Oracle: knn_ivfsq's SQL
+    with the k-means training AND the min/max scan bounded to the
+    initial slice (per-row assign/encode ⇒ upsert ≡ frozen rebuild,
+    tested)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    sq_cells, cents, bounds = similarity.ivfsq_upsert(initial, batch)
+    return similarity.knn_ivfsq(
+        base, qs, K, cents=cents, bounds=bounds, sq_cells=sq_cells
+    )
+
+
+@register("ivfsq_delete_search")
+def q_ivfsq_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the IVF-SQ index via tombstones (round 8): the shared
+    deterministic set vec_id % 17 == 0 is anti-joined out of the
+    cell-keyed code rows BEFORE the probed ADC scan — neither quantizer
+    retrains, neighbors back-fill from next-nearest survivors, and the
+    filter composes with the probe partition pruning in one scan (the
+    ivfpq_delete_search contract). Oracle: knn_ivfsq's SQL with the
+    tombstone exclusion in the candidate CTE."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    cents = similarity.cached_trained_centroids(base)
+    bounds = similarity.cached_sq_bounds(base)
+    cells = similarity.cached_sq_cells(base)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live = cells.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return similarity.knn_ivfsq(
+        base, qs, K, cents=cents, bounds=bounds, sq_cells=live
+    )
+
+
 @register("sq_upsert_search")
 def q_sq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 search over an INCREMENTALLY-INGESTED index (round 8,
@@ -2524,6 +2573,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
     "knn_ivfsq", "knn_ivfsq_filtered",
+    "ivfsq_upsert_search", "ivfsq_delete_search",
 ]
 
 
@@ -3023,6 +3073,22 @@ def _register_similarity_oracles() -> None:
             "      JOIN qlbl ql ON ql.query_id = p.query_id"
         ),
         label_probe_r=O.rerank_budget_sql(K),
+    )
+    # IVF-SQ lifecycle: upsert = BOTH quantizer states bounded to the
+    # frozen initial slice; delete = the tombstone exclusion in the
+    # candidate CTE (the per-family lifecycle-oracle pattern)
+    _ivfsq_init_pred = (
+        f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
+        " FROM cut)"
+    )
+    _ORACLES["ivfsq_upsert_search"] = O.knn_ivfsq_sql(
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
+        train_pred=_ivfsq_init_pred,
+        bounds_pred=_ivfsq_init_pred,
+    )
+    _ORACLES["ivfsq_delete_search"] = O.knn_ivfsq_sql(
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
+        cand_pred=f"d.vec_id % {DELETE_MOD} <> 0",
     )
     _ORACLES["knn_sq_filtered"] = O.knn_sq_rerank_sql(
         _SPLIT_CTE
