@@ -15,7 +15,17 @@ from toy_vector_db_spark.plans import explain
 def plans(spark, sf_dir):
     # cached fixture tables would substitute InMemoryTableScan for the
     # parquet scans (Spark cache lookup is plan-based), hiding the
-    # pruning/pushdown these tests assert — inspect plans cache-free
+    # pruning/pushdown these tests assert — inspect plans cache-free.
+    # The module caches must drop WITH the Spark cache: clearCache
+    # unpersists the data, but a module cache serving the same (now
+    # unpersisted) frame would inline its full logical plan into
+    # consumers and silently degrade the plan under test (a persisted
+    # artifact join becoming a SortMergeJoin — seen with
+    # test_pair_scores_cell_routing warming caches on a plan equal to
+    # the registry base before this module runs).
+    from toy_vector_db_spark import caches
+
+    caches.reset()
     spark.catalog.clearCache()
 
     def p(name):

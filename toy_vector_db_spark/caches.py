@@ -87,3 +87,21 @@ def restore(snap: list[tuple[dict, frozenset]]) -> int:
             _unpersist(d.pop(k))
             dropped += 1
     return dropped
+
+
+def reset() -> int:
+    """Drop EVERY session-cache entry (unpersisting Spark frames).
+
+    Pair this with ``spark.catalog.clearCache()`` whenever the Spark
+    cache is wiped mid-session: clearCache unpersists the data but the
+    module caches would keep serving the now-unpersisted frames, whose
+    full logical plans then inline into consumers — silently degrading
+    plans (a codes⋈assign artifact join that was an InMemoryTableScan
+    becomes a corpus-scale SortMergeJoin). Resetting forces every
+    artifact to rebuild freshly persisted. Returns entries dropped."""
+    dropped = 0
+    for d in _cache_dicts():
+        for k in list(d):
+            _unpersist(d.pop(k))
+            dropped += 1
+    return dropped
