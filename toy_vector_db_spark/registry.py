@@ -2565,10 +2565,10 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; as of round 8 the queue is empty — every oracled key has at
 # least one green driver row in the merged r1-r8 record.
 # Round-8 late additions: the SQ8 lifecycle pair, the streaming ingest
-# twin, and the IVF-SQ composition — all created after the round's 14
-# window rotations were already spent. All four are local-oracle-green
-# at three SFs; queued to rotate into the driver window next round per
-# the pinned policy
+# twin, and the IVF-SQ composition with its filtered and lifecycle
+# variants — all created after the round's 14 window rotations were
+# already spent. All seven are local-oracle-green at three SFs; queued
+# to rotate into the driver window next round per the pinned policy
 # (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
 _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
