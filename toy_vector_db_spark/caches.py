@@ -99,9 +99,6 @@ def reset() -> int:
     plans (a codes⋈assign artifact join that was an InMemoryTableScan
     becomes a corpus-scale SortMergeJoin). Resetting forces every
     artifact to rebuild freshly persisted. Returns entries dropped."""
-    dropped = 0
-    for d in _cache_dicts():
-        for k in list(d):
-            _unpersist(d.pop(k))
-            dropped += 1
-    return dropped
+    # = restore() against an empty snapshot: one copy of the
+    # drop/unpersist semantics, two entry points
+    return restore([(d, frozenset()) for d in _cache_dicts()])

@@ -1893,10 +1893,11 @@ def ivfsq_upsert(
     ``knn_ivfsq``."""
     cents = cached_trained_centroids(initial, id_col=id_col, vec_col=vec_col)
     bounds = cached_sq_bounds(initial, id_col, vec_col)
-    assign_i = cached_trained_assign(initial, id_col, vec_col)
-    existing = sq_code_array(initial, bounds, id_col, vec_col).join(
-        assign_i, id_col
-    )
+    # the existing side IS the session-cached build artifact (same
+    # frozen bounds, same cached assignment) — scan the persisted
+    # InMemoryTable instead of re-encoding the initial slice per action
+    # (the ivfpq_upsert / cached_codes_cells pattern)
+    existing = cached_sq_cells(initial, id_col, vec_col)
     assign_b = ivf_assign(batch, cents, id_col, vec_col).select(
         id_col, "centroid_id"
     )

@@ -440,6 +440,51 @@ def ivfpq_build_sql(split_cte: str) -> str:
     """
 
 
+def _ivf_probes_ctes(
+    cents_name: str,
+    nprobe: int | str,
+    label_probe_r: int | str | None,
+) -> str:
+    """The shared probe-selection CTE block for every IVF-gated oracle
+    (knn_ivfpq_sql, knn_ivfsq_sql — one histogram, one probe rule, any
+    fine code), parameterized by the coarse-centroid CTE name so it
+    coexists with whatever other ``cents`` CTEs the caller declares.
+    Plain mode: nprobe nearest cells per query. ``label_probe_r`` mode:
+    the SQL twin of similarity._ivf_probes_labeled — a per-label
+    cell-hit histogram over the assignment, cells ranked by centroid
+    distance WITHIN the query's label, probed until the cumulative
+    label-row count reaches the budget (nprobe-cell floor); requires
+    lbl/qlbl CTEs and an ``assign`` CTE in scope."""
+    d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
+    if label_probe_r is None:
+        return f"""probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
+        FROM q, {cents_name} c)
+      WHERE rn <= {nprobe})"""
+    order = f"{d_qc} ASC, c.centroid_id ASC"
+    return f"""lhist AS MATERIALIZED (
+      SELECT l.label, a.centroid_id, count(*) AS cnt
+      FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
+      GROUP BY l.label, a.centroid_id),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}) AS rn,
+               coalesce(sum(h.cnt) OVER (PARTITION BY q.query_id
+                                  ORDER BY {order}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cumprev
+        FROM q
+        JOIN qlbl ql ON ql.query_id = q.query_id
+        JOIN lhist h ON h.label = ql.qlabel
+        JOIN {cents_name} c ON c.centroid_id = h.centroid_id)
+      WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
+
+
 def knn_ivfpq_sql(
     split_cte: str,
     k: int,
@@ -483,7 +528,6 @@ def knn_ivfpq_sql(
         "ivf_", N_CENTROIDS, KMEANS_ITERS, ivf_train, V.sql_cosine_distance
     )
     d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
-    d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
     joins = "\n      ".join(
         f"JOIN cents x{m} ON x{m}.k = co.c{m}" for m in range(m_)
@@ -495,34 +539,7 @@ def knn_ivfpq_sql(
         )
         for m in range(m_)
     )
-    if label_probe_r is None:
-        probes_cte = f"""probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
-        FROM q, ivf_cents c)
-      WHERE rn <= {nprobe})"""
-    else:
-        order = f"{d_qc} ASC, c.centroid_id ASC"
-        probes_cte = f"""lhist AS MATERIALIZED (
-      SELECT l.label, a.centroid_id, count(*) AS cnt
-      FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
-      GROUP BY l.label, a.centroid_id),
-    probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {order}) AS rn,
-               coalesce(sum(h.cnt) OVER (PARTITION BY q.query_id
-                                  ORDER BY {order}
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS cumprev
-        FROM q
-        JOIN qlbl ql ON ql.query_id = q.query_id
-        JOIN lhist h ON h.label = ql.qlabel
-        JOIN ivf_cents c ON c.centroid_id = h.centroid_id)
-      WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
+    probes_cte = _ivf_probes_ctes("ivf_cents", nprobe, label_probe_r)
     return f"""
     WITH {_pq_common_ctes(split_cte, train_pred)},
     {ivf_chain},
@@ -797,37 +814,9 @@ def knn_ivfsq_sql(
     )
 
     d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
-    d_qc = V.sql_cosine_distance("q.qv", "c.centroid_vec")
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
     cand_where = cand_pred if cand_pred is not None else "TRUE"
-    if label_probe_r is None:
-        probes_cte = f"""probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {d_qc} ASC, c.centroid_id ASC) AS rn
-        FROM q, cents c)
-      WHERE rn <= {nprobe})"""
-    else:
-        order = f"{d_qc} ASC, c.centroid_id ASC"
-        probes_cte = f"""lhist AS MATERIALIZED (
-      SELECT l.label, a.centroid_id, count(*) AS cnt
-      FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
-      GROUP BY l.label, a.centroid_id),
-    probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {order}) AS rn,
-               coalesce(sum(h.cnt) OVER (PARTITION BY q.query_id
-                                  ORDER BY {order}
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS cumprev
-        FROM q
-        JOIN qlbl ql ON ql.query_id = q.query_id
-        JOIN lhist h ON h.label = ql.qlabel
-        JOIN cents c ON c.centroid_id = h.centroid_id)
-      WHERE rn <= {nprobe} OR cumprev < {label_probe_r})"""
+    probes_cte = _ivf_probes_ctes("cents", nprobe, label_probe_r)
     if train_pred is None:
         cents_cte = _trained_cents_cte()
     else:

@@ -2950,6 +2950,7 @@ def _register_similarity_oracles() -> None:
     from toy_vector_db_spark.operators.similarity import (
         N_CENTROIDS,
         N_PROBE,
+        TRAIN_SAMPLE,
     )
 
     _ORACLES["ivf_train"] = O.ivf_train_sql(_SPLIT_CTE)
@@ -2968,13 +2969,18 @@ def _register_similarity_oracles() -> None:
     )
     # the upsert key: identical serving SQL, quantizer training bounded
     # to the frozen initial slice (engine: split_count(cut, 0.75) —
-    # round-half-away ≡ DuckDB round() for positive values)
+    # round-half-away ≡ DuckDB round() for positive values) AND the
+    # engine's TRAIN_SAMPLE cap, which applies WITHIN whatever base
+    # frame the trainer sees (at fixtures the init cut is the tighter
+    # bound; past ~5.5k rows the cap takes over — without it the two
+    # k-means runs would train on different sets)
+    _init_train_pred = (
+        f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
+        f" FROM cut) AND vec_id < {TRAIN_SAMPLE}"
+    )
     _ORACLES["ivfpq_upsert_search"] = O.knn_ivfpq_sql(
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
-        train_pred=(
-            f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
-            " FROM cut)"
-        ),
+        train_pred=_init_train_pred,
     )
     # the streaming ingest drains to an index row-identical to the batch
     # upsert (deterministic per-row encode/assign; batch boundaries only
@@ -3076,14 +3082,18 @@ def _register_similarity_oracles() -> None:
     )
     # IVF-SQ lifecycle: upsert = BOTH quantizer states bounded to the
     # frozen initial slice; delete = the tombstone exclusion in the
-    # candidate CTE (the per-family lifecycle-oracle pattern)
+    # candidate CTE (the per-family lifecycle-oracle pattern). The
+    # k-means train_pred additionally carries the TRAIN_SAMPLE cap
+    # (matching _init_train_pred above); the SQ min/max bounds scan has
+    # NO cap on the engine side (cached_sq_bounds scans the full frame),
+    # so bounds_pred stays the bare initial-slice predicate.
     _ivfsq_init_pred = (
         f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
         " FROM cut)"
     )
     _ORACLES["ivfsq_upsert_search"] = O.knn_ivfsq_sql(
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K),
-        train_pred=_ivfsq_init_pred,
+        train_pred=_init_train_pred,
         bounds_pred=_ivfsq_init_pred,
     )
     _ORACLES["ivfsq_delete_search"] = O.knn_ivfsq_sql(
