@@ -79,13 +79,11 @@ def test_resize_nearest_neighbor_kernel():
     when the mapping selects that source pixel."""
     import numpy as np
 
-    from toy_vector_db_spark.operators.multimodal import OUT_H, OUT_W
-
-    def nn_resize(img):
-        h, w, _c = img.shape
-        rows = (np.arange(OUT_H) * h) // OUT_H
-        cols = (np.arange(OUT_W) * w) // OUT_W
-        return img[rows][:, cols]
+    from toy_vector_db_spark.operators.multimodal import (
+        OUT_H,
+        OUT_W,
+        _nn_resize as nn_resize,
+    )
 
     # downsample: constant 16x16 → constant 8x8
     const = np.full((16, 16, 1), 7, dtype=np.uint8)

@@ -172,6 +172,17 @@ OUT_H = 8  # fixed resize target (model-input shape in a real pipeline)
 OUT_W = 8
 
 
+def _nn_resize(img: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor gather to the fixed OUT_H×OUT_W grid: output
+    (i, j) reads source (⌊i·h/OUT_H⌋, ⌊j·w/OUT_W⌋). The unit-testable
+    kernel resize_image_stats runs per row (tests import THIS function,
+    so a mapping typo can't hide behind a test-local copy)."""
+    h, w, _c = img.shape
+    rows = (np.arange(OUT_H) * h) // OUT_H
+    cols = (np.arange(OUT_W) * w) // OUT_W
+    return img[rows][:, cols]
+
+
 def resize_image_stats(docs: DataFrame) -> DataFrame:
     """Nearest-neighbor resize of the decoded RAW_MIME images to a fixed
     OUT_H×OUT_W model-input grid — the resize verb of the multimodal
@@ -201,9 +212,7 @@ def resize_image_stats(docs: DataFrame) -> DataFrame:
                 if img.size == 0:
                     px_sum, px_max = 0, 0
                 else:
-                    rows = (np.arange(OUT_H) * h) // OUT_H
-                    cols = (np.arange(OUT_W) * w) // OUT_W
-                    resized = img[rows][:, cols]
+                    resized = _nn_resize(img)
                     px_sum = int(resized.sum())
                     px_max = int(resized.max())
                 out["doc_id"].append(doc_id)
