@@ -1225,3 +1225,31 @@ def test_labeled_probe_rule_covers_budget_or_all_cells(spark, embeddings):
         )
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_trained_centroids_cap_beyond_fixture_scale(spark):
+    """The upsert oracles AND `vec_id < TRAIN_SAMPLE` into their
+    train_pred because the engine trains on ids < TRAIN_SAMPLE within
+    whatever base frame it is handed — but no fixture exceeds the cap,
+    so the contract is pinned here synthetically: above-cap rows must
+    not influence training (training on the full frame == training on
+    the explicitly capped slice, bit-identical centroids)."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import similarity
+
+    n = similarity.TRAIN_SAMPLE + 1904  # past the cap, cheap to build
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) for j in range(4)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = similarity.trained_centroids(df).orderBy("centroid_id").collect()
+    capped = (
+        similarity.trained_centroids(
+            df.where(F.col("vec_id") < similarity.TRAIN_SAMPLE)
+        )
+        .orderBy("centroid_id")
+        .collect()
+    )
+    assert [r.asDict() for r in full] == [r.asDict() for r in capped]
