@@ -2576,6 +2576,16 @@ _POST_WINDOW_OVERFLOW: list[str] = [
     "ivfsq_upsert_search", "ivfsq_delete_search",
     "mm_resize",
 ]
+# Round-9 rotation plan (execute FIRST-COMMIT next round, pending green
+# CORRECTNESS_r08 rows for the rotate-out candidates): the eight queued
+# keys above rotate IN; candidates to rotate OUT — many-rounds-green
+# scalar/evaluation keys whose siblings stay in-window, e.g.
+# vec_cosine_sim + vec_euclidean_dist (vec_cosine_dist stays — it IS the
+# engine metric), argmin_dist + argmax_dist (exercised by every KNN key),
+# result_intersection + eval_precision-sibling eval_recall... pick the
+# final eight against the r8 record. Rotated-out keys stay fully
+# oracle-tested locally (tests/test_registry_oracles.py) — the merged
+# CORRECTNESS_r01-r08 record is the coverage history.
 
 
 @register("streaming_vector_ingest")
