@@ -75,6 +75,10 @@ HEADLINE = [
     "knn_sq_rerank",
     "knn_ivfsq",
     "knn_ivfsq_filtered",
+    # knn_ivfbq closes the composition matrix: same coarse probe, 8
+    # B/vector Hamming scan within probed cells, deeper rerank floor
+    "knn_ivfbq",
+    "knn_ivfbq_filtered",
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",

@@ -1253,3 +1253,46 @@ def test_trained_centroids_cap_beyond_fixture_scale(spark):
         .collect()
     )
     assert [r.asDict() for r in full] == [r.asDict() for r in capped]
+
+
+def test_ivfbq_full_probe_equals_bq_rerank(spark, embeddings):
+    """IVF-BQ (round 8): at nprobe = C every cell is probed, so the
+    composition must return EXACTLY the flat BQ pipeline's results —
+    the same gating argument as the PQ and SQ compositions, closing
+    the IVF×{PQ, SQ, BQ} matrix."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    flat = similarity.knn_bq_rerank(base, qs, 10).collect()
+    full = similarity.knn_ivfbq(
+        base, qs, 10, nprobe=similarity.N_CENTROIDS
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, full))
+
+
+def test_ivfbq_recall(spark, embeddings):
+    """IVF-BQ partial probe: recall compounds the coarse-probe miss rate
+    with BQ's weak Hamming ranking WITHIN probed cells, so the floor
+    sits below the SQ composition's but must still clear the family's
+    deployment bar at BQ's deeper rerank budget."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn.knn_exact_batch(base, qs, 10)
+    ivfbq = similarity.knn_ivfbq(base, qs, 10)
+    rec = (
+        evaluation.evaluate_recall(ivfbq, exact)
+        .agg(F.avg("recall")).first()[0]
+    )
+    small = base.count() <= 1000
+    assert rec >= (0.70 if small else 0.65), f"IVF-BQ recall@10 = {rec}"

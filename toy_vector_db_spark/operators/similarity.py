@@ -2062,6 +2062,142 @@ def knn_ivfsq(
     )
 
 
+# (appId, plan hash, cols) → persisted cell-keyed BQ code frame
+_BQ_CELLS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_bq_cells(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, b_hi, b_lo, centroid_id) persisted per session — the IVF-BQ
+    index artifact: sign-bit codes keyed by their trained coarse cell,
+    i.e. what a 100 TB build WRITES partitioned by centroid_id (8
+    B/vector inside each cell directory — the smallest cell payload of
+    any composition). BQ has no fine training, so the artifact derives
+    from the shared session-cached assignment alone: a mixed-family
+    serving stack computes the base×C argmin scan ONCE for IVF-PQ,
+    IVF-SQ, and IVF-BQ together."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _BQ_CELLS_CACHE:
+        assign = cached_trained_assign(base, id_col, vec_col)
+        bc = bq_codes(base, id_col, vec_col).join(assign, id_col).persist()
+        bc.count()
+        _BQ_CELLS_CACHE[key] = bc
+    return _BQ_CELLS_CACHE[key]
+
+
+def knn_ivfbq(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cents: DataFrame | None = None,
+    bq_cells: DataFrame | None = None,
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
+    label_hist: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-BQ (round 8 — completing the quantizer composition matrix:
+    IVF×{PQ, SQ, BQ} over ONE trained coarse quantizer): the coarse-cell
+    probe of knn_ivfpq gating the sign-bit Hamming prune of
+    knn_bq_rerank — candidates exist only where a code row's cell is
+    probed by the query — then exact cosine rerank at BQ's DEEPER
+    constant-cost floor (BQ_RERANK_MULT·k; the probe already cut the
+    scan, and BQ's 8 B/vector Hamming affords the 2× rerank that buys
+    its recall back).
+
+    Unlike the PQ/SQ compositions this one is PURE CATALYST end to end:
+    `bit_count(xor)` is a JVM intrinsic, so the probed scan needs no
+    Arrow kernel and no driver-side probe collection — the bounded probe
+    frame (nq·nprobe rows) broadcasts into the cell join, the tiny query
+    codes broadcast behind it, and the only exchange is the per-query
+    top-R window every sibling pays. At 100 TB the cell-partitioned
+    layout (cached_bq_cells) prunes (C−nprobe)/C of an already-8 B/row
+    scan — the cheapest probed bytes of the three compositions; the
+    trade is BQ's weaker ranking, absorbed by the deeper rerank exactly
+    as in the flat key.
+
+    ``cents``/``bq_cells`` must come from the same build (default: the
+    session caches, always consistent). FILTERED search: the knn_ivfpq
+    hooks, identically shaped — ``labels``/``query_labels`` restrict
+    candidates to label-equal rows BEFORE the Hamming top-R cut, and
+    ``label_hist`` makes probe SELECTION label-aware (the shared
+    build-time histogram: filtering is a property of the partitioner,
+    not the fine quantizer). Fully deterministic (integer Hamming,
+    lexicographic ties) → DuckDB-oracle-able end to end."""
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_ivfbq: labels and query_labels must be passed together"
+        )
+    if label_hist is not None and labels is None:
+        raise ValueError(
+            "knn_ivfbq: label_hist requires labels and query_labels — "
+            "histogram-guided probing restricts WHICH cells are ranked, "
+            "but only the row-level label filter keeps non-matching "
+            "rows in those cells out of the result"
+        )
+    if rerank_r is None:
+        rerank_r = max(BQ_RERANK_MULT * k, _rerank_budget(base, k, id_col))
+    if cents is None:
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+    if bq_cells is None:
+        bq_cells = cached_bq_cells(base, id_col, vec_col)
+    qcodes = queries.select(
+        query_id_col,
+        _bq_pack(F.col(query_vec_col), 1).alias("q_hi"),
+        _bq_pack(F.col(query_vec_col), BQ_HALF + 1).alias("q_lo"),
+    )
+    if label_hist is not None:
+        probes = _ivf_probes_labeled(
+            queries, cents, query_labels, label_hist, nprobe,
+            int(rerank_r), query_id_col, query_vec_col,
+        )
+    else:
+        probes = _ivf_probes(
+            queries, cents, nprobe, query_id_col, query_vec_col
+        )
+    cand = (
+        bq_cells.join(
+            F.broadcast(probes.select(query_id_col, "centroid_id")),
+            "centroid_id",
+        )
+        .join(F.broadcast(qcodes), query_id_col)
+        .withColumn(
+            "h", F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
+        )
+    )
+    if labels is not None:
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("h").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
 def lsh_hyperplane_buckets(
     base: DataFrame,
     n_planes: int = N_HYPERPLANES,

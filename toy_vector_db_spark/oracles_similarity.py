@@ -879,6 +879,82 @@ def knn_ivfsq_sql(
     """
 
 
+def knn_ivfbq_sql(
+    split_cte: str,
+    k: int,
+    nprobe: int,
+    rerank_r: int | str,
+    cand_pred: str | None = None,
+    extra_cand_joins: str = "",
+    label_probe_r: int | str | None = None,
+) -> str:
+    """IVF-BQ serving oracle (round 8 — completing the composition
+    matrix): the knn_ivf probe chain gating knn_bq_rerank_sql's Hamming
+    prune — candidates exist only where a code row's cell is probed by
+    the query — then the shared exact-cosine rerank tail at BQ's deeper
+    budget. Probe selection via the shared _ivf_probes_ctes block (plain
+    nprobe or the per-label histogram cumsum rule); ``cand_pred`` /
+    ``extra_cand_joins`` are the filtered key's label-equality hooks,
+    applied before the top-R cut."""
+    from toy_vector_db_spark.operators.similarity import BQ_HALF
+
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    probes_cte = _ivf_probes_ctes("cents", nprobe, label_probe_r)
+    return f"""
+    WITH {split_cte},
+    {_trained_cents_cte()},
+    assign AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, cents c)
+      WHERE rn = 1),
+    {probes_cte},
+    codes AS (
+      SELECT vec_id,
+             {_bq_pack_sql('embedding', 1)} AS b_hi,
+             {_bq_pack_sql('embedding', BQ_HALF + 1)} AS b_lo
+      FROM base),
+    qcodes AS (
+      SELECT query_id,
+             {_bq_pack_sql('qv', 1)} AS q_hi,
+             {_bq_pack_sql('qv', BQ_HALF + 1)} AS q_lo
+      FROM q),
+    cand AS (
+      SELECT p.query_id, co.vec_id,
+             bit_count(xor(co.b_hi, qc.q_hi))
+               + bit_count(xor(co.b_lo, qc.q_lo)) AS h
+      FROM codes co
+      JOIN assign a ON a.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN qcodes qc ON qc.query_id = p.query_id
+      {extra_cand_joins}
+      WHERE {cand_where}),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(split_cte: str) -> str:
     dot = V.sql_dot("b.embedding", "p.plane_vec")
     return f"""

@@ -2078,6 +2078,54 @@ def q_knn_ivfsq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivfbq")
+def q_knn_ivfbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ (round 8 — completing the quantizer composition matrix:
+    IVF×{PQ, SQ, BQ} over ONE trained coarse quantizer): the shared
+    coarse probe gates the sign-bit Hamming prune, exact rerank at BQ's
+    deeper constant-cost floor. Pure Catalyst end to end (bit_count is
+    a JVM intrinsic — no Arrow kernel, no driver probe collection); the
+    cell-keyed artifact is 8 B/vector, the cheapest probed bytes of the
+    three compositions. Gated ≡ knn_bq_rerank at full probe in tests;
+    DuckDB-oracled end to end."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_ivfbq(base, qs, K)
+
+
+@register("knn_ivfbq_filtered")
+def q_knn_ivfbq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF-BQ (round 8): the knn_ivfpq_filtered machinery —
+    label equality BEFORE the Hamming top-R cut (IDSelector) plus
+    histogram-guided probe selection — over the sign-bit fine code. The
+    SAME build-time histogram serves all three compositions, because
+    all three probe the one shared coarse quantizer: filtered search is
+    a property of the partitioner, not the fine quantizer."""
+    from toy_vector_db_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    return similarity.knn_ivfbq(
+        bvec,
+        qs.select("query_id", "query_vec"),
+        K,
+        labels=labels,
+        query_labels=qs.select(
+            "query_id", F.col("label").alias("qlabel")
+        ),
+        label_hist=similarity.cached_label_cell_hist(bvec, labels),
+    )
+
+
 @register("ivfsq_upsert_search")
 def q_ivfsq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ search over an INCREMENTALLY-INGESTED index (round 8):
@@ -2574,7 +2622,7 @@ _POST_WINDOW_OVERFLOW: list[str] = [
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
     "knn_ivfsq", "knn_ivfsq_filtered",
     "ivfsq_upsert_search", "ivfsq_delete_search",
-    "mm_resize",
+    "mm_resize", "knn_ivfbq", "knn_ivfbq_filtered",
 ]
 # Round-9 rotation plan (execute FIRST-COMMIT next round, pending green
 # CORRECTNESS_r08 rows for the rotate-out candidates): the eight queued
@@ -3074,6 +3122,28 @@ def _register_similarity_oracles() -> None:
     _ORACLES["streaming_sq_ingest"] = _ORACLES["sq_upsert_search"]
     _ORACLES["knn_ivfsq"] = O.knn_ivfsq_sql(
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
+    )
+    # IVF-BQ: the same probe chain over the sign-bit code, at BQ's
+    # deeper rerank budget (the knn_bq_rerank floor — the engine passes
+    # the same max(MULT·k, budget) into the probed composition)
+    _ORACLES["knn_ivfbq"] = O.knn_ivfbq_sql(
+        _SPLIT_CTE, K, N_PROBE, O.bq_rerank_budget_sql(K)
+    )
+    _ORACLES["knn_ivfbq_filtered"] = O.knn_ivfbq_sql(
+        _SPLIT_CTE
+        + """,
+    lbl AS (SELECT vec_id, label FROM embeddings, cut WHERE vec_id < c),
+    qlbl AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings, cut WHERE vec_id >= c)""",
+        K,
+        N_PROBE,
+        O.bq_rerank_budget_sql(K),
+        cand_pred="bl.label = ql.qlabel",
+        extra_cand_joins=(
+            "JOIN lbl bl ON bl.vec_id = co.vec_id\n"
+            "      JOIN qlbl ql ON ql.query_id = p.query_id"
+        ),
+        label_probe_r=O.bq_rerank_budget_sql(K),
     )
     _ORACLES["knn_ivfsq_filtered"] = O.knn_ivfsq_sql(
         _SPLIT_CTE
