@@ -85,10 +85,22 @@ _PRIORITY = [
     # in-window) — rotate out for the NEW SQ8 family quartet sq_train /
     # sq_codes / knn_sq_rerank / knn_sq_filtered, the fourth index
     # family's first driver rows)
-    "vec_magnitude",
-    "knn_exact_single", "knn_exact_filtered",
+    # (round 8, late-session rotation: the session resumed with turns
+    # left while the driver's r8 correctness run was still ahead, so the
+    # ten queued overflow keys rotate IN *this* round instead of waiting
+    # for round 9 — emptying the queue one round early. Rotating OUT ten
+    # keys each driver-green in ≥2 consecutive rounds with a family
+    # sibling staying in-window: vec_magnitude, knn_exact_single,
+    # knn_exact_filtered (knn_exact_batch stays — it exercises the Arrow
+    # pair kernel), eval_recall (r1-r7; hnsw_recall_gate computes recall
+    # in-query in-window), decontaminate_ngram, doc_repetition_stats,
+    # model_quality_inference (r5-r7; decontaminate_eval_fixture and
+    # decontaminate_embedding stay), hybrid_rrf_topk (r6-r7; sibling
+    # hybrid_rrf_ivfpq stays), contamination_report, doc_embedding_pool
+    # (r6-r7).)
     "knn_exact_batch",
     "sq_train", "sq_codes", "knn_sq_rerank", "knn_sq_filtered",
+    "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
     # (round 8: argmin_dist / argmax_dist / vec_cosine_dist —
     # driver-green r1/2-r7 — rotate out for the new routed-lifecycle
     # trio hnsw_routed_upsert_search / hnsw_routed_delete_search /
@@ -100,7 +112,7 @@ _PRIORITY = [
     # (round 8: eval_precision — driver-green r1-r7, sibling eval_recall
     # stays in-window — rotates out for knn_bq_filtered, completing
     # filtered ANN on all three index families)
-    "eval_recall", "knn_bq_filtered",
+    "knn_bq_filtered",
     # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
     # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
     # — rotate IN (after this, every oracled key in the repo once again
@@ -158,14 +170,17 @@ _PRIORITY = [
     "knn_ivfpq", "ivfpq_build", "ivfpq_partitioned_search",
     "ivfpq_upsert_search", "ivfpq_delete_search", "ivfpq_compact_search",
     "bq_codes", "knn_bq_rerank", "knn_ivfpq_filtered",
+    # round-8 late rotation: the quantizer composition matrix's IVF-SQ /
+    # IVF-BQ columns and the IVF-SQ lifecycle get their first driver rows
+    "knn_ivfsq", "knn_ivfsq_filtered",
+    "ivfsq_upsert_search", "ivfsq_delete_search",
+    "knn_ivfbq", "knn_ivfbq_filtered",
     "knn_hnsw_routed",
     "knn_hnsw_routed_exhaustive",
-    "hybrid_rrf_topk", "hybrid_rrf_ivfpq",
-    "contamination_report",
-    "doc_embedding_pool",
-    "decontaminate_ngram", "decontaminate_eval_fixture",
+    "hybrid_rrf_ivfpq",
+    "decontaminate_eval_fixture",
     "decontaminate_embedding",
-    "doc_repetition_stats", "model_quality_inference",
+    "mm_resize",
     # -- structured streaming --
     # (round 6: streaming_sliding_counts — driver-green r4 and r5 —
     # rotated out for streaming_vector_ingest; round 7 rotates out
@@ -2609,31 +2624,16 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keys created in a round whose 50-slot driver window is already full are
 # queued here (oracled, policy-tested by test_overflow_keys_are_oracled_and
 # _queued) and rotate in next round. Round 8 rotated the round-7 trio
-# (hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered) into
-# the window; as of round 8 the queue is empty — every oracled key has at
-# least one green driver row in the merged r1-r8 record.
-# Round-8 late additions: the SQ8 lifecycle pair, the streaming ingest
-# twin, and the IVF-SQ composition with its filtered and lifecycle
-# variants — all created after the round's 14 window rotations were
-# already spent. All seven are local-oracle-green at three SFs; queued
-# to rotate into the driver window next round per the pinned policy
-# (tests/test_registry_oracles.py::test_overflow_keys_are_oracled_and_queued).
-_POST_WINDOW_OVERFLOW: list[str] = [
-    "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
-    "knn_ivfsq", "knn_ivfsq_filtered",
-    "ivfsq_upsert_search", "ivfsq_delete_search",
-    "mm_resize", "knn_ivfbq", "knn_ivfbq_filtered",
-]
-# Round-9 rotation plan (execute FIRST-COMMIT next round, pending green
-# CORRECTNESS_r08 rows for the rotate-out candidates): the eight queued
-# keys above rotate IN; candidates to rotate OUT — many-rounds-green
-# scalar/evaluation keys whose siblings stay in-window, e.g.
-# vec_cosine_sim + vec_euclidean_dist (vec_cosine_dist stays — it IS the
-# engine metric), argmin_dist + argmax_dist (exercised by every KNN key),
-# result_intersection + eval_precision-sibling eval_recall... pick the
-# final eight against the r8 record. Rotated-out keys stay fully
-# oracle-tested locally (tests/test_registry_oracles.py) — the merged
-# CORRECTNESS_r01-r08 record is the coverage history.
+# (hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered) in, and
+# a late round-8 session rotated in the ten keys the same round had
+# created after its first 14 rotations (the SQ8 lifecycle pair, the SQ
+# streaming twin, the IVF-SQ/IVF-BQ composition keys and the IVF-SQ
+# lifecycle, and mm_resize) — so the queue is EMPTY: every oracled key
+# has ≥1 driver row in the merged r1-r8 record once CORRECTNESS_r08
+# lands. Rotate-out picks and history live in the _PRIORITY comments;
+# rotated-out keys stay fully oracle-tested locally
+# (tests/test_registry_oracles.py covers every registered oracle).
+_POST_WINDOW_OVERFLOW: list[str] = []
 
 
 @register("streaming_vector_ingest")
