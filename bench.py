@@ -109,6 +109,11 @@ HEADLINE = [
     "decontaminate_ngram",
     "doc_repetition_stats",
     "model_quality_inference",
+    # the REAL-codec multimodal path (round 8 late session): per-row
+    # stdlib-zlib PNG encode+decode through chained mapInPandas — the
+    # most Python-heavy per-byte key in the repo, benched so codec-path
+    # cost is tracked per-round
+    "mm_decode_png_stats",
 ]
 
 

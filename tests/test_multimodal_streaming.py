@@ -20,9 +20,130 @@ def test_feature_extract_matches_jvm_metadata(spark, documents):
 
 
 def test_library_codecs_still_stubbed():
-    """Mimes that need real imaging libs keep the documented swap point."""
+    """Mimes with no in-container implementation (JPEG needs a DCT
+    library) keep the documented swap point; PNG/WAV are now REAL."""
     with pytest.raises(NotImplementedError):
-        multimodal._decode_payload(b"\x00", "image/png")
+        multimodal._decode_payload(b"\xff\xd8", "image/jpeg")
+
+
+def test_png_codec_roundtrips_all_filters():
+    """The from-scratch PNG codec (stdlib zlib only): lossless round-trip
+    across shapes, deterministic bytes, all FIVE public scanline filters
+    present in any ≥5-row stream (the encoder cycles them by row, so the
+    decoder's Sub/Up/Average/Paeth unfilters are all load-bearing), and
+    loud failure on CRC corruption, bad signature, truncated IDAT."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 16), (7, 16), (16, 1), (40, 16), (200, 16)]:
+        img = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+        png = multimodal._encode_png(img)
+        assert png[:8] == multimodal._PNG_SIG
+        dec = multimodal._decode_payload(png, multimodal.PNG_MIME)
+        assert dec.shape == img.shape and (dec == img).all(), (h, w)
+    img = rng.integers(0, 256, size=(10, 16, 1), dtype=np.uint8)
+    png = multimodal._encode_png(img)
+    assert png == multimodal._encode_png(img)  # deterministic
+    # every filter type appears in the filtered stream
+    pos, idat = 8, b""
+    while pos < len(png):
+        n = int.from_bytes(png[pos:pos + 4], "big")
+        if png[pos + 4:pos + 8] == b"IDAT":
+            idat += png[pos + 8:pos + 8 + n]
+        pos += 12 + n
+    lines = zlib.decompress(idat)
+    assert {lines[r * 17] for r in range(10)} == {0, 1, 2, 3, 4}
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal._decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        multimodal._decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        # drop IEND + truncate the inflated size check's input
+        multimodal._decode_png(
+            png[:8]
+            + png[8:33]  # IHDR chunk only
+        )
+
+
+def test_png_payload_frame_only_empty_docs_stay_raw(spark, documents):
+    """with_png_payload re-frames every non-empty document as a PNG; the
+    RAW fallback (PNG has no 0-height form) is taken ONLY by empty docs,
+    so the codec path can't silently decay to the raw framing."""
+    p = multimodal.with_png_payload(documents)
+    raw_ids = [
+        r.doc_id for r in p.where(F.col("mime") == multimodal.RAW_MIME).collect()
+    ]
+    empty_ids = [
+        r.doc_id
+        for r in documents.where(F.length("text") == 0).select("doc_id").collect()
+    ]
+    assert sorted(raw_ids) == sorted(empty_ids)
+
+
+def test_png_stats_equal_raw_stats(spark, documents):
+    """PNG is lossless: the decoded-PNG stats frame is row-identical to
+    the raw-decode stats frame (they share one oracle)."""
+    a = multimodal.decode_image_stats(documents).orderBy("doc_id").collect()
+    b = multimodal.decode_png_stats(documents).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_audio_features_on_synthetic_signal(spark):
+    """Mean-crossing math on controlled signals (the ASCII corpus only
+    drives a narrow byte range, so the kernel is pinned on synthetic
+    inputs): a strict alternation crosses its mean at every step, a
+    constant signal never does, and energy/peak/range are plain sums."""
+    docs = spark.createDataFrame(
+        [(1, "aAaAaAaA"), (2, "mmmm"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in multimodal.audio_features(docs).collect()}
+    # 'a'=97, 'A'=65 alternating: mean 81, above-flag flips every sample
+    assert rows[1].mean_crossings == 7
+    assert rows[1].energy == 4 * 97 * 97 + 4 * 65 * 65
+    assert rows[1].peak == 97 and rows[1].dyn_range == 32
+    assert rows[2].mean_crossings == 0 and rows[2].dyn_range == 0
+    assert rows[3].n_samples == 0 and rows[3].energy == 0
+
+
+def test_scene_cuts_on_synthetic_frames(spark):
+    """Frame L1 distances on controlled payloads: two identical frames →
+    no cut; an 'a'*16 frame followed by 'z'*16 differs by 16·25 = 400 >
+    SCENE_THRESHOLD → one cut; sub-frame docs have no pair."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 32), (2, "a" * 16 + "z" * 16), (3, "abc"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in multimodal.scene_cuts(docs).collect()}
+    assert (rows[1].n_cuts, rows[1].max_diff) == (0, 0)
+    assert (rows[2].n_cuts, rows[2].max_diff) == (1, 16 * 25)
+    assert (rows[3].n_frames, rows[3].n_cuts) == (1, 0)
+    assert (rows[4].n_frames, rows[4].n_cuts) == (0, 0)
+
+
+def test_wav_codec_roundtrip_and_strictness():
+    """stdlib-wave container round-trip, incl. the empty payload; a
+    non-8-bit/mono layout is rejected loudly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for data in [b"", b"hello world", bytes(range(256)) * 3]:
+        samples, rate = multimodal._decode_wav(multimodal._encode_wav(data))
+        assert rate == multimodal.WAV_RATE and samples.tobytes() == data
+        assert samples.dtype == np.uint8
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        multimodal._decode_wav(buf.getvalue())
 
 
 def test_raw_codec_decodes_for_real():

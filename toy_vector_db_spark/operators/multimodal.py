@@ -6,13 +6,14 @@ metadata; the Spark-side contract is (a) binary stays opaque to Catalyst,
 ``mapInPandas``, (c) metadata extraction that doesn't need decoding stays
 in codegen'd JVM expressions.
 
-The harness container ships no image/audio libraries, so decode for REAL
-codecs (JPEG/PNG/WAV/...) is out of reach — but ``_decode_payload`` is no
-longer a pure stub: it implements one trivial deterministic codec, the
-header-framed raw-gray format below (``RAW_MIME``), so the mapInPandas
-decode hook runs for real end-to-end (header parse → pixel buffer →
-image-shaped ndarray → integer stats, oracle-checked). Library-backed
-mimes still raise NotImplementedError at the same single swap point.
+The harness container ships no image/audio libraries, but two REAL
+standard formats need only the stdlib and public specs, so
+``_decode_payload`` now handles three codecs for real: the header-framed
+raw-gray format below (``RAW_MIME``), PNG (from-scratch encoder+decoder
+over stdlib zlib — RFC 2083 chunks, CRCs, and all five scanline filters),
+and WAV (stdlib ``wave``, 8-bit PCM mono). Formats that genuinely need an
+external library (JPEG's DCT pipeline) still raise NotImplementedError at
+the same single swap point.
 
 The fixture corpus has no binary table, so payloads are derived
 deterministically from documents.text (utf-8 encode) — both engines
@@ -63,6 +64,10 @@ def payload_metadata(docs: DataFrame) -> DataFrame:
 RAW_MAGIC = b"RAWI"
 RAW_MIME = "image/x-raw"
 IMG_W = 16  # fixed row width when framing text bytes as a gray image
+# 'video' framing: FRAME_BYTES-sized frames, every FRAME_STRIDE-th sampled
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # sample every 4th frame
+_P31 = 2_147_483_647
 
 
 def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
@@ -87,6 +92,8 @@ def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
             )
         pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9)
         return pixels.reshape(h, w, c)
+    if mime == PNG_MIME:
+        return _decode_png(payload)
     raise NotImplementedError(
         f"decoding {mime!r} requires imaging/audio libraries not present "
         "in this environment; production swaps this one function"
@@ -119,13 +126,14 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stats(docs: DataFrame) -> DataFrame:
-    """Decode the RAW_MIME payloads FOR REAL (magic check, header parse,
-    buffer reshape via ``_decode_payload``) and emit exact-integer image
+def _image_stats_over(p: DataFrame) -> DataFrame:
+    """Shared decode→stats kernel over any (doc_id, payload, mime) frame:
+    ``_decode_payload`` dispatches on the mime, then exact-integer image
     stats — height, n_pixels, pixel sum/max. Arrow-batched mapInPandas,
     one pass, no shuffle; every output is an integer ≤ 2^40 so the DuckDB
-    oracle (byte math over the source text) hashes exactly."""
-    p = with_image_payload(docs)
+    oracle (byte math over the source text) hashes exactly. Because every
+    shipped codec is lossless, all payload framings of the same document
+    share ONE oracle (DECODE_IMAGE_SQL)."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,6 +157,13 @@ def decode_image_stats(docs: DataFrame) -> DataFrame:
         schema="doc_id long, height long, width long, n_pixels long, "
         "px_sum long, px_max long",
     )
+
+
+def decode_image_stats(docs: DataFrame) -> DataFrame:
+    """Decode the RAW_MIME payloads FOR REAL (magic check, header parse,
+    buffer reshape via ``_decode_payload``) and emit exact-integer image
+    stats via the shared kernel (see ``_image_stats_over``)."""
+    return _image_stats_over(with_image_payload(docs))
 
 
 # Exact-integer oracle for decode_image_stats: the decoded pixels ARE the
@@ -259,6 +274,423 @@ FROM (SELECT doc_id, text,
 """
 
 
+# --- PNG: a REAL standard codec, stdlib-only (round 8) -------------------
+# The container ships no imaging libraries, but PNG (RFC 2083 / ISO 15948)
+# for 8-bit grayscale needs only zlib (stdlib) plus the five public
+# scanline filters — so the "library-backed codec" swap point
+# (_decode_payload) gains a real standard format: a from-scratch encoder
+# AND decoder, chunk CRCs verified, all five filter types exercised
+# (the encoder cycles filters by row so a decoder that skips Paeth or
+# Average cannot pass the shared byte-math oracle). PNG is lossless, so
+# mm_decode_png_stats shares DECODE_IMAGE_SQL verbatim with the raw path.
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 1) uint8 grayscale image as a PNG (bit depth 8,
+    color type 0). Filter type for row r is r % 5, so every stream longer
+    than 4 rows contains all five filters. zlib level pinned for
+    determinism (same bytes on every executor/run)."""
+    import zlib
+
+    h, w, c = img.shape
+    if c != 1 or h < 1 or w < 1:
+        raise ValueError(f"PNG encoder handles non-empty gray images, got {img.shape}")
+    gray = img[:, :, 0]
+    prior = np.zeros(w, dtype=np.int16)
+    lines = bytearray()
+    for r in range(h):
+        raw = gray[r].astype(np.int16)
+        left = np.concatenate(([0], raw[:-1]))
+        upleft = np.concatenate(([0], prior[:-1]))
+        ftype = r % 5
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:
+            filt = raw - left
+        elif ftype == 2:
+            filt = raw - prior
+        elif ftype == 3:
+            filt = raw - (left + prior) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prior, upleft)],
+                dtype=np.int16,
+            )
+            filt = raw - pred
+        lines.append(ftype)
+        lines.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # depth 8, gray, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decoder for the subset the encoder emits (8-bit
+    grayscale, non-interlaced), strict: signature, chunk CRCs, IHDR
+    fields, inflated length, and filter types are all verified loudly —
+    a corrupt payload must fail, not decode a garbage prefix."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"bad PNG signature: {payload[:8]!r}")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        n = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + n]
+        crc = int.from_bytes(payload[pos + 8 + n:pos + 12 + n], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+            if (depth, color, interlace) != (8, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant depth={depth} color={color} "
+                    f"interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + n
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream — keep errors typed
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"PNG inflated size {len(raw)} != {h}x({w}+1)")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (w + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w, offset=r * (w + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            recon = line % 256
+        elif ftype == 2:
+            recon = (line + prior) % 256
+        elif ftype in (1, 3, 4):
+            recon = np.zeros(w, dtype=np.int32)
+            left = 0
+            for i in range(w):
+                up = int(prior[i])
+                upleft = int(prior[i - 1]) if i else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, upleft)
+                left = (int(line[i]) + pred) % 256
+                recon[i] = left
+        else:
+            raise ValueError(f"PNG filter type {ftype} out of range")
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w, 1)
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """Re-frame each document's raw-gray image as a REAL PNG payload:
+    the JVM-assembled RAW_MIME frame flows into an Arrow-batched encode
+    kernel (decode raw → ``_encode_png``). Chained mapInPandas stages
+    fuse into one Spark stage (no shuffle), so at 100 TB this is still
+    one pass over the binary column. The empty document (h=0) has no
+    valid PNG form — it passes through as its 16×0 RAW frame, which the
+    shared stats kernel already decodes to the 0-pixel image, keeping
+    the oracle identical (tests pin that ONLY empty docs take this
+    path)."""
+    p = with_image_payload(docs)
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                img = _decode_payload(bytes(payload), mime)
+                if img.shape[0] == 0:
+                    payloads.append(bytes(payload))
+                    mimes.append(RAW_MIME)
+                else:
+                    payloads.append(_encode_png(img))
+                    mimes.append(PNG_MIME)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return p.mapInPandas(_enc, schema="doc_id long, payload binary, mime string")
+
+
+def decode_png_stats(docs: DataFrame) -> DataFrame:
+    """Decode REAL PNG payloads (signature, chunk walk, CRC verify, zlib
+    inflate, all five scanline unfilters) and emit the same exact-integer
+    stats as the raw path — PNG is lossless, so DECODE_IMAGE_SQL is the
+    oracle verbatim."""
+    return _image_stats_over(with_png_payload(docs))
+
+
+# --- WAV: RIFF/PCM audio via the stdlib wave module (round 8) ------------
+# 8-bit PCM mono: samples ARE the unsigned bytes, so the sample stats of
+# the WAV framing of a document are byte math over its text — the same
+# ASCII-fixture oracle discipline as the image paths.
+WAV_MIME = "audio/wav"
+WAV_RATE = 8000
+
+
+def _encode_wav(samples: bytes) -> bytes:
+    """Frame bytes as an 8-bit PCM mono WAV at WAV_RATE Hz (stdlib
+    ``wave`` — a real library-backed encoder)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(WAV_RATE)
+        wf.writeframes(samples)
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a WAV container (stdlib ``wave``), returning (samples uint8,
+    sample rate). Strict on format: only 8-bit mono is meaningful here."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 1:
+            raise ValueError(
+                f"unsupported WAV layout: {wf.getnchannels()}ch "
+                f"{wf.getsampwidth() * 8}-bit"
+            )
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype=np.uint8), rate
+
+
+def decode_wav_stats(docs: DataFrame) -> DataFrame:
+    """Round-trip each document through a REAL audio container: text bytes
+    → 8-bit PCM mono WAV (stdlib wave encoder) → WAV parse → exact-integer
+    sample stats (count, sum, max, duration in ms at WAV_RATE). One
+    Arrow-batched mapInPandas pass, no shuffle; PCM is lossless so the
+    DuckDB byte-math oracle (DECODE_WAV_SQL) hashes exactly."""
+    p = with_payload(docs)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_sum": [],
+                   "sample_max": [], "duration_ms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = _encode_wav(bytes(payload))
+                samples, rate = _decode_wav(wav)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(samples.size)
+                out["sample_sum"].append(int(samples.sum()) if samples.size else 0)
+                out["sample_max"].append(int(samples.max()) if samples.size else 0)
+                out["duration_ms"].append(samples.size * 1000 // rate)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, n_samples long, sample_sum long, "
+        "sample_max long, duration_ms long",
+    )
+
+
+# Exact-integer oracle for decode_wav_stats: 8-bit PCM samples are the
+# text bytes (ASCII invariant as for FRAME_SAMPLE_SQL); duration is the
+# integer-division millisecond count at WAV_RATE.
+DECODE_WAV_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS sample_sum,
+       CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS sample_max,
+       CAST(length(text) * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def audio_features(docs: DataFrame) -> DataFrame:
+    """Signal features over the decoded WAV samples — the audio analogue
+    of the image feature-extract verb: energy (sum of squared samples),
+    peak, dynamic range, and MEAN-CROSSING count (how often the signal
+    crosses its own exact mean — computed in integers as sign changes of
+    s_i·n − Σs, so both engines agree bit-for-bit; the PCM midline 128
+    would be a constant-zero feature on an ASCII-derived corpus). One
+    Arrow-batched mapInPandas pass through the real WAV round-trip, no
+    shuffle; every output is an exact integer so AUDIO_FEATURES_SQL
+    hashes verbatim."""
+    p = with_payload(docs)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "energy": [],
+                   "peak": [], "dyn_range": [], "mean_crossings": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = _decode_wav(_encode_wav(bytes(payload)))
+                s = samples.astype(np.int64)
+                n = s.size
+                if n:
+                    total = int(s.sum())
+                    # above-mean indicator via the exact rational mean:
+                    # s_i >= total/n  ⇔  s_i * n >= total (n > 0)
+                    above = s * n >= total
+                    crossings = int((above[1:] != above[:-1]).sum())
+                else:
+                    crossings = 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["energy"].append(int((s * s).sum()) if n else 0)
+                out["peak"].append(int(s.max()) if n else 0)
+                out["dyn_range"].append(int(s.max() - s.min()) if n else 0)
+                out["mean_crossings"].append(crossings)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _feat,
+        schema="doc_id long, n_samples long, energy long, peak long, "
+        "dyn_range long, mean_crossings long",
+    )
+
+
+# Exact-integer oracle for audio_features. The mean-crossing indicator is
+# the same integer comparison the kernel uses (byte·n >= Σbytes); the
+# empty doc yields zeros via the coalesces.
+AUDIO_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)) * ascii(substring(text, i, 1)))),
+           0) AS BIGINT) AS energy,
+       CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS peak,
+       CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0)
+          - coalesce(list_min(list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS dyn_range,
+       CAST(coalesce(list_sum(list_transform(range(2, length(text) + 1),
+             i -> CASE WHEN (ascii(substring(text, i, 1)) * length(text) >= txt_sum)
+                        <> (ascii(substring(text, i - 1, 1)) * length(text) >= txt_sum)
+                       THEN 1 ELSE 0 END)), 0) AS BIGINT) AS mean_crossings
+FROM (SELECT doc_id, text,
+             coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> ascii(substring(text, i, 1)))), 0) AS txt_sum
+      FROM documents)
+"""
+
+
+SCENE_THRESHOLD = 256  # L1 frame-pair distance above which a cut is declared
+
+
+def scene_cuts(docs: DataFrame) -> DataFrame:
+    """Scene-change detection over the 'video' payload — the verb after
+    frame sampling in a video curation pipeline: consecutive
+    FRAME_BYTES-frame pairs (last frame zero-padded, same convention as
+    the image framing) are compared by L1 distance; a pair farther apart
+    than SCENE_THRESHOLD is a cut. Emits the cut count and the maximum
+    frame-pair distance. Per-row integer byte math in one Arrow-batched
+    mapInPandas pass — at 100 TB this is a scan, no shuffle — and exactly
+    reproducible in SQL (SCENE_CUTS_SQL)."""
+    p = with_payload(docs)
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "max_diff": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                padded = b + b"\x00" * (n_frames * FRAME_BYTES - len(b))
+                arr = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+                frames = arr.reshape(n_frames, FRAME_BYTES) if n_frames else (
+                    np.zeros((0, FRAME_BYTES), dtype=np.int64)
+                )
+                if n_frames > 1:
+                    diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                    n_cuts = int((diffs > SCENE_THRESHOLD).sum())
+                    max_diff = int(diffs.max())
+                else:
+                    n_cuts, max_diff = 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_cuts"].append(n_cuts)
+                out["max_diff"].append(max_diff)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _cuts,
+        schema="doc_id long, n_frames long, n_cuts long, max_diff long",
+    )
+
+
+# Exact-integer oracle for scene_cuts: byte k (0-based) of the padded
+# frame stream is ascii(text[k+1]) inside the text and 0 in the padding;
+# frame pair f (1-based over frames) compares bytes f·16+j vs (f−1)·16+j.
+_FRAME_BYTE = (
+    "CASE WHEN {pos} + 1 <= length(text)"
+    " THEN ascii(substring(text, CAST({pos} + 1 AS INT), 1)) ELSE 0 END"
+)
+_PAIR_DIFF = (
+    f"list_sum(list_transform(range(0, {FRAME_BYTES}), j -> abs("
+    + _FRAME_BYTE.format(pos=f"f * {FRAME_BYTES} + j")
+    + " - "
+    + _FRAME_BYTE.format(pos=f"(f - 1) * {FRAME_BYTES} + j")
+    + ")))"
+)
+SCENE_CUTS_SQL = f"""
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(coalesce(list_sum(list_transform(range(1, CAST(n_frames AS INT)),
+             f -> CASE WHEN {_PAIR_DIFF} > {SCENE_THRESHOLD}
+                       THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_cuts,
+       CAST(coalesce(list_max(list_transform(range(1, CAST(n_frames AS INT)),
+             f -> {_PAIR_DIFF})), 0) AS BIGINT) AS max_diff
+FROM (SELECT doc_id, text,
+             ceil(length(text) / {FRAME_BYTES}.0) AS n_frames
+      FROM documents)
+"""
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in feature extractor: byte-histogram moments.
     Stable across runs/partitions — lets the distributed plumbing be tested
@@ -304,9 +736,6 @@ def extract_features(docs: DataFrame, use_real_decoder: bool = False) -> DataFra
     return p.mapInPandas(_extract, schema="doc_id long, features array<float>")
 
 
-FRAME_BYTES = 16
-FRAME_STRIDE = 4  # sample every 4th frame
-_P31 = 2_147_483_647
 
 
 def frame_sample(docs: DataFrame) -> DataFrame:

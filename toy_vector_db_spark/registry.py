@@ -167,7 +167,12 @@ _PRIORITY = [
     # (streaming keeps streaming_vector_ingest in-window).
     "hnsw_upsert_search", "hnsw_delete_search",
     "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
-    "knn_ivfpq", "ivfpq_build", "ivfpq_partitioned_search",
+    # (round 8, late session: knn_ivfpq — driver-green r4-r7 with FIVE
+    # lifecycle/filtered siblings staying in-window — and
+    # knn_hnsw_routed_exhaustive — green r5-r7; the routed lifecycle trio
+    # rides the same exhaustive-degenerate oracle — rotate out for the
+    # two new signal verbs mm_audio_features / mm_scene_cuts)
+    "ivfpq_build",
     "ivfpq_upsert_search", "ivfpq_delete_search", "ivfpq_compact_search",
     "bq_codes", "knn_bq_rerank", "knn_ivfpq_filtered",
     # round-8 late rotation: the quantizer composition matrix's IVF-SQ /
@@ -176,11 +181,17 @@ _PRIORITY = [
     "ivfsq_upsert_search", "ivfsq_delete_search",
     "knn_ivfbq", "knn_ivfbq_filtered",
     "knn_hnsw_routed",
-    "knn_hnsw_routed_exhaustive",
     "hybrid_rrf_ivfpq",
-    "decontaminate_eval_fixture",
     "decontaminate_embedding",
-    "mm_resize",
+    # (round 8, late session: the two REAL-codec keys created this
+    # session — mm_decode_png_stats (from-scratch stdlib-zlib PNG,
+    # all five scanline filters, CRC-strict) and mm_decode_wav_stats
+    # (stdlib-wave 8-bit PCM container) — rotate in immediately,
+    # displacing ivfpq_partitioned_search (green r5-r7; four IVF-PQ
+    # lifecycle siblings stay in-window) and decontaminate_eval_fixture
+    # (green r5-r7; sibling decontaminate_embedding stays).)
+    "mm_resize", "mm_decode_png_stats", "mm_decode_wav_stats",
+    "mm_audio_features", "mm_scene_cuts",
     # -- structured streaming --
     # (round 6: streaming_sliding_counts — driver-green r4 and r5 —
     # rotated out for streaming_vector_ingest; round 7 rotates out
@@ -3278,14 +3289,68 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_image_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_decode_png_stats")
+def q_mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL standard codec through the decode hook (round 8): each
+    document's raw-gray image is re-framed as a PNG (from-scratch
+    stdlib-zlib encoder, filter type cycling through all five public
+    scanline filters) and decoded by a from-scratch strict PNG decoder
+    (signature, chunk CRCs, IHDR fields, inflate-length and filter-range
+    checks). PNG is lossless, so the stats hash against the SAME DuckDB
+    byte-math oracle as the raw path — a wrong unfilter cannot hide."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_png_stats(table(spark, sf_dir, "documents"))
+
+
+@register("mm_decode_wav_stats")
+def q_mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio container through the decode hook (round 8): text
+    bytes framed as 8-bit PCM mono WAV via the stdlib wave encoder, then
+    parsed back (layout-strict) for exact-integer sample stats — PCM is
+    lossless, so the DuckDB byte-math oracle hashes exactly."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_wav_stats(table(spark, sf_dir, "documents"))
+
+
+@register("mm_audio_features")
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal features over the decoded WAV samples (round 8):
+    energy, peak, dynamic range, and exact-rational mean-crossing count —
+    the audio analogue of the image feature-extract verb, all integers so
+    the byte-math oracle hashes verbatim."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.audio_features(table(spark, sf_dir, "documents"))
+
+
+@register("mm_scene_cuts")
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the frame stream (round 8): L1
+    distance between consecutive zero-padded 16-byte frames, cut where
+    it exceeds SCENE_THRESHOLD — the video curation verb after frame
+    sampling; exact-integer frame math, oracled."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.scene_cuts(table(spark, sf_dir, "documents"))
+
+
 def _register_mm_oracles() -> None:
     from toy_vector_db_spark.operators.multimodal import (
+        AUDIO_FEATURES_SQL,
         DECODE_IMAGE_SQL,
+        DECODE_WAV_SQL,
         FEATURE_EXTRACT_SQL,
         FRAME_SAMPLE_SQL,
         RESIZE_SQL,
+        SCENE_CUTS_SQL,
     )
 
+    _ORACLES["mm_decode_png_stats"] = DECODE_IMAGE_SQL
+    _ORACLES["mm_decode_wav_stats"] = DECODE_WAV_SQL
+    _ORACLES["mm_audio_features"] = AUDIO_FEATURES_SQL
+    _ORACLES["mm_scene_cuts"] = SCENE_CUTS_SQL
     _ORACLES["mm_frame_sample"] = FRAME_SAMPLE_SQL
     _ORACLES["mm_feature_extract"] = FEATURE_EXTRACT_SQL
     _ORACLES["mm_decode_image_stats"] = DECODE_IMAGE_SQL
