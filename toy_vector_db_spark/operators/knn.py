@@ -32,6 +32,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.arrowkit import list_col_to_matrix
+
 from toy_vector_db_spark.functions import vector as V
 
 
@@ -348,7 +350,7 @@ def pair_scores(
             if batch.num_rows == 0:
                 continue
             ids = batch.column(id_col).to_numpy()
-            X = np.array(batch.column("_vd").to_pylist(), dtype=np.float64)
+            X = list_col_to_matrix(batch.column("_vd"))
             n, d = X.shape
             mag = np.zeros(n)
             for j in range(d):

@@ -31,6 +31,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from toy_vector_db_spark.functions.arrowkit import (
+    list_col_to_matrix,
+    matrix_to_list_array,
+)
+
 from toy_vector_db_spark.functions.rounding import rnd
 
 from toy_vector_db_spark.functions import vector as V
@@ -932,11 +937,11 @@ def encode_codes(
     def _encode(batches):
         for batch in batches:
             if batch.num_rows == 0:
-                # a zero-row batch yields a 1-D (0,) array from to_pylist,
-                # which the [:, slice] below would IndexError on
+                # a zero-row batch yields a (0, 0) matrix whose d the
+                # subspace slices below would misread — skip it
                 continue
             ids = batch.column(id_col).to_numpy()
-            X = np.array(batch.column("_vd").to_pylist(), dtype=np.float64)
+            X = list_col_to_matrix(batch.column("_vd"))
             n, d = X.shape
             mag = np.zeros(n)
             for j in range(d):
@@ -1014,7 +1019,7 @@ def _adc_lut_frame(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            X = np.array(batch.column("_qv").to_pylist(), dtype=np.float64)
+            X = list_col_to_matrix(batch.column("_qv"))
             n, d = X.shape
             mag = np.zeros(n)
             for j in range(d):
@@ -1027,9 +1032,7 @@ def _adc_lut_frame(
                 vm = nv[:, m * sub: (m + 1) * sub]
                 diff = vm[:, None, :] - b_arr[m][None, :, :]
                 dd = np.cumsum(diff * diff, axis=2)[:, :, -1]  # (n, K)
-                arrays.append(
-                    pa.array(dd.tolist(), type=pa.list_(pa.float64()))
-                )
+                arrays.append(matrix_to_list_array(dd))
                 names.append(f"_lut{m}")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
@@ -1686,7 +1689,7 @@ def _sq_pair_adc(
             if batch.num_rows == 0:
                 continue
             ids = batch.column(id_col).to_numpy()
-            D = np.array(batch.column("deq").to_pylist(), dtype=np.float64)
+            D = list_col_to_matrix(batch.column("deq"))
             n, d = D.shape
             acc = np.zeros((n, n_q))
             for j in range(d):
