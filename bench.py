@@ -109,11 +109,12 @@ HEADLINE = [
     "decontaminate_ngram",
     "doc_repetition_stats",
     "model_quality_inference",
-    # the REAL-codec multimodal path (round 8 late session): per-row
-    # stdlib-zlib PNG encode+decode through chained mapInPandas — the
-    # most Python-heavy per-byte key in the repo, benched so codec-path
-    # cost is tracked per-round
+    # the REAL-codec multimodal paths (round 8 late session): per-row
+    # stdlib-zlib PNG encode+decode and from-scratch baseline-JPEG
+    # round-trip through chained mapInPandas — the most Python-heavy
+    # per-byte keys in the repo, benched so codec-path cost is tracked
     "mm_decode_png_stats",
+    "mm_decode_jpeg_stats",
 ]
 
 

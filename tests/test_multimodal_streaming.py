@@ -19,11 +19,36 @@ def test_feature_extract_matches_jvm_metadata(spark, documents):
     assert diff.count() == 0
 
 
-def test_library_codecs_still_stubbed():
-    """Mimes with no in-container implementation (JPEG needs a DCT
-    library) keep the documented swap point; PNG/WAV are now REAL."""
+def test_unimplemented_mimes_keep_the_swap_point():
+    """RAW/PNG/JPEG/WAV are all real now; a mime with no in-container
+    implementation still raises at the single swap-point function."""
     with pytest.raises(NotImplementedError):
-        multimodal._decode_payload(b"\xff\xd8", "image/jpeg")
+        multimodal._decode_payload(b"\x00\x00\x00\x18ftyp", "video/mp4")
+
+
+def test_jpeg_payload_frame_only_empty_docs_stay_raw(spark, documents):
+    """with_jpeg_payload mirrors the PNG framing contract: every
+    non-empty document becomes a real JPEG (SOI magic), the RAW fallback
+    is taken only by empty docs."""
+    p = multimodal.with_jpeg_payload(documents)
+    rows = p.collect()
+    empty_ids = {
+        r.doc_id
+        for r in documents.where(F.length("text") == 0).select("doc_id").collect()
+    }
+    for r in rows:
+        if r.doc_id in empty_ids:
+            assert r.mime == multimodal.RAW_MIME
+        else:
+            assert r.mime == multimodal.JPEG_MIME
+            assert bytes(r.payload[:2]) == b"\xff\xd8"
+
+
+def test_jpeg_stats_within_tol_everywhere(spark, documents):
+    """The corpus-wide tolerance verdict the driver hashes: every doc's
+    JPEG round-trip lands within JPEG_TOL of the source pixels."""
+    rows = multimodal.decode_jpeg_stats(documents).collect()
+    assert rows and all(r.within_tol for r in rows)
 
 
 def test_png_codec_roundtrips_all_filters():

@@ -1,0 +1,377 @@
+"""Baseline JPEG (ITU-T T.81) for 8-bit grayscale, from scratch.
+
+The container ships no imaging library, but baseline sequential JPEG is
+public spec + numpy: 8×8 level-shifted blocks through an orthonormal
+2-D DCT-II, Annex K table K.1 quantization, zigzag, DC-differential +
+AC run-length coding under the standard Annex K luminance Huffman
+tables, 0xFF byte stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker
+frame. The decoder walks the markers strictly, rebuilds canonical
+Huffman codes from the DHT segments it actually read (not from the
+module constants — a corrupted table must fail, not silently decode),
+dequantizes, inverse-DCTs, and crops the edge-replicated padding.
+
+JPEG is LOSSY: round-trip equality is a bounded-error property, not
+bit-identity, so unlike the PNG path the pixel values cannot share the
+raw byte-math oracle. What IS exact and SQL-derivable is the structure
+(dims from SOF0, MCU grid) and a tolerance verdict; the pixel-accuracy
+bound itself is pinned by tests on smooth/flat/random images.
+
+Everything here derives from the public standard: quantization and
+Huffman constants are Annex K of T.81, the DCT is the textbook
+orthonormal matrix form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Annex K, table K.1 — luminance quantization (quality 50).
+QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K tables K.3 / K.5 — standard luminance Huffman specs
+# (BITS: code count per length 1..16; HUFFVAL: symbols in code order).
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64-entry zigzag scan: diagonals of constant i+j, direction
+    alternating (odd sums walk down-left, even sums up-right)."""
+    out = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        out.extend(ij if s % 2 else ij[::-1])
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    C *= np.sqrt(2.0 / 8.0)
+    C[0] *= np.sqrt(0.5)
+    return C
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical Huffman assignment (T.81 C.2)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
+_AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _amp_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Baseline-JPEG encode of an (h, w, 1) uint8 grayscale image.
+    Dims pad to multiples of 8 by edge replication (decoder crops via
+    the SOF0 dims). Deterministic: fixed tables, integer quantization
+    via round-half-away (np.rint is half-even; T.81 leaves this free —
+    decoder independence means either works, pinned by tests)."""
+    h, w, c = img.shape
+    if c != 1 or h < 1 or w < 1 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"JPEG encoder handles non-empty gray images, got {img.shape}")
+    gray = img[:, :, 0].astype(np.float64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    zz_r = np.array([p[0] for p in ZIGZAG])
+    zz_c = np.array([p[1] for p in ZIGZAG])
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coef = _DCT @ blk @ _DCT.T
+            q = np.floor(coef / QUANT + 0.5).astype(np.int64)
+            zz = q[zz_r, zz_c]
+            dc = int(zz[0])
+            diff = dc - prev_dc
+            prev_dc = dc
+            s = _category(diff)
+            code, ln = _DC_ENC[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(_amp_bits(diff, s), s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                if i > last_nz:
+                    break
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = _AC_ENC[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(_amp_bits(v, s), s)
+                run = 0
+            if last_nz < 63:
+                code, ln = _AC_ENC[0x00]  # EOB
+                bw.write(code, ln)
+
+    qt_zz = bytes(int(QUANT[r, cc]) for r, cc in ZIGZAG)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xDB, b"\x00" + qt_zz)  # DQT (Pq=0, Tq=0)
+        + _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))  # SOF0: 1 component, no subsampling
+        + _seg(0xC4, dht)  # DHT (DC class 0 + AC class 1, both id 0)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+            self.pos += 1  # skip the stuffed 0x00
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_tables(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, built from a DHT segment's spec. Strict:
+    a count/value mismatch or a code overflowing its bit length means a
+    corrupt table and must be a typed error, not an IndexError."""
+    if sum(bits) != len(vals):
+        raise ValueError(
+            f"DHT spec claims {sum(bits)} codes but carries {len(vals)} values"
+        )
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError(f"DHT code overflow at length {length}")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG decode of the grayscale subset the encoder emits.
+    Strict: markers, table ids, component layout, and stream validity
+    all fail loudly. Tables come from the DHT/DQT segments in the file."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"bad JPEG SOI: {payload[:2]!r}")
+    pos = 2
+    quant = None
+    dc_tab = ac_tab = None
+    h = w = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            if seg[0] != 0x00:
+                raise ValueError("only 8-bit quant table 0 supported")
+            q = np.zeros((8, 8), dtype=np.int32)
+            for idx, (r, cc) in enumerate(ZIGZAG):
+                q[r, cc] = seg[1 + idx]
+            quant = q
+        elif marker == 0xC0:
+            if seg[0] != 8 or seg[5] != 1:
+                raise ValueError("only 8-bit single-component SOF0 supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[7] != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17:off + 17 + nv])
+                tab = _decode_tables(bits, vals)
+                if tc_th == 0x00:
+                    dc_tab = tab
+                elif tc_th == 0x10:
+                    ac_tab = tab
+                else:
+                    raise ValueError(f"unsupported DHT id {tc_th:#x}")
+                off += 17 + nv
+        elif marker == 0xDA:
+            if seg[:2] != bytes([1, 1]) or seg[2] != 0x00:
+                raise ValueError("unsupported SOS layout")
+            pos = pos + 2 + ln
+            break
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"non-baseline SOF marker {marker:#x}")
+        pos = pos + 2 + ln
+    if quant is None or dc_tab is None or ac_tab is None or h is None:
+        raise ValueError("JPEG missing DQT/DHT/SOF0 before SOS")
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("JPEG missing EOI")
+
+    br = _BitReader(payload[pos:-2])
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _read_symbol(br, dc_tab)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {sym:#x}")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _extend(br.bits(size), size)
+                i += 1
+            blk = np.zeros((8, 8), dtype=np.float64)
+            for idx, (r, cc) in enumerate(ZIGZAG):
+                blk[r, cc] = zz[idx] * quant[r, cc]
+            pix = _DCT.T @ blk @ _DCT + 128.0
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    clipped = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return clipped[:h, :w].reshape(h, w, 1)

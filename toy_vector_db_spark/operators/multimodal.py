@@ -6,14 +6,15 @@ metadata; the Spark-side contract is (a) binary stays opaque to Catalyst,
 ``mapInPandas``, (c) metadata extraction that doesn't need decoding stays
 in codegen'd JVM expressions.
 
-The harness container ships no image/audio libraries, but two REAL
-standard formats need only the stdlib and public specs, so
-``_decode_payload`` now handles three codecs for real: the header-framed
+The harness container ships no image/audio libraries, but the standard
+formats here need only the stdlib, numpy, and public specs, so
+``_decode_payload`` now handles four codecs for real: the header-framed
 raw-gray format below (``RAW_MIME``), PNG (from-scratch encoder+decoder
 over stdlib zlib — RFC 2083 chunks, CRCs, and all five scanline filters),
-and WAV (stdlib ``wave``, 8-bit PCM mono). Formats that genuinely need an
-external library (JPEG's DCT pipeline) still raise NotImplementedError at
-the same single swap point.
+baseline JPEG (from-scratch DCT + Annex K tables,
+operators/jpegcodec.py), and WAV (stdlib ``wave``, 8-bit PCM mono).
+Mimes with no in-container implementation (e.g. video containers) still
+raise NotImplementedError at the same single swap point.
 
 The fixture corpus has no binary table, so payloads are derived
 deterministically from documents.text (utf-8 encode) — both engines
@@ -94,9 +95,13 @@ def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
         return pixels.reshape(h, w, c)
     if mime == PNG_MIME:
         return _decode_png(payload)
+    if mime == JPEG_MIME:
+        from toy_vector_db_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"decoding {mime!r} requires imaging/audio libraries not present "
-        "in this environment; production swaps this one function"
+        f"decoding {mime!r} has no in-container implementation; "
+        "production swaps in PIL/libav at this one function"
     )
 
 
@@ -465,6 +470,113 @@ def decode_png_stats(docs: DataFrame) -> DataFrame:
     stats as the raw path — PNG is lossless, so DECODE_IMAGE_SQL is the
     oracle verbatim."""
     return _image_stats_over(with_png_payload(docs))
+
+
+# --- JPEG: baseline T.81, from scratch (round 8) --------------------------
+# JPEG is LOSSY, so unlike PNG its decoded pixels cannot share the raw
+# byte-math oracle. The Spark key therefore emits the exact STRUCTURE
+# (dims, MCU grid — SQL-derivable from the text length) plus a tolerance
+# verdict: max |decoded − source| ≤ JPEG_TOL, with the codec's error
+# bounds pinned separately in tests/test_jpeg.py. The sf0.1 corpus
+# measures worst-case 87 (hard edges at the zero-padding boundary ring
+# hardest); a broken Huffman/DCT produces ~255-scale garbage, so 128
+# separates "lossy" from "wrong" with margin on both sides.
+JPEG_MIME = "image/jpeg"
+JPEG_TOL = 128
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Re-frame each document's raw-gray image as a REAL baseline JPEG
+    (operators/jpegcodec.py — from-scratch DCT + Annex K tables). Same
+    chained-kernel shape as with_png_payload; the empty document (h=0)
+    passes through as its RAW frame."""
+    from toy_vector_db_spark.operators.jpegcodec import encode_jpeg
+
+    p = with_image_payload(docs)
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                img = _decode_payload(bytes(payload), mime)
+                if img.shape[0] == 0:
+                    payloads.append(bytes(payload))
+                    mimes.append(RAW_MIME)
+                else:
+                    payloads.append(encode_jpeg(img))
+                    mimes.append(JPEG_MIME)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return p.mapInPandas(_enc, schema="doc_id long, payload binary, mime string")
+
+
+def decode_jpeg_stats(docs: DataFrame) -> DataFrame:
+    """Round-trip each document's image through REAL baseline JPEG and
+    decode it back (marker walk, in-file Huffman tables, dequant, IDCT,
+    crop), emitting the exact structure — source height/width, MCU grid
+    parsed back from the SOF0 dims — and the tolerance verdict
+    ``within_tol`` (max abs pixel error ≤ JPEG_TOL vs the raw source).
+    A wrong table, scan order, or IDCT either throws (red driver row) or
+    lands outside tolerance (hash mismatch on the boolean) — lossiness
+    doesn't exempt the codec from the driver's eye. One kernel over the
+    JVM raw framing does the whole round-trip (decode raw → encode JPEG
+    → decode JPEG → compare): no join, no shuffle, one scan."""
+    from toy_vector_db_spark.operators.jpegcodec import encode_jpeg
+
+    p = with_image_payload(docs)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [],
+                   "mcus_x": [], "mcus_y": [], "within_tol": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                src = _decode_payload(bytes(payload), mime)
+                img = (
+                    _decode_payload(encode_jpeg(src), JPEG_MIME)
+                    if src.shape[0] else src
+                )
+                h, w, _c = img.shape
+                if img.size:
+                    err = int(
+                        np.abs(img.astype(np.int64) - src.astype(np.int64)).max()
+                    )
+                    mx, my = -(-w // 8), -(-h // 8)
+                else:
+                    # the 0-row raw fallback frame: structurally empty
+                    err, mx, my, w = 0, 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["mcus_x"].append(mx)
+                out["mcus_y"].append(my)
+                out["within_tol"].append(err <= JPEG_TOL)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, height long, width long, mcus_x long, "
+        "mcus_y long, within_tol boolean",
+    )
+
+
+# Structure is exact and SQL-derivable (dims from the text length, MCU
+# grid = ceil(dims/8), zeros for the empty doc); within_tol is the
+# codec-quality verdict the kernel must reproduce.
+DECODE_JPEG_SQL = f"""
+SELECT doc_id,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN h = 0 THEN 0 ELSE {IMG_W} END AS BIGINT) AS width,
+       CAST(CASE WHEN h = 0 THEN 0 ELSE {-(-IMG_W // 8)} END AS BIGINT) AS mcus_x,
+       CAST((h + 7) // 8 AS BIGINT) AS mcus_y,
+       TRUE AS within_tol
+FROM (SELECT doc_id,
+             CAST(ceil(length(text) / {IMG_W}.0) AS BIGINT) AS h
+      FROM documents)
+"""
 
 
 # --- WAV: RIFF/PCM audio via the stdlib wave module (round 8) ------------

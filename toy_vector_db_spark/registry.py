@@ -192,12 +192,16 @@ _PRIORITY = [
     # (green r5-r7; sibling decontaminate_embedding stays).)
     "mm_resize", "mm_decode_png_stats", "mm_decode_wav_stats",
     "mm_audio_features", "mm_scene_cuts",
+    # (round 8, late session: mm_decode_jpeg_stats — the from-scratch
+    # baseline-JPEG round-trip — rotates in, displacing
+    # streaming_vector_ingest (green r6-r7; the streaming family keeps
+    # streaming_hnsw_ingest AND streaming_sq_ingest in-window))
+    "mm_decode_jpeg_stats",
     # -- structured streaming --
     # (round 6: streaming_sliding_counts — driver-green r4 and r5 —
     # rotated out for streaming_vector_ingest; round 7 rotates out
     # streaming_dedup_counts — green r5 and r6 — keeping
     # streaming_vector_ingest as the family's in-window key)
-    "streaming_vector_ingest",
     # -- relational + sketch extensions --
     # (round 6 rotates out running_total_by_supplier, order_priority_pivot,
     # top_customer_set_difference, order_price_percentiles, and
@@ -3314,6 +3318,20 @@ def q_mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_wav_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_decode_jpeg_stats")
+def q_mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG from scratch (round 8): each document's raw-gray
+    image round-trips through operators/jpegcodec.py — orthonormal DCT,
+    Annex K quant + Huffman tables, byte stuffing, strict marker walk
+    with in-file table rebuild. JPEG is lossy, so the key hashes the
+    exact STRUCTURE (dims, MCU grid — SQL-derivable) plus the tolerance
+    verdict max|decoded − source| ≤ JPEG_TOL; codec error bounds are
+    pinned in tests/test_jpeg.py."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_jpeg_stats(table(spark, sf_dir, "documents"))
+
+
 @register("mm_audio_features")
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio signal features over the decoded WAV samples (round 8):
@@ -3340,6 +3358,7 @@ def _register_mm_oracles() -> None:
     from toy_vector_db_spark.operators.multimodal import (
         AUDIO_FEATURES_SQL,
         DECODE_IMAGE_SQL,
+        DECODE_JPEG_SQL,
         DECODE_WAV_SQL,
         FEATURE_EXTRACT_SQL,
         FRAME_SAMPLE_SQL,
@@ -3348,6 +3367,7 @@ def _register_mm_oracles() -> None:
     )
 
     _ORACLES["mm_decode_png_stats"] = DECODE_IMAGE_SQL
+    _ORACLES["mm_decode_jpeg_stats"] = DECODE_JPEG_SQL
     _ORACLES["mm_decode_wav_stats"] = DECODE_WAV_SQL
     _ORACLES["mm_audio_features"] = AUDIO_FEATURES_SQL
     _ORACLES["mm_scene_cuts"] = SCENE_CUTS_SQL
