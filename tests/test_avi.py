@@ -1,0 +1,62 @@
+"""MJPEG-in-AVI container (operators/avicodec.py): structural
+round-trip, JPEG-bounded frame fidelity, strict failure on corrupt
+magic/sizes/header-vs-content mismatches."""
+
+import numpy as np
+import pytest
+
+from toy_vector_db_spark.operators import avicodec as A
+
+
+def _frames(n, h=8, w=16, seed=9):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 1), dtype=np.uint8) for _ in range(n)]
+
+
+def test_roundtrip_and_determinism():
+    frames = _frames(5)
+    avi = A.encode_avi(frames)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert avi == A.encode_avi(frames)
+    dec = A.decode_avi(avi)
+    assert len(dec) == 5
+    for d, s in zip(dec, frames):
+        assert d.shape == s.shape
+        assert np.abs(d.astype(int) - s.astype(int)).max() <= 128
+
+
+def test_single_frame_and_odd_geometry():
+    for h, w in [(8, 16), (3, 5), (16, 16)]:
+        dec = A.decode_avi(A.encode_avi(_frames(1, h, w)))
+        assert len(dec) == 1 and dec[0].shape == (h, w, 1)
+
+
+def test_corruption_is_loud():
+    avi = A.encode_avi(_frames(3))
+    b = bytearray(avi); b[0] ^= 1
+    with pytest.raises(ValueError, match="magic"):
+        A.decode_avi(bytes(b))
+    b = bytearray(avi); b[4] ^= 1
+    with pytest.raises(ValueError, match="RIFF size"):
+        A.decode_avi(bytes(b))
+    with pytest.raises(ValueError):
+        A.decode_avi(avi[:-10])  # truncated movi
+
+
+def test_header_frame_count_is_checked():
+    """The decoder cross-checks avih TotalFrames against the frames it
+    actually decoded — a mismatched header must not pass silently."""
+    avi = bytearray(A.encode_avi(_frames(2)))
+    hdrl = avi.index(b"avih")
+    # TotalFrames sits 16 bytes into the avih payload (after the size word)
+    off = hdrl + 8 + 16
+    avi[off:off + 4] = (7).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frames"):
+        A.decode_avi(bytes(avi))
+
+
+def test_encoder_input_contract():
+    with pytest.raises(ValueError):
+        A.encode_avi([])
+    with pytest.raises(ValueError, match="mixed"):
+        A.encode_avi(_frames(1, 8, 16) + _frames(1, 8, 8))

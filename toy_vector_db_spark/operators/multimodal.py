@@ -579,6 +579,77 @@ FROM (SELECT doc_id,
 """
 
 
+# --- AVI: MJPEG video container, from scratch (round 8) -------------------
+# The video analogue of the image codec keys: text bytes framed as a
+# sequence of VFRAME_H×IMG_W gray frames, wrapped in a REAL RIFF/AVI
+# container with baseline-JPEG frame payloads (operators/avicodec.py),
+# then parsed and per-frame decoded back. Structure is exact and
+# SQL-derivable; pixel fidelity is the same JPEG_TOL verdict as the
+# still-image key.
+VIDEO_MIME = "video/x-msvideo"
+VFRAME_H = 8  # rows per video frame (VFRAME_H * IMG_W bytes per frame)
+
+
+def decode_video_stats(docs: DataFrame) -> DataFrame:
+    """Round-trip each document through a REAL video container: text
+    bytes → VFRAME_H×IMG_W gray frames → MJPEG-in-AVI (RIFF headers,
+    '00dc' JPEG chunks) → strict parse + per-frame JPEG decode. Emits
+    the exact structure (frame count and geometry, verified against the
+    container's own header by the decoder) and the JPEG_TOL fidelity
+    verdict across all frames. One Arrow-batched mapInPandas pass over
+    the payload scan — no join, no shuffle; at 100 TB cost is linear in
+    payload bytes, partition-parallel."""
+    from toy_vector_db_spark.operators.avicodec import decode_avi, encode_avi
+
+    p = with_payload(docs)
+    fbytes = VFRAME_H * IMG_W
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_h": [],
+                   "frame_w": [], "within_tol": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = (len(b) + fbytes - 1) // fbytes
+                if n:
+                    padded = b + b"\x00" * (n * fbytes - len(b))
+                    src = np.frombuffer(padded, dtype=np.uint8).reshape(
+                        n, VFRAME_H, IMG_W, 1
+                    )
+                    dec = decode_avi(encode_avi(list(src)))
+                    err = max(
+                        int(np.abs(d.astype(np.int64) - s.astype(np.int64)).max())
+                        for d, s in zip(dec, src)
+                    )
+                    fh, fw = VFRAME_H, IMG_W
+                else:
+                    err, fh, fw = 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["frame_h"].append(fh)
+                out["frame_w"].append(fw)
+                out["within_tol"].append(err <= JPEG_TOL)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, n_frames long, frame_h long, frame_w long, "
+        "within_tol boolean",
+    )
+
+
+DECODE_VIDEO_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {VFRAME_H * IMG_W}.0) AS BIGINT) AS n_frames,
+       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE {VFRAME_H} END AS BIGINT)
+         AS frame_h,
+       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE {IMG_W} END AS BIGINT)
+         AS frame_w,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
 # --- WAV: RIFF/PCM audio via the stdlib wave module (round 8) ------------
 # 8-bit PCM mono: samples ARE the unsigned bytes, so the sample stats of
 # the WAV framing of a document are byte math over its text — the same

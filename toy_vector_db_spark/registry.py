@@ -195,8 +195,12 @@ _PRIORITY = [
     # (round 8, late session: mm_decode_jpeg_stats — the from-scratch
     # baseline-JPEG round-trip — rotates in, displacing
     # streaming_vector_ingest (green r6-r7; the streaming family keeps
-    # streaming_hnsw_ingest AND streaming_sq_ingest in-window))
-    "mm_decode_jpeg_stats",
+    # streaming_hnsw_ingest AND streaming_sq_ingest in-window);
+    # mm_decode_video_stats — the MJPEG-in-AVI container round-trip —
+    # displaces sketch_event_stats_exact (green r6-r7; sibling
+    # sketch_event_stats stays in-window and the exact twin remains
+    # locally oracle-tested at three SFs))
+    "mm_decode_jpeg_stats", "mm_decode_video_stats",
     # -- structured streaming --
     # (round 6: streaming_sliding_counts — driver-green r4 and r5 —
     # rotated out for streaming_vector_ingest; round 7 rotates out
@@ -208,7 +212,7 @@ _PRIORITY = [
     # customers_without_orders — each driver-green in rounds 4 AND 5 —
     # freeing slots for the round-6 vector-engine keys above; the
     # relational family's driver record is rounds 1-5)
-    "sketch_event_stats", "sketch_event_stats_exact",
+    "sketch_event_stats",
 ]
 
 
@@ -3332,6 +3336,19 @@ def q_mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_jpeg_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_decode_video_stats")
+def q_mm_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container round-trip (round 8): text bytes framed as
+    8x16 gray frames, wrapped as MJPEG-in-AVI (operators/avicodec.py —
+    RIFF headers, per-frame baseline JPEG), strictly parsed and
+    per-frame decoded back. Hashes the exact structure (frame count,
+    geometry — cross-checked against the container's own header) plus
+    the JPEG_TOL fidelity verdict."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_video_stats(table(spark, sf_dir, "documents"))
+
+
 @register("mm_audio_features")
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio signal features over the decoded WAV samples (round 8):
@@ -3359,6 +3376,7 @@ def _register_mm_oracles() -> None:
         AUDIO_FEATURES_SQL,
         DECODE_IMAGE_SQL,
         DECODE_JPEG_SQL,
+        DECODE_VIDEO_SQL,
         DECODE_WAV_SQL,
         FEATURE_EXTRACT_SQL,
         FRAME_SAMPLE_SQL,
@@ -3369,6 +3387,7 @@ def _register_mm_oracles() -> None:
     _ORACLES["mm_decode_png_stats"] = DECODE_IMAGE_SQL
     _ORACLES["mm_decode_jpeg_stats"] = DECODE_JPEG_SQL
     _ORACLES["mm_decode_wav_stats"] = DECODE_WAV_SQL
+    _ORACLES["mm_decode_video_stats"] = DECODE_VIDEO_SQL
     _ORACLES["mm_audio_features"] = AUDIO_FEATURES_SQL
     _ORACLES["mm_scene_cuts"] = SCENE_CUTS_SQL
     _ORACLES["mm_frame_sample"] = FRAME_SAMPLE_SQL
