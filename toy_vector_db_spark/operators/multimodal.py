@@ -131,14 +131,31 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(p: DataFrame) -> DataFrame:
+    """Rebalance a payload frame across the session's cores before a
+    per-byte-expensive Python kernel. The fixture corpus is one parquet
+    row group — one input split — so without this every codec kernel
+    runs single-task on a 32-core session. The exchange moves each
+    payload exactly once, and the kernels behind it cost 10-100× the
+    byte-move per byte (JPEG entropy coding, zlib, per-frame decode), so
+    balance dominates locality at ANY scale — the standard
+    rebalance-before-expensive-map pattern. Row-wise kernels are
+    partition-agnostic: values are bit-identical either way."""
+    sc = p.sparkSession.sparkContext
+    return p.repartition(sc.defaultParallelism)
+
+
 def _image_stats_over(p: DataFrame) -> DataFrame:
     """Shared decode→stats kernel over any (doc_id, payload, mime) frame:
     ``_decode_payload`` dispatches on the mime, then exact-integer image
     stats — height, n_pixels, pixel sum/max. Arrow-batched mapInPandas,
-    one pass, no shuffle; every output is an integer ≤ 2^40 so the DuckDB
+    one pass after the `_spread` balancing exchange; every output is an
+    integer ≤ 2^40 so the DuckDB
     oracle (byte math over the source text) hashes exactly. Because every
     shipped codec is lossless, all payload framings of the same document
     share ONE oracle (DECODE_IMAGE_SQL)."""
+    # callers pass an already-_spread frame (spread sits at the payload
+    # source so upstream encode kernels parallelize too)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -168,7 +185,7 @@ def decode_image_stats(docs: DataFrame) -> DataFrame:
     """Decode the RAW_MIME payloads FOR REAL (magic check, header parse,
     buffer reshape via ``_decode_payload``) and emit exact-integer image
     stats via the shared kernel (see ``_image_stats_over``)."""
-    return _image_stats_over(with_image_payload(docs))
+    return _image_stats_over(_spread(with_image_payload(docs)))
 
 
 # Exact-integer oracle for decode_image_stats: the decoded pixels ARE the
@@ -218,7 +235,7 @@ def resize_image_stats(docs: DataFrame) -> DataFrame:
     resized grid (sum ≤ 64·255, max ≤ 255) so the DuckDB byte-math
     oracle (RESIZE_SQL) hashes exactly; the zero-pixel image (empty doc)
     resizes to all-zeros by definition."""
-    p = with_image_payload(docs)
+    p = _spread(with_image_payload(docs))
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -438,13 +455,13 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     """Re-frame each document's raw-gray image as a REAL PNG payload:
     the JVM-assembled RAW_MIME frame flows into an Arrow-batched encode
     kernel (decode raw → ``_encode_png``). Chained mapInPandas stages
-    fuse into one Spark stage (no shuffle), so at 100 TB this is still
-    one pass over the binary column. The empty document (h=0) has no
+    fuse into one Spark stage after the `_spread` balancing exchange, so
+    at 100 TB this is still one pass over the binary column. The empty document (h=0) has no
     valid PNG form — it passes through as its 16×0 RAW frame, which the
     shared stats kernel already decodes to the 0-pixel image, keeping
     the oracle identical (tests pin that ONLY empty docs take this
     path)."""
-    p = with_image_payload(docs)
+    p = _spread(with_image_payload(docs))
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,7 +509,7 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     passes through as its RAW frame."""
     from toy_vector_db_spark.operators.jpegcodec import encode_jpeg
 
-    p = with_image_payload(docs)
+    p = _spread(with_image_payload(docs))
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,10 +539,11 @@ def decode_jpeg_stats(docs: DataFrame) -> DataFrame:
     lands outside tolerance (hash mismatch on the boolean) — lossiness
     doesn't exempt the codec from the driver's eye. One kernel over the
     JVM raw framing does the whole round-trip (decode raw → encode JPEG
-    → decode JPEG → compare): no join, no shuffle, one scan."""
+    → decode JPEG → compare): no join, one pass after the `_spread`
+    balancing exchange."""
     from toy_vector_db_spark.operators.jpegcodec import encode_jpeg
 
-    p = with_image_payload(docs)
+    p = _spread(with_image_payload(docs))
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -597,11 +615,12 @@ def decode_video_stats(docs: DataFrame) -> DataFrame:
     the exact structure (frame count and geometry, verified against the
     container's own header by the decoder) and the JPEG_TOL fidelity
     verdict across all frames. One Arrow-batched mapInPandas pass over
-    the payload scan — no join, no shuffle; at 100 TB cost is linear in
+    the payload scan (one `_spread` balancing exchange) — no join; at
+    100 TB cost is linear in
     payload bytes, partition-parallel."""
     from toy_vector_db_spark.operators.avicodec import decode_avi, encode_avi
 
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
     fbytes = VFRAME_H * IMG_W
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -694,9 +713,10 @@ def decode_wav_stats(docs: DataFrame) -> DataFrame:
     """Round-trip each document through a REAL audio container: text bytes
     → 8-bit PCM mono WAV (stdlib wave encoder) → WAV parse → exact-integer
     sample stats (count, sum, max, duration in ms at WAV_RATE). One
-    Arrow-batched mapInPandas pass, no shuffle; PCM is lossless so the
+    Arrow-batched mapInPandas pass after the `_spread` balancing
+    exchange; PCM is lossless so the
     DuckDB byte-math oracle (DECODE_WAV_SQL) hashes exactly."""
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -744,7 +764,7 @@ def audio_features(docs: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas pass through the real WAV round-trip, no
     shuffle; every output is an exact integer so AUDIO_FEATURES_SQL
     hashes verbatim."""
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -813,9 +833,9 @@ def scene_cuts(docs: DataFrame) -> DataFrame:
     the image framing) are compared by L1 distance; a pair farther apart
     than SCENE_THRESHOLD is a cut. Emits the cut count and the maximum
     frame-pair distance. Per-row integer byte math in one Arrow-batched
-    mapInPandas pass — at 100 TB this is a scan, no shuffle — and exactly
+    mapInPandas pass (one `_spread` balancing exchange) — and exactly
     reproducible in SQL (SCENE_CUTS_SQL)."""
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
 
     def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -901,7 +921,7 @@ def extract_features(docs: DataFrame, use_real_decoder: bool = False) -> DataFra
     """Arrow-batched feature extraction over the binary column via
     mapInPandas — the scale path for any per-payload Python: one pass, no
     shuffle, batch-vectorized, output schema fixed (id + array<float>)."""
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -928,7 +948,7 @@ def frame_sample(docs: DataFrame) -> DataFrame:
     mapInPandas (the real decode/resize hook sits where the checksum is
     computed — resize is decode-dependent and stubbed with it). The byte
     math is deterministic, so the operator is SQL-oracle-checkable."""
-    p = with_payload(docs)
+    p = _spread(with_payload(docs))
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
