@@ -286,3 +286,19 @@ def test_filtered_ivfpq_probe_broadcasts_metadata(plans):
     assert explain.count_broadcast_joins(plan) >= 3
     # no cartesian product anywhere in the filtered serving plan
     assert "CartesianProduct" not in plan
+
+
+def test_codec_kernels_get_the_balancing_exchange(plans):
+    """Round-8 late session: the per-byte-expensive codec kernels
+    rebalance their payload projection to defaultParallelism before the
+    Python stage (multimodal._spread) — without it the one-row-group
+    fixture pins every codec to a single task. RoundRobin-by-num is
+    AQE-stable (user-specified counts aren't coalesced), so its presence
+    in the plan is the contract; the pure-JVM metadata key must NOT pay
+    the exchange."""
+    for name in ("mm_decode_jpeg_stats", "mm_decode_png_stats",
+                 "mm_decode_video_stats"):
+        plan = plans(name)
+        assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan, name
+        assert "InPandas" in plan, name
+    assert explain.count_exchanges(plans("mm_payload_metadata")) == 0
