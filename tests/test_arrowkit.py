@@ -45,6 +45,14 @@ def test_sliced_batch_honors_offsets():
     assert (out == mat[3:7]).all()
 
 
+def test_zero_width_matrix_roundtrips():
+    """The (n, 0) degenerate — including the (0, 0) its own inverse
+    returns — must build valid empty lists, not trip np.arange."""
+    out = matrix_to_list_array(np.zeros((3, 0)))
+    assert len(out) == 3 and out.to_pylist() == [[], [], []]
+    assert len(matrix_to_list_array(np.zeros((0, 0)))) == 0
+
+
 def test_empty_and_ragged():
     assert list_col_to_matrix(pa.array([], type=pa.list_(pa.float64()))).shape == (0, 0)
     ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))

@@ -41,5 +41,8 @@ def matrix_to_list_array(mat: np.ndarray) -> pa.ListArray:
     type=pa.list_(pa.float64()))``."""
     n, d = mat.shape
     flat = pa.array(mat.reshape(-1), type=pa.float64())
-    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    if d == 0:  # degenerate: n empty lists (np.arange rejects step 0)
+        offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+    else:
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, flat)

@@ -362,6 +362,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     if run != 15:
                         raise ValueError(f"bad AC symbol {sym:#x}")
                     i += 16  # ZRL
+                    if i > 63:
+                        # a conforming encoder emits ZRL only with a
+                        # nonzero coefficient still ahead in the block
+                        raise ValueError("ZRL past block end")
                     continue
                 i += run
                 if i > 63:

@@ -7,14 +7,15 @@ metadata; the Spark-side contract is (a) binary stays opaque to Catalyst,
 in codegen'd JVM expressions.
 
 The harness container ships no image/audio libraries, but the standard
-formats here need only the stdlib, numpy, and public specs, so
-``_decode_payload`` now handles four codecs for real: the header-framed
-raw-gray format below (``RAW_MIME``), PNG (from-scratch encoder+decoder
-over stdlib zlib — RFC 2083 chunks, CRCs, and all five scanline filters),
-baseline JPEG (from-scratch DCT + Annex K tables,
-operators/jpegcodec.py), and WAV (stdlib ``wave``, 8-bit PCM mono).
-Mimes with no in-container implementation (e.g. video containers) still
-raise NotImplementedError at the same single swap point.
+formats here need only the stdlib, numpy, and public specs, so every
+payload type decodes for real: the image hook ``_decode_payload``
+dispatches the header-framed raw-gray format below (``RAW_MIME``), PNG
+(from-scratch encoder+decoder over stdlib zlib — RFC 2083 chunks, CRCs,
+and all five scanline filters), and baseline JPEG (from-scratch DCT +
+Annex K tables, operators/jpegcodec.py); audio rides ``_decode_wav``
+(stdlib ``wave``, 8-bit PCM mono) and video ``avicodec.decode_avi``
+(MJPEG-in-AVI). A mime unknown to ``_decode_payload`` raises
+NotImplementedError at that single image swap point.
 
 The fixture corpus has no binary table, so payloads are derived
 deterministically from documents.text (utf-8 encode) — both engines
@@ -72,12 +73,11 @@ _P31 = 2_147_483_647
 
 
 def _decode_payload(payload: bytes, mime: str) -> np.ndarray:
-    """The decode hook (image/audio/video → pixel/sample array).
+    """The image decode hook ((payload, mime) → pixel ndarray).
 
-    ``image/x-raw`` decodes for real (header-framed raw gray/RGB, above).
-    Library-backed codecs are unavailable in this container; production
-    swaps in PIL/libav HERE — one function, same (payload, mime) → ndarray
-    contract."""
+    RAW, PNG, and JPEG all decode FOR REAL (see the module header); an
+    unknown mime raises here — production plugs PIL/libav into this one
+    function under the same contract."""
     if mime == RAW_MIME:
         if payload[:4] != RAW_MAGIC:
             raise ValueError(f"bad raw-image magic: {payload[:4]!r}")
@@ -451,6 +451,33 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 1)
 
 
+def _reframe_payload(docs: DataFrame, encoder, mime: str) -> DataFrame:
+    """Shared re-framing kernel: decode each document's raw-gray image
+    and re-encode it with ``encoder`` under ``mime``. The empty document
+    (h=0) has no valid PNG/JPEG form — it passes through as its 16×0 RAW
+    frame, which downstream decode already handles; tests pin that ONLY
+    empty docs take this path. One copy of that fallback contract for
+    every codec."""
+    p = _spread(with_image_payload(docs))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for payload, pmime in zip(pdf["payload"], pdf["mime"]):
+                img = _decode_payload(bytes(payload), pmime)
+                if img.shape[0] == 0:
+                    payloads.append(bytes(payload))
+                    mimes.append(RAW_MIME)
+                else:
+                    payloads.append(encoder(img))
+                    mimes.append(mime)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return p.mapInPandas(_enc, schema="doc_id long, payload binary, mime string")
+
+
 def with_png_payload(docs: DataFrame) -> DataFrame:
     """Re-frame each document's raw-gray image as a REAL PNG payload:
     the JVM-assembled RAW_MIME frame flows into an Arrow-batched encode
@@ -461,24 +488,7 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     shared stats kernel already decodes to the 0-pixel image, keeping
     the oracle identical (tests pin that ONLY empty docs take this
     path)."""
-    p = _spread(with_image_payload(docs))
-
-    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads, mimes = [], []
-            for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                img = _decode_payload(bytes(payload), mime)
-                if img.shape[0] == 0:
-                    payloads.append(bytes(payload))
-                    mimes.append(RAW_MIME)
-                else:
-                    payloads.append(_encode_png(img))
-                    mimes.append(PNG_MIME)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
-            )
-
-    return p.mapInPandas(_enc, schema="doc_id long, payload binary, mime string")
+    return _reframe_payload(docs, _encode_png, PNG_MIME)
 
 
 def decode_png_stats(docs: DataFrame) -> DataFrame:
@@ -509,24 +519,7 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     passes through as its RAW frame."""
     from toy_vector_db_spark.operators.jpegcodec import encode_jpeg
 
-    p = _spread(with_image_payload(docs))
-
-    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads, mimes = [], []
-            for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                img = _decode_payload(bytes(payload), mime)
-                if img.shape[0] == 0:
-                    payloads.append(bytes(payload))
-                    mimes.append(RAW_MIME)
-                else:
-                    payloads.append(encode_jpeg(img))
-                    mimes.append(JPEG_MIME)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
-            )
-
-    return p.mapInPandas(_enc, schema="doc_id long, payload binary, mime string")
+    return _reframe_payload(docs, encode_jpeg, JPEG_MIME)
 
 
 def decode_jpeg_stats(docs: DataFrame) -> DataFrame:
@@ -761,8 +754,9 @@ def audio_features(docs: DataFrame) -> DataFrame:
     crosses its own exact mean — computed in integers as sign changes of
     s_i·n − Σs, so both engines agree bit-for-bit; the PCM midline 128
     would be a constant-zero feature on an ASCII-derived corpus). One
-    Arrow-batched mapInPandas pass through the real WAV round-trip, no
-    shuffle; every output is an exact integer so AUDIO_FEATURES_SQL
+    Arrow-batched mapInPandas pass through the real WAV round-trip
+    (after the `_spread` balancing exchange); every output is an exact
+    integer so AUDIO_FEATURES_SQL
     hashes verbatim."""
     p = _spread(with_payload(docs))
 
@@ -833,9 +827,11 @@ def scene_cuts(docs: DataFrame) -> DataFrame:
     the image framing) are compared by L1 distance; a pair farther apart
     than SCENE_THRESHOLD is a cut. Emits the cut count and the maximum
     frame-pair distance. Per-row integer byte math in one Arrow-batched
-    mapInPandas pass (one `_spread` balancing exchange) — and exactly
+    mapInPandas pass — cheap byte math rides the scan as-is (no
+    balancing exchange: unlike the codec kernels its cost is ~1× the
+    byte-move) — and exactly
     reproducible in SQL (SCENE_CUTS_SQL)."""
-    p = _spread(with_payload(docs))
+    p = with_payload(docs)
 
     def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -845,9 +841,7 @@ def scene_cuts(docs: DataFrame) -> DataFrame:
                 n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
                 padded = b + b"\x00" * (n_frames * FRAME_BYTES - len(b))
                 arr = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
-                frames = arr.reshape(n_frames, FRAME_BYTES) if n_frames else (
-                    np.zeros((0, FRAME_BYTES), dtype=np.int64)
-                )
+                frames = arr.reshape(n_frames, FRAME_BYTES)
                 if n_frames > 1:
                     diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
                     n_cuts = int((diffs > SCENE_THRESHOLD).sum())
@@ -921,7 +915,7 @@ def extract_features(docs: DataFrame, use_real_decoder: bool = False) -> DataFra
     """Arrow-batched feature extraction over the binary column via
     mapInPandas — the scale path for any per-payload Python: one pass, no
     shuffle, batch-vectorized, output schema fixed (id + array<float>)."""
-    p = _spread(with_payload(docs))
+    p = with_payload(docs)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -948,7 +942,7 @@ def frame_sample(docs: DataFrame) -> DataFrame:
     mapInPandas (the real decode/resize hook sits where the checksum is
     computed — resize is decode-dependent and stubbed with it). The byte
     math is deterministic, so the operator is SQL-oracle-checkable."""
-    p = _spread(with_payload(docs))
+    p = with_payload(docs)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
