@@ -492,11 +492,44 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_png_stats(docs: DataFrame) -> DataFrame:
-    """Decode REAL PNG payloads (signature, chunk walk, CRC verify, zlib
-    inflate, all five scanline unfilters) and emit the same exact-integer
-    stats as the raw path — PNG is lossless, so DECODE_IMAGE_SQL is the
-    oracle verbatim."""
-    return _image_stats_over(with_png_payload(docs))
+    """Round-trip each document's image through REAL PNG (encode with
+    row-cycling filters, then signature/chunk-CRC/zlib/unfilter decode)
+    and emit the same exact-integer stats as the raw path — PNG is
+    lossless, so DECODE_IMAGE_SQL is the oracle verbatim. ONE fused
+    kernel does encode→decode→stats (the decode_jpeg_stats shape): the
+    earlier two-chained-kernel form (with_png_payload →
+    _image_stats_over) computed identical values but doubled the Python
+    evals per stage, and late in a long session the extra worker wave
+    measured multi-second spawn storms while every one-kernel sibling
+    stayed flat. with_png_payload remains the standalone framing (its
+    empty-doc contract is pinned in tests)."""
+    p = _spread(with_image_payload(docs))
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [],
+                   "n_pixels": [], "px_sum": [], "px_max": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                src = _decode_payload(bytes(payload), mime)
+                img = (
+                    _decode_png(_encode_png(src)) if src.shape[0] else src
+                )
+                h, w, _c = img.shape
+                out["doc_id"].append(doc_id)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["n_pixels"].append(img.size)
+                out["px_sum"].append(int(img.sum()) if img.size else 0)
+                out["px_max"].append(int(img.max()) if img.size else 0)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, height long, width long, n_pixels long, "
+        "px_sum long, px_max long",
+    )
 
 
 # --- JPEG: baseline T.81, from scratch (round 8) --------------------------
