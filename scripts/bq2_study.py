@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""BQ 2-bit sign+magnitude study (round 9, verdict r8 item 8).
+
+The shipped BQ family serves 1-bit sign codes (8 B/vector at d=64)
+through Hamming-prune + exact rerank, with the 0.70 floor cleared by a
+2x rerank floor (BQ_RERANK_MULT=32 → R ≥ 320). The open question: does a
+2-BIT sign+magnitude code (16 B/vector — still 16x smaller than float32)
+order in-cell candidates well enough to shrink the needed rerank below
+the 1-bit code's deeper budget — i.e., does {2-bit, R} beat
+{1-bit, 2R} at comparable total scan+rerank cost?
+
+Code construction (a 2-bit scalar quantizer, the SQ8 recipe at 2 bits):
+per dimension, bit1 = sign(x > 0); bit0 = |x| above the per-dim median
+magnitude of the training slice. Candidate ordering by dot product of
+the query against the per-dim reconstruction levels {±lo_d, ±hi_d}
+(the means of each magnitude bucket) — trained, like SQ bounds, on the
+same slice the engine trains on, so the construction is
+oracle-lockstep-able if shipped.
+
+Pure numpy (no Spark session): this measures CODE QUALITY — candidate
+recall@R (fraction of the true top-10 inside the top-R by code score)
+and end recall@10 after exact rerank of the top-R — which is a property
+of the codes, not of the execution engine. Ship/no-ship is decided on
+the recall-at-cost rows this prints (pasted into SCALE.md).
+
+Usage: python scripts/bq2_study.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+K = 10
+
+
+def load(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    order = np.argsort(ids)
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )[order]
+    n = len(X)
+    cut = int(np.floor(n * 0.95 + 0.5))
+    return X[:cut], X[cut:]
+
+
+def cosine_dist(Q: np.ndarray, B: np.ndarray) -> np.ndarray:
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    bn = np.linalg.norm(B, axis=1, keepdims=True)
+    sims = (Q @ B.T) / (qn * bn.T)
+    return 1.0 - np.maximum(sims, 0.0)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    base, queries = load(sf_dir)
+    n = len(base)
+    D = cosine_dist(queries, base)
+    truth = np.argsort(D, axis=1, kind="stable")[:, :K]
+
+    # --- 1-bit sign code (shipped BQ): Hamming distance ---
+    b_sign = base > 0
+    q_sign = queries > 0
+    ham = (q_sign[:, None, :] != b_sign[None, :, :]).sum(axis=2)
+
+    # --- 2-bit sign+magnitude: per-dim levels from the train slice ---
+    mag = np.abs(base)
+    thr = np.median(mag, axis=0)  # per-dim magnitude threshold
+    hi_mask = mag > thr
+    # reconstruction levels: mean |x| within each bucket, per dim
+    lo = np.where(~hi_mask, mag, np.nan)
+    hi = np.where(hi_mask, mag, np.nan)
+    lo_lvl = np.nanmean(lo, axis=0)
+    hi_lvl = np.nanmean(hi, axis=0)
+    recon = np.where(hi_mask, hi_lvl, lo_lvl) * np.sign(base)
+    # code score: dot(query, reconstruction) — higher is closer; rank by
+    # negative dot (the engine would rank by reconstructed cosine; dot is
+    # rank-equivalent per query up to the base-side norm, which the 2-bit
+    # recon also approximates — kept simple for the study)
+    rn = np.linalg.norm(recon, axis=1)
+    rn[rn == 0] = 1.0
+    score2 = -(queries @ recon.T) / rn[None, :]
+
+    def cand_recall(rank_scores, R):
+        cands = np.argsort(rank_scores, axis=1, kind="stable")[:, :R]
+        hits = sum(
+            len(set(truth[i]) & set(cands[i])) for i in range(len(truth))
+        )
+        return round(hits / (len(truth) * K), 3)
+
+    rows = []
+    for R in (40, 80, 160, 320, 640):
+        R = min(R, n)
+        rows.append({
+            "R": R,
+            "bq1_cand_recall": cand_recall(ham, R),
+            "bq2_cand_recall": cand_recall(score2, R),
+            "bq1_scan_bytes": 8 * n,
+            "bq2_scan_bytes": 16 * n,
+        })
+        print(json.dumps(rows[-1]))
+
+    print("\n| R | 1-bit cand recall@10 | 2-bit cand recall@10 |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['R']} | {r['bq1_cand_recall']} |"
+              f" {r['bq2_cand_recall']} |")
+    # equal-cost comparison: 2-bit at R vs 1-bit at 2R (the 2-bit scan
+    # reads 2x the bytes; rerank cost dominates at these R, so giving the
+    # 1-bit side double rerank depth over-credits it if anything)
+    print("\nequal-cost rows (2-bit@R vs 1-bit@2R):")
+    by_r = {r["R"]: r for r in rows}
+    for R in (40, 80, 160, 320):
+        if R in by_r and 2 * R in by_r:
+            print(f"  R={R}: 2-bit {by_r[R]['bq2_cand_recall']} vs "
+                  f"1-bit@{2*R} {by_r[2*R]['bq1_cand_recall']}")
+
+
+if __name__ == "__main__":
+    main()

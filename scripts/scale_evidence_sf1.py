@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""sf1-equivalent scale evidence for the ANN serving families (round 9,
+verdict r8 item 4).
+
+The fixtures top out at sf0.1 (1,900 base vectors after the 0.95 split);
+the recall gates in tests/test_similarity.py already assert FLOORS at a
+10x corpus. This script records the full evidence row the verdict asks
+for — recall@10 AND wall-time per family, plus the probed/reranked
+fraction — at two scales:
+
+  * ``10x`` (default): the deterministic 19,000-vector corpus the recall
+    gates use (10 Gaussian clusters, sigma=2.5, seed 42) — one order of
+    magnitude above sf0.1, the "sf1" the driver never materialized. The
+    scale-aware rerank budget's fraction term is ACTIVE (R = 1900).
+  * ``--cap`` : a 200,000-vector corpus (same generator), past the
+    ~164k-vector point where RERANK_CAP = 16384 freezes the budget —
+    the constant-cost regime every 100 TB claim in SCALE.md rests on,
+    measured instead of extrapolated. Graph families are skipped here
+    (an EF_CONSTRUCTION=200 build over 200k rows is a build-cost study,
+    not a serving-floor check; the quantizer families are the ones whose
+    budget changes regime at this size).
+
+Wall-times are end-to-end action times on the local[N] session after an
+untimed warmup pass per family (the bench.py discipline: serving cost,
+not cold-cache artifact construction). Floors asserted: >= 0.85 for the
+uncompressed/flat paths (IVF probe, PQ/SQ rerank, HNSW), >= 0.70 for the
+compressed compositions (IVF-PQ, IVF-SQ, IVF-BQ, BQ, routed HNSW).
+
+Usage: python scripts/scale_evidence_sf1.py [--cap]
+Prints one JSON line per family and a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from toy_vector_db_spark.operators import (  # noqa: E402
+    evaluation,
+    hnsw,
+    knn,
+    similarity,
+)
+from toy_vector_db_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 100
+FLAT_FLOOR = 0.85
+COMPRESSED_FLOOR = 0.70
+
+
+def make_corpus(spark, n_draw: int, cut: int):
+    """The recall gates' generator (tests/test_similarity.py::
+    test_ann_recall_at_10x_scale): 10 Gaussian clusters, sigma=2.5,
+    seed 42 — deterministic, heavy overlap so neighbors aren't trivial.
+    ``n_draw`` matches the gate EXACTLY in 10x mode (n=20000, base =
+    first 19000, queries = next 100) so this script's rows are
+    comparable with the documented gate numbers."""
+    rng = np.random.default_rng(42)
+    d, kc, sigma = 64, 10, 2.5
+    centers = rng.normal(0, 1, (kc, d))
+    lab = rng.integers(0, kc, n_draw)
+    X = (centers[lab] + rng.normal(0, sigma, (n_draw, d))).astype(np.float32)
+    # materialize through parquet (pyarrow buffers, no per-element Python
+    # boxing): createDataFrame over 200k list-of-list rows put the DRIVER
+    # JVM into GCLocker thrash — the corpus belongs on disk, like any
+    # real input
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_keep = cut + N_QUERIES
+    flat = pa.array(X[:n_keep].reshape(-1), type=pa.float32())
+    offsets = pa.array(
+        np.arange(0, (n_keep + 1) * d, d, dtype=np.int32)
+    )
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n_keep, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(offsets, flat),
+        "label": pa.array(lab[:n_keep].astype(np.int32)),
+    })
+    path = f"/tmp/tvdb_scale_corpus_{n_draw}_{cut}.parquet"
+    if not os.path.exists(path):
+        pq.write_table(tbl, path)
+    emb = spark.read.parquet(path).repartition(32).persist()
+    emb.count()
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return base, qs, cut
+
+
+def main() -> None:
+    cap_mode = "--cap" in sys.argv
+    cut = 200_000 if cap_mode else 19_000
+    n_draw = cut + N_QUERIES if cap_mode else 20_000  # 10x = gate corpus
+    if cap_mode:
+        # 200k vectors through the quantizer pipelines needs more than
+        # the 1 GB local-mode default heap (32 concurrent tasks)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark("tvdb-scale-evidence")
+    spark.sparkContext.setLogLevel("ERROR")
+    base, qs, n_base = make_corpus(spark, n_draw, cut)
+
+    exact = knn.knn_exact_batch(base, qs, K).persist()
+    exact.count()
+
+    def recall(df) -> float:
+        return round(
+            evaluation.evaluate_recall(df, exact)
+            .agg(F.avg("recall"))
+            .first()[0],
+            3,
+        )
+
+    r_budget = similarity._rerank_budget(base, K)
+    probe_frac = round(similarity.N_PROBE / similarity.N_CENTROIDS, 3)
+
+    families: list[tuple[str, float, object]] = []
+
+    def family(name, floor, fn):
+        families.append((name, floor, fn))
+
+    # quantizer families (build artifacts session-cached by first call).
+    # IVF probe serves from the TRAINED quantizer + the persisted
+    # cell-partitioned base, exactly like the registry's knn_ivf key —
+    # the bare knn_ivf(base, qs, k) default is the untrained first-K
+    # stand-in and would recompute the assignment per call.
+    family(
+        "ivf_probe",
+        FLAT_FLOOR,
+        lambda: similarity.knn_ivf(
+            base, qs, K,
+            cents=similarity.cached_trained_centroids(base),
+            cell_vectors=similarity.cached_cell_vectors(base),
+        ),
+    )
+    family(
+        "pq_rerank", FLAT_FLOOR, lambda: similarity.knn_pq_rerank(base, qs, K)
+    )
+    family(
+        "sq_rerank", FLAT_FLOOR, lambda: similarity.knn_sq_rerank(base, qs, K)
+    )
+    family(
+        "bq_rerank",
+        COMPRESSED_FLOOR,
+        lambda: similarity.knn_bq_rerank(base, qs, K),
+    )
+    family(
+        "ivfpq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfpq(base, qs, K)
+    )
+    family(
+        "ivfsq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfsq(base, qs, K)
+    )
+    family(
+        "ivfbq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfbq(base, qs, K)
+    )
+    if not cap_mode:
+        # graph families at the 10x corpus: flat 8-shard + routed
+        def _hnsw():
+            parted, edges = hnsw.cached_index(base, "#scale10x", 8)
+            return hnsw.knn_hnsw_prebuilt(parted, edges, qs, K)
+
+        def _routed():
+            cells, edges, cents = hnsw.cached_routed_index(base, "#scale10x")
+            return hnsw.knn_hnsw_routed_prebuilt(cells, edges, cents, qs, K)
+
+        family("hnsw_flat", FLAT_FLOOR, _hnsw)
+        family("hnsw_routed", COMPRESSED_FLOOR, _routed)
+
+    results = []
+    for name, floor, fn in families:
+        fn().collect()  # untimed warmup: builds + plan analysis
+        t0 = time.perf_counter()
+        df = fn()
+        df.collect()
+        wall = round(time.perf_counter() - t0, 2)
+        rec = recall(fn())
+        row = {
+            "family": name,
+            "n_base": n_base,
+            "recall_at_10": rec,
+            "floor": floor,
+            "passes": rec >= floor,
+            "serve_sec": wall,
+            "rerank_budget": r_budget,
+            "rerank_frac": round(r_budget / n_base, 4),
+            "probe_frac": probe_frac if "ivf" in name or "routed" in name
+            else None,
+            "cap_engaged": r_budget == similarity.RERANK_CAP,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| family | n_base | recall@10 | floor | serve s | "
+          "rerank frac | probe frac |")
+    print("|---|---|---|---|---|---|---|")
+    for r in results:
+        pf = r["probe_frac"] if r["probe_frac"] is not None else "—"
+        print(
+            f"| {r['family']} | {r['n_base']} | {r['recall_at_10']}"
+            f" | {r['floor']} | {r['serve_sec']} | {r['rerank_frac']}"
+            f" | {pf} |"
+        )
+    bad = [r["family"] for r in results if not r["passes"]]
+    print(f"\ncap_engaged={results[0]['cap_engaged']} "
+          f"rerank_budget={r_budget} floors_failed={bad}")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

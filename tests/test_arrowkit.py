@@ -58,3 +58,18 @@ def test_empty_and_ragged():
     ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
     with pytest.raises(ValueError, match="ragged"):
         list_col_to_matrix(ragged)
+
+
+def test_null_rows_rejected_loudly():
+    """Advice r8 item 1: flatten() DROPS null rows' slots, and when the
+    surviving value count still divides n the ragged guard passes and
+    the reshape silently shifts every later vector — exactly the failure
+    the guard exists to prevent. One null in a 4-row d=4 column leaves
+    12 values over 4 rows (12 % 4 == 0): must raise, not return (4, 3)."""
+    col = pa.array(
+        [[1.0] * 4, None, [2.0] * 4, [3.0] * 4], type=pa.list_(pa.float64())
+    )
+    with pytest.raises(ValueError, match="null"):
+        list_col_to_matrix(col)
+    # a slice that excludes the null row is fine (null_count is per-slice)
+    assert list_col_to_matrix(col.slice(2, 2)).shape == (2, 4)

@@ -55,6 +55,32 @@ def test_header_frame_count_is_checked():
         A.decode_avi(bytes(avi))
 
 
+def test_unknown_chunks_and_short_avih_are_typed_errors():
+    """Advice r8 item 3: 'strict chunk walking' means TYPED rejection —
+    unknown top-level chunks, unknown LIST types, and a truncated avih
+    payload must all raise ValueError, not be skipped or crash with an
+    untyped IndexError from short slices."""
+    avi = A.encode_avi(_frames(2))
+    # splice an unknown top-level chunk in front of the hdrl LIST
+    junk = b"JUNK" + (4).to_bytes(4, "little") + b"\x00" * 4
+    spliced = avi[:12] + junk + avi[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    with pytest.raises(ValueError, match="top-level"):
+        A.decode_avi(spliced)
+    # corrupt a LIST's type fourcc
+    b = bytearray(avi)
+    pos = b.index(b"hdrl")
+    b[pos:pos + 4] = b"xxxx"
+    with pytest.raises(ValueError, match="LIST type"):
+        A.decode_avi(bytes(b))
+    # shrink the declared avih length below the 40-byte fixed struct
+    b = bytearray(avi)
+    pos = b.index(b"avih") + 4
+    b[pos:pos + 4] = (12).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="avih"):
+        A.decode_avi(bytes(b))
+
+
 def test_encoder_input_contract():
     with pytest.raises(ValueError):
         A.encode_avi([])

@@ -55,6 +55,40 @@ def test_snapshot_restore_drops_only_new_entries():
     del d[sentinel_old]
 
 
+def test_added_since_and_drop_track_build_key_ownership():
+    """Round 9 (verdict r8 item 1): the warmup pass records which cache
+    entries each build key's run CREATED, and the timed loop evicts
+    exactly those before every sample — upstream artifacts stay warm.
+    added_since must report only post-snapshot entries; drop must evict
+    them (idempotently) and leave everything else."""
+    d = caches._cache_dicts()[0]
+    upstream = ("__test_upstream__",)
+    d[upstream] = [0]
+    snap = caches.snapshot()
+    mine = ("__test_mine__",)
+    d[mine] = [1]
+    added = caches.added_since(snap)
+    assert (d, mine) in [(dd, k) for dd, k in added]
+    assert all(k != upstream for _, k in added)
+    assert caches.drop(added) == 1
+    assert mine not in d and upstream in d
+    assert caches.drop(added) == 0  # second evict is a no-op
+    del d[upstream]
+
+
+def test_bench_warmup_runs_every_headline_key_untimed():
+    """The r8 driver record (ivfpq_upsert_search 10.39 s vs 2.67 s
+    steady state) was cold-cache bleed the harness itself produced;
+    bench.py must now warm every headline key before the clock starts.
+    Statically pin: a warmup loop over `names` that collects each query
+    and records build-key ownership BEFORE the timed loop."""
+    src = (REPO / "bench.py").read_text()
+    assert "owned" in src and "added_since" in src and "caches.drop" in src
+    warm = src.index("owned: dict")
+    timed = src.index("timings: dict")
+    assert warm < timed, "warmup pass must precede the timed loop"
+
+
 def test_bench_emits_trailing_summary_line():
     """bench.py must end its output with a compact summary JSON line
     (≤2 kB with totals) — statically check the source keeps the

@@ -302,3 +302,29 @@ def test_codec_kernels_get_the_balancing_exchange(plans):
         assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan, name
         assert "InPandas" in plan, name
     assert explain.count_exchanges(plans("mm_payload_metadata")) == 0
+
+
+def test_every_mm_key_is_one_python_stage(plans):
+    """Round 9 (verdict r8 item 6): a codec chain that re-enters Python
+    (encode kernel → decode kernel as separate mapInPandas evals) pays a
+    second Arrow round-trip and a second worker wave — the r8 PNG fuse
+    took that key 2.80 s → 0.86 s by collapsing the two evals into one
+    kernel. Pin the end state for EVERY multimodal key: exactly one
+    Python eval node in the executed plan (the encode→decode→stats chain
+    lives INSIDE the kernel, where it is plain function composition)."""
+    import re
+
+    for name in ("mm_resize", "mm_payload_metadata", "mm_scene_cuts",
+                 "mm_decode_png_stats", "mm_decode_jpeg_stats",
+                 "mm_decode_wav_stats", "mm_decode_video_stats",
+                 "mm_audio_features", "mm_feature_extract",
+                 "mm_frame_sample"):
+        plan = plans(name)
+        # formatted explain prints every node twice (tree + detail
+        # section) — count tree entries only ("MapInPandas (4)" vs the
+        # detail line "(4) MapInPandas")
+        n = len(re.findall(
+            r"(?:MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas) \(\d",
+            plan,
+        ))
+        assert n <= 1, f"{name}: {n} python stages"

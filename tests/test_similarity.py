@@ -258,6 +258,10 @@ def test_ann_recall_at_10x_scale(spark):
     # configuration with recall headroom that BQ structurally lacks
     sq = rec(similarity.knn_sq_rerank(base, qs, 10))
     assert sq >= 0.98, f"SQ-rerank recall@10 at 10x = {sq}"
+    # round 9: the 2-bit BQ option at 10x under the SHARED budget — the
+    # recall-at-cost claim (scripts/bq2_study.py) must hold off-fixture
+    bq2 = rec(similarity.knn_bq2_rerank(base, qs, 10))
+    assert bq2 >= 0.95, f"BQ2-rerank recall@10 at 10x = {bq2}"
     sq_fixed = rec(similarity.knn_sq_rerank(base, qs, 10, rerank_r=160))
     assert sq_fixed >= 0.98, f"SQ-rerank fixed-R recall@10 at 10x = {sq_fixed}"
     # the IVF×SQ composition at 10×: near-exact ADC within probed cells

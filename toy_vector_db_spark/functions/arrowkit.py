@@ -22,8 +22,18 @@ def list_col_to_matrix(col: pa.Array, dtype=np.float64) -> np.ndarray:
     buffer (``flatten()`` honors array offsets, so sliced batches are
     safe). Raises if rows are ragged — vector columns are fixed-dim by
     contract, and a silent misalignment would scramble every row after
-    the first short one."""
+    the first short one. Null rows are rejected up front: ``flatten()``
+    silently DROPS a null row's slot, and when the remaining value count
+    still divides n (one null in a batch whose d divides n) the ragged
+    guard below would pass and the reshape would shift every subsequent
+    vector by d — exactly the silent misalignment this function exists
+    to prevent (advice r8 item 1)."""
     n = len(col)
+    if col.null_count:
+        raise ValueError(
+            f"list column has {col.null_count} null rows; vector columns "
+            "are non-null by contract"
+        )
     flat = np.asarray(col.flatten(), dtype=dtype)
     if n == 0:
         return flat.reshape(0, 0)

@@ -97,7 +97,13 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
             if ltype == b"hdrl":
                 if body[:4] != b"avih":
                     raise ValueError("hdrl must start with avih")
-                avih = body[8:8 + int.from_bytes(body[4:8], "little")]
+                avih_len = int.from_bytes(body[4:8], "little")
+                # avih is a fixed 14×4-byte struct; a short payload would
+                # otherwise slice garbage/raise untyped below (advice r8
+                # item 3: strict means typed errors, not short-slice luck)
+                if avih_len < 40 or len(body) < 8 + avih_len:
+                    raise ValueError(f"avih payload too short: {avih_len}")
+                avih = body[8:8 + avih_len]
                 n_hdr = int.from_bytes(avih[16:20], "little")
                 width = int.from_bytes(avih[32:36], "little")
                 height = int.from_bytes(avih[36:40], "little")
@@ -111,6 +117,12 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                     else:
                         raise ValueError(f"unexpected movi chunk {cc!r}")
                     mp += 8 + sz + (sz % 2)
+            else:
+                raise ValueError(f"unexpected LIST type {ltype!r}")
+        else:
+            # the writer emits only LIST chunks at top level; anything
+            # else is not a file this strict walker claims to understand
+            raise ValueError(f"unexpected top-level chunk {fourcc!r}")
         pos += 8 + size + (size % 2)
     if n_hdr is None:
         raise ValueError("AVI missing hdrl")

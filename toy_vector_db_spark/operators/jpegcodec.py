@@ -125,6 +125,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.buf.append(0x00)
+        # drop already-emitted high bits: without this the accumulator
+        # grows to the full entropy-stream length and every shift above
+        # goes O(stream) — quadratic per image (advice r8 item 2)
+        self._acc &= (1 << self._n) - 1
 
     def flush(self) -> bytes:
         if self._n:
@@ -149,8 +153,9 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     """Baseline-JPEG encode of an (h, w, 1) uint8 grayscale image.
     Dims pad to multiples of 8 by edge replication (decoder crops via
     the SOF0 dims). Deterministic: fixed tables, integer quantization
-    via round-half-away (np.rint is half-even; T.81 leaves this free —
-    decoder independence means either works, pinned by tests)."""
+    via floor(x + 0.5) = round-half-UP toward +infinity (-2.5 → -2; not
+    np.rint's half-even, not half-away — T.81 leaves the rule free, the
+    decoder is table-driven either way, pinned by tests)."""
     h, w, c = img.shape
     if c != 1 or h < 1 or w < 1 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"JPEG encoder handles non-empty gray images, got {img.shape}")
@@ -234,11 +239,19 @@ class _BitReader:
         self._acc = (self._acc << 8) | b
         self._n += 8
 
+    def _trim(self) -> None:
+        # mask consumed high bits so _acc stays ≤ _n bits wide; an
+        # ever-growing accumulator makes each shift O(consumed stream)
+        # — quadratic per image (advice r8 item 2)
+        self._acc &= (1 << self._n) - 1
+
     def bit(self) -> int:
         if self._n == 0:
             self._fill()
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        v = (self._acc >> self._n) & 1
+        self._trim()
+        return v
 
     def bits(self, n: int) -> int:
         v = 0

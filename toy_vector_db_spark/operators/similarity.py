@@ -1836,6 +1836,194 @@ def sq_upsert(
     return existing.unionByName(new_codes), bounds
 
 
+# --- BQ2: 2-bit sign+magnitude binary quantization (round 9) ---------------
+# Verdict r8 item 8, measured in scripts/bq2_study.py at sf0.1: 1-bit sign
+# codes rank so weakly that the 0.70 floor needs the 2x-deepened rerank
+# (BQ_RERANK_MULT=32 — candidate recall 0.854 at R=320), while a 2-bit
+# sign+magnitude code (16 B/vector at d=64, still 32x under the raw
+# doubles) measures candidate recall 0.989 at the SHARED R=160 floor and
+# 0.999 at R=320 — a strict recall-at-cost win (half the rerank, 2x the
+# scan bytes on a scan that is not the bottleneck). Shipped as an OPTION
+# next to 1-bit BQ (which stays the minimal-footprint path); every knob
+# is in oracle lockstep (oracles_similarity.knn_bq2_rerank_sql).
+BQ2_HI = 0.75  # reconstruction levels, fractions of the per-dim max |nv|
+BQ2_LO = 0.25
+
+
+# (appId, plan hash, cols) → persisted one-row per-dim |nv| max frame
+_BQ2_BOUNDS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def bq2_bounds(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dim max |nv_d| over the NORMALIZED corpus — BQ2's entire
+    training: one map-side-combined agg pass emitting a single
+    broadcastable row (mx array<double>). max is an exact SELECTION
+    (the sq_bounds argument), so the bounds are bit-identical
+    cross-engine by construction; the double cast before normalizing is
+    the same load-bearing parity move as sq_bounds."""
+    nb = base.select(_normalize(_as_double(vec_col)).alias("nv"))
+    aggs = [
+        F.max(F.abs(F.element_at(F.col("nv"), i))).alias(f"m{i}")
+        for i in range(1, SQ_DIM + 1)
+    ]
+    return nb.agg(*aggs).select(
+        F.array(*[F.col(f"m{i}") for i in range(1, SQ_DIM + 1)]).alias("mx")
+    )
+
+
+def cached_bq2_bounds(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-cached persisted BQ2 bounds row (the cached_sq_bounds
+    idiom); registered in caches.py for bench snapshot/rollback."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _BQ2_BOUNDS_CACHE:
+        b = bq2_bounds(base, id_col, vec_col).persist()
+        b.count()
+        _BQ2_BOUNDS_CACHE[key] = b
+    return _BQ2_BOUNDS_CACHE[key]
+
+
+def bq2_code_array(
+    base: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per dim c = 2·[nv > 0] + [|nv| > mx/2]
+    ∈ 0..3 — a sign bit and a magnitude bit, 2 bits/dim (16 B/vector
+    bit-packed on disk; ints here — parquet byte-packs 0..3, and the
+    scoring path never touches packed words). Pure per-row Catalyst
+    expression over the broadcast bounds row: zero shuffle, zero
+    Python — the sq_code_array shape."""
+    z = F.arrays_zip(F.col("nv"), F.col("mx"))
+    code = F.transform(
+        z,
+        lambda r: (
+            F.when(r["nv"] > 0, 2).otherwise(0)
+            + F.when(F.abs(r["nv"]) > r["mx"] / 2, 1).otherwise(0)
+        ).cast("int"),
+    )
+    return (
+        base.select(id_col, _normalize(_as_double(vec_col)).alias("nv"))
+        .crossJoin(F.broadcast(bounds))
+        .select(id_col, code.alias("codes"))
+    )
+
+
+def bq2_codes(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-hashable exploded view of the BQ2 codes: one row per
+    (id, dim) scalar code — the sq_codes idiom."""
+    arr = bq2_code_array(
+        base, cached_bq2_bounds(base, id_col, vec_col), id_col, vec_col
+    )
+    return arr.select(
+        id_col, F.posexplode("codes").alias("dim", "code")
+    ).select(id_col, F.col("dim").cast("int").alias("dim"), "code")
+
+
+def _bq2_recon(codes, mx) -> "F.Column":
+    """Reconstruction x̂_d = sign · level: sign from the high bit
+    (c ≥ 2 → +1), level = (BQ2_HI if the magnitude bit is set else
+    BQ2_LO)·mx_d. Every op is IEEE double arithmetic in a fixed order,
+    mirrored exactly by the oracle SQL."""
+    z = F.arrays_zip(codes, mx)
+    return F.transform(
+        z,
+        lambda r: F.when(r["codes"] >= 2, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * (
+            F.when(r["codes"] % 2 == 1, F.lit(BQ2_HI)).otherwise(
+                F.lit(BQ2_LO)
+            )
+            * r["mx"]
+        ),
+    )
+
+
+def knn_bq2_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """BQ2 serving pipeline: candidates ranked by CLAMPED COSINE between
+    the query and each code's reconstruction (the engine's own metric,
+    scored by the exact-KNN Arrow pair kernel — bit-identical to the
+    oracle's cosine expression), top-R cut at the SHARED scale-aware
+    budget (no BQ_RERANK_MULT deepening — the measured point of the
+    2-bit code), exact cosine rerank of the survivors. Same
+    labels/query_labels filtered-search hooks and bounds/codes lifecycle
+    injection as knn_sq_rerank."""
+    from toy_vector_db_spark.operators import knn as KNN
+
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_bq2_rerank: labels and query_labels must be passed "
+            "together"
+        )
+    if codes is not None and bounds is None:
+        raise ValueError(
+            "knn_bq2_rerank: injected codes require their matching "
+            "bounds (frozen-bounds artifacts decode against the bounds "
+            "that encoded them)"
+        )
+    if rerank_r is None:
+        rerank_r = _rerank_budget(base, k, id_col)
+    if bounds is None:
+        bounds = cached_bq2_bounds(base, id_col, vec_col)
+    if codes is None:
+        codes = bq2_code_array(base, bounds, id_col, vec_col)
+    recon = codes.crossJoin(F.broadcast(bounds)).select(
+        id_col, _bq2_recon(F.col("codes"), F.col("mx")).alias("recon")
+    )
+    cand = KNN.pair_scores(
+        recon, queries,
+        id_col=id_col, vec_col="recon",
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    if labels is not None:
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
 # (appId, plan hash, cols) → persisted cell-keyed SQ codes — the IVF-SQ
 # index artifact (codes ⋈ coarse-cell assignment), the cached_codes_cells
 # idiom for the fourth family

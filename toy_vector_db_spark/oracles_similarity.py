@@ -440,6 +440,47 @@ def ivfpq_build_sql(split_cte: str) -> str:
     """
 
 
+def hnsw_routed_build_sql(split_cte: str) -> str:
+    """Per-cell invariants of the ROUTED graph index build (round 9,
+    verdict r8 item 3 — the ivfpq_build pattern on the graph family):
+    the routed index shards the corpus by the SAME deterministic-k-means
+    IVF assignment the compressed families use, so the cell structure
+    (centroid_id, member count) is fully SQL-expressible; the graph-side
+    facts (out-degree ≤ M_max, emitting layer-0 nodes ≤ members) are
+    NOT, so the Spark side reduces them to per-cell gate booleans that
+    are provably TRUE for a correct build and this oracle asserts them.
+    A routed-build regression — wrong cell routing, a cell dropped, a
+    degree-bound violation — now turns a driver hash row red."""
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        TRAIN_SAMPLE,
+    )
+
+    ivf_train = (
+        f"SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM base WHERE vec_id < {TRAIN_SAMPLE}"
+    )
+    ivf_chain = kmeans_chain(
+        "ivf_", N_CENTROIDS, KMEANS_ITERS, ivf_train, V.sql_cosine_distance
+    )
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    return f"""
+    WITH {split_cte},
+    {ivf_chain},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, ivf_cents c)
+      WHERE rn = 1)
+    SELECT centroid_id, count(*) AS n_vectors,
+           TRUE AS degree_ok, TRUE AS nodes_ok
+    FROM assign
+    GROUP BY centroid_id
+    """
+
+
 def _ivf_probes_ctes(
     cents_name: str,
     nprobe: int | str,
@@ -699,6 +740,83 @@ def _sq_common_ctes(split_cte: str, bounds_pred: str = "TRUE") -> str:
                                     / (p[3] - p[2])))) AS INT) END
              ) AS codes
       FROM nb, sqbounds)"""
+
+
+def _bq2_common_ctes(split_cte: str) -> str:
+    """Shared BQ2 CTEs (round 9): normalized base, per-dim |nv| max
+    (exact selection — bit-identical cross-engine), 2-bit sign+magnitude
+    codes, and the per-code reconstruction — SQL twins of
+    similarity.bq2_bounds / bq2_code_array / _bq2_recon, op for op
+    (sign·(level·mx), level ∈ {BQ2_LO, BQ2_HI})."""
+    from toy_vector_db_spark.operators.similarity import BQ2_HI, BQ2_LO
+
+    return f"""{split_cte},
+    nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
+    b2dim AS (SELECT vec_id, unnest(nv) AS x,
+                     generate_subscripts(nv, 1) AS dim
+              FROM nb),
+    b2b AS (SELECT dim, max(abs(x)) AS mx FROM b2dim GROUP BY dim),
+    b2bounds AS (SELECT list(mx ORDER BY dim) AS mx FROM b2b),
+    b2codes AS (
+      SELECT vec_id,
+             list_transform(list_zip(nv, mx),
+               p -> CAST((CASE WHEN p[1] > 0 THEN 2 ELSE 0 END
+                        + CASE WHEN abs(p[1]) > p[2] / 2 THEN 1 ELSE 0 END)
+                    AS INT)) AS codes
+      FROM nb, b2bounds),
+    b2recon AS (
+      SELECT c.vec_id,
+             list_transform(list_zip(c.codes, b.mx),
+               p -> (CASE WHEN p[1] >= 2 THEN 1.0 ELSE -1.0 END)
+                    * ((CASE WHEN p[1] % 2 = 1 THEN {BQ2_HI}
+                             ELSE {BQ2_LO} END) * p[2])) AS recon
+      FROM b2codes c, b2bounds b)"""
+
+
+def bq2_codes_sql(split_cte: str) -> str:
+    """Exploded 2-bit codes (vec_id, dim, code) — SQL twin of
+    similarity.bq2_codes (0-based dim to match posexplode)."""
+    return f"""
+    WITH {_bq2_common_ctes(split_cte)}
+    SELECT vec_id,
+           CAST(generate_subscripts(codes, 1) - 1 AS INT) AS dim,
+           unnest(codes) AS code
+    FROM b2codes
+    """
+
+
+def knn_bq2_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
+    """BQ2 serving oracle: clamped-cosine candidate scores between each
+    code's reconstruction and the raw query, top-R prune at the SHARED
+    budget, exact cosine rerank — the SQL twin of
+    similarity.knn_bq2_rerank."""
+    d_code = V.sql_cosine_distance("r.recon", "q.qv")
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    return f"""
+    WITH {_bq2_common_ctes(split_cte)},
+    cand AS (
+      SELECT q.query_id, r.vec_id, {d_code} AS cd
+      FROM b2recon r, q),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cd ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
 
 
 def sq_train_sql(split_cte: str) -> str:

@@ -98,27 +98,49 @@ _PRIORITY = [
     # decontaminate_embedding stay), hybrid_rrf_topk (r6-r7; sibling
     # hybrid_rrf_ivfpq stays), contamination_report, doc_embedding_pool
     # (r6-r7).)
+    # ============ ROUND-9 ROTATION (verdict r8 items 3 + 5) ============
+    # IN (18): hnsw_routed_build — the one registered key with NO driver
+    # row in r1-r8, now hash-checkable via the new per-cell-invariant
+    # output + deterministic-k-means oracle (verdict item 3) — plus the
+    # SEVENTEEN longest-unchecked oracled keys in the repo: the ten
+    # relational keys whose last driver row is ROUND 1
+    # (tpch_q6_forecast_revenue, grouping_sets_sales, event_value_tiers,
+    # distinct_counts, orders_above_customer_avg, unpivot_order_counts,
+    # active_month_intersect, salted_event_type_stats, revenue_by_nation,
+    # top_orders_per_customer) and the seven whose last row is ROUND 2
+    # (tpch_q3_shipping_priority, text_hash_features,
+    # tpch_q1_pricing_summary, sessionize_events, asof_last_click,
+    # parquet_sink_roundtrip, bucketed_join_revenue). The verdict-named
+    # §2 parity keys (scan_ndjson, split_dataset, first_sentence, vec_*,
+    # knn_exact_single, eval_recall — all last-green r7) are QUEUED for
+    # the round-10 rotation together with the round-3 cohort: freshness
+    # priority goes strictly by last-row age, and r7 beats r1-r3.
+    # OUT (18), each driver-green in ≥2 consecutive rounds with family
+    # coverage staying in-window: hnsw_upsert_search, hnsw_delete_search
+    # (r7-r8; lifecycle family keeps hnsw_compact_search +
+    # streaming_hnsw_ingest; the serve twins are now the benched path),
+    # ivf_train, knn_ivf (r3/r1-r8), pq_train, pq_codes, knn_pq_rerank
+    # (r3-r8), ivfpq_build, ivfpq_upsert_search, ivfpq_delete_search,
+    # ivfpq_compact_search (r5/r6/r7-r8; family keeps
+    # knn_ivfpq_filtered), bq_codes, knn_bq_rerank (r7-r8; family keeps
+    # knn_bq_filtered), hybrid_rrf_ivfpq (r6-r8), decontaminate_embedding
+    # (r5-r8), knn_hnsw_exhaustive (r3-r8; the exhaustive kernel proof
+    # stays exercised in-window by hnsw_compact_search /
+    # streaming_hnsw_ingest / knn_hnsw_filtered, all exact-oracled), and
+    # the rows-only knn_hnsw_routed (r1-r8; routed family keeps the
+    # hash-checked lifecycle trio + hnsw_routed_build) and
+    # sketch_event_stats (r4-r8; exact twin stays locally oracle-tested).
+    # ===================================================================
     "knn_exact_batch",
     "sq_train", "sq_codes", "knn_sq_rerank", "knn_sq_filtered",
     "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
-    # (round 8: argmin_dist / argmax_dist / vec_cosine_dist —
-    # driver-green r1/2-r7 — rotate out for the new routed-lifecycle
-    # trio hnsw_routed_upsert_search / hnsw_routed_delete_search /
-    # hnsw_routed_compact_search)
     "hnsw_build", "knn_hnsw",
-    "knn_hnsw_exhaustive", "hnsw_recall_gate",
+    "hnsw_recall_gate",
     "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
     "hnsw_routed_compact_search",
-    # (round 8: eval_precision — driver-green r1-r7, sibling eval_recall
-    # stays in-window — rotates out for knn_bq_filtered, completing
-    # filtered ANN on all three index families)
     "knn_bq_filtered",
-    # Round-8 rotation (verdict r7 item 1): the three round-7 overflow
-    # keys — hnsw_compact_search, streaming_hnsw_ingest, knn_hnsw_filtered
-    # — rotate IN (after this, every oracled key in the repo once again
-    # has ≥1 driver hash row). Rotating OUT scan_ndjson, split_dataset,
-    # first_sentence — each driver-green in every round r1-r7.
     "hnsw_compact_search", "streaming_hnsw_ingest", "knn_hnsw_filtered",
+    "hnsw_routed_build",
     # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
     # (round-5 rotation: the three round-4 operators that had never seen
     # a driver CORRECTNESS row — decontaminate_ngram, doc_repetition_stats,
@@ -165,24 +187,13 @@ _PRIORITY = [
     # embedding_near_dups_lsh, mm_decode_image_stats, and
     # streaming_dedup_counts, each driver-green in BOTH rounds 5 and 6
     # (streaming keeps streaming_vector_ingest in-window).
-    "hnsw_upsert_search", "hnsw_delete_search",
-    "ivf_train", "knn_ivf", "pq_train", "pq_codes", "knn_pq_rerank",
-    # (round 8, late session: knn_ivfpq — driver-green r4-r7 with FIVE
-    # lifecycle/filtered siblings staying in-window — and
-    # knn_hnsw_routed_exhaustive — green r5-r7; the routed lifecycle trio
-    # rides the same exhaustive-degenerate oracle — rotate out for the
-    # two new signal verbs mm_audio_features / mm_scene_cuts)
-    "ivfpq_build",
-    "ivfpq_upsert_search", "ivfpq_delete_search", "ivfpq_compact_search",
-    "bq_codes", "knn_bq_rerank", "knn_ivfpq_filtered",
+    "knn_ivfpq_filtered",
     # round-8 late rotation: the quantizer composition matrix's IVF-SQ /
-    # IVF-BQ columns and the IVF-SQ lifecycle get their first driver rows
+    # IVF-BQ columns and the IVF-SQ lifecycle got their first driver
+    # rows in r8; they stay for a second consecutive green round
     "knn_ivfsq", "knn_ivfsq_filtered",
     "ivfsq_upsert_search", "ivfsq_delete_search",
     "knn_ivfbq", "knn_ivfbq_filtered",
-    "knn_hnsw_routed",
-    "hybrid_rrf_ivfpq",
-    "decontaminate_embedding",
     # (round 8, late session: the two REAL-codec keys created this
     # session — mm_decode_png_stats (from-scratch stdlib-zlib PNG,
     # all five scanline filters, CRC-strict) and mm_decode_wav_stats
@@ -201,18 +212,17 @@ _PRIORITY = [
     # sketch_event_stats stays in-window and the exact twin remains
     # locally oracle-tested at three SFs))
     "mm_decode_jpeg_stats", "mm_decode_video_stats",
-    # -- structured streaming --
-    # (round 6: streaming_sliding_counts — driver-green r4 and r5 —
-    # rotated out for streaming_vector_ingest; round 7 rotates out
-    # streaming_dedup_counts — green r5 and r6 — keeping
-    # streaming_vector_ingest as the family's in-window key)
-    # -- relational + sketch extensions --
-    # (round 6 rotates out running_total_by_supplier, order_priority_pivot,
-    # top_customer_set_difference, order_price_percentiles, and
-    # customers_without_orders — each driver-green in rounds 4 AND 5 —
-    # freeing slots for the round-6 vector-engine keys above; the
-    # relational family's driver record is rounds 1-5)
-    "sketch_event_stats",
+    # -- relational re-checks: the round-9 freshness cohort (see the
+    # rotation note at the top of this list) --
+    "tpch_q6_forecast_revenue", "grouping_sets_sales",
+    "event_value_tiers", "distinct_counts",
+    "orders_above_customer_avg", "unpivot_order_counts",
+    "active_month_intersect", "salted_event_type_stats",
+    "revenue_by_nation", "top_orders_per_customer",
+    "tpch_q3_shipping_priority", "text_hash_features",
+    "tpch_q1_pricing_summary", "sessionize_events",
+    "asof_last_click", "parquet_sink_roundtrip",
+    "bucketed_join_revenue",
 ]
 
 
@@ -1233,26 +1243,42 @@ def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("hnsw_routed_build")
 def q_hnsw_routed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the IVF-routed per-cell graph THROUGH the session cache (the
-    routed twin of hnsw_build) and emit per-layer graph invariants.
-    Deliberately registered outside the driver's 50-slot priority window —
-    rows-only by nature; exists so bench.py can time routed build and
-    routed search separately (build once / search many)."""
+    routed twin of hnsw_build) and emit PER-CELL invariants — the
+    ivfpq_build pattern on the graph family (round 9, verdict r8 item 3:
+    this was the only registered key with no driver CORRECTNESS row in
+    r1-r8; its old per-layer output was rows-only by nature). The cell
+    structure (centroid_id, n_vectors) is exactly the deterministic
+    IVF assignment, which the DuckDB oracle reproduces with the shared
+    k-means chain; the graph-side facts reduce to gate booleans that are
+    provably TRUE for a correct build — out-degree ≤ M_MAX (LocalHNSW's
+    hard cap) and emitting layer-0 nodes ≤ cell members (isolated nodes
+    emit no edge rows, so ≤, not =) — and the oracle asserts them, so a
+    routing or degree regression turns a driver hash row red."""
     base, _ = _split(spark, sf_dir)
-    _, edges, _ = hnsw.cached_routed_index(base, sf_dir)
-    # same pos-based single map-side-combinable fold as q_hnsw_build
-    # (each emitting node has exactly one pos=0 row per layer; max
-    # out-degree = max(pos)+1) — one exchange instead of the two the
-    # groupBy(layer, src) → groupBy(layer) form paid
-    return (
-        edges.groupBy("layer")
-        .agg(
-            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_nodes"),
-            F.count("*").alias("n_edges"),
-            (F.max("pos") + 1).cast("long").alias("max_out_degree"),
-        )
-        .orderBy("layer")
+    cells, edges, _cents = hnsw.cached_routed_index(base, sf_dir)
+    counts = cells.groupBy(
+        F.col("part").cast("bigint").alias("centroid_id")
+    ).agg(F.count("*").alias("n_vectors"))
+    # per-cell graph facts in ONE map-side-combinable fold over edges
+    # (the pos-enumeration trick from q_hnsw_build, per part): max
+    # out-degree = max(pos)+1; layer-0 emitting nodes = count of
+    # (layer=0, pos=0) rows
+    facts = edges.groupBy(
+        F.col("part").cast("bigint").alias("centroid_id")
+    ).agg(
+        (F.max("pos") + 1).alias("max_deg"),
+        F.sum(
+            F.when((F.col("layer") == 0) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("l0_nodes"),
+    )
+    return counts.join(facts, "centroid_id", "left").select(
+        "centroid_id",
+        "n_vectors",
+        (F.coalesce(F.col("max_deg"), F.lit(0)) <= hnsw.M_MAX)
+        .alias("degree_ok"),
+        (F.coalesce(F.col("l0_nodes"), F.lit(0)) <= F.col("n_vectors"))
+        .alias("nodes_ok"),
     )
 
 
@@ -1988,6 +2014,36 @@ def q_knn_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bq2_codes")
+def q_bq2_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-bit sign+magnitude binary quantization codes (round 9, verdict
+    r8 item 8): per dim, a sign bit plus an |nv| > mx_d/2 magnitude bit
+    — 16 B/vector, the measured recall-at-cost winner over 1-bit BQ
+    (scripts/bq2_study.py: candidate recall 0.989 vs 0.699 at the shared
+    R=160). Exploded (id, dim, code) scalar rows for driver hashing;
+    bounds are exact max selections, so cross-engine parity is by
+    construction (the sq_train argument)."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, _ = _split(spark, sf_dir)
+    return similarity.bq2_codes(base)
+
+
+@register("knn_bq2_rerank")
+def q_knn_bq2_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ2 serving pipeline (round 9): clamped-cosine candidate ranking
+    against the 2-bit reconstructions via the exact pair kernel, top-R
+    cut at the SHARED scale-aware budget (no BQ_RERANK_MULT deepening —
+    the measured point of the 2-bit code: 1-bit needed 2× the rerank to
+    clear the 0.70 floor; 2-bit clears 0.85+ at the shared floor), exact
+    cosine rerank. Shipped as an option NEXT TO 1-bit BQ, which remains
+    the minimal-footprint path."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_bq2_rerank(base, qs, K)
+
+
 @register("sq_train")
 def q_sq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 'training' (round 8, fourth index family): per-dimension
@@ -2535,6 +2591,91 @@ def q_hnsw_routed_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(live_base, qs, cand)
 
 
+# -- lifecycle SERVING keys (round 9, verdict r8 item 2) ---------------------
+# The *_search lifecycle keys above run in the exhaustive degenerate
+# (ef = |base|) so the driver can HASH them against an exact oracle — that
+# is a correctness proof, and benching it inflated the recorded serving
+# numbers ~2× (r8: hnsw_upsert_search 5.67 s of which most was the
+# verification leg). These *_serve twins run the identical lifecycle state
+# transition (same cached initial index, same ingest / tombstone path) but
+# search at the REAL serving configuration (ef = EF_SEARCH, default
+# nprobe), which is what bench.py now times. No oracle by nature
+# (approximate results); quality/equivalence coverage stays where it
+# belongs: hnsw_recall_gate drives the ef=100 config's driver row, the
+# exhaustive *_search keys drive the lifecycle state's hash rows, and
+# tests/test_serve_keys.py pins each serve key's recall floor locally.
+
+
+@register("hnsw_upsert_serve")
+def q_hnsw_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_upsert_search's SERVING twin: micro-batch ingest onto the
+    session-cached initial graph (frozen shard function, touched shards
+    replay Algorithm 1 — hnsw.hnsw_upsert), then the real ef=EF_SEARCH
+    beam search. The timed cost is ingest + serve, never initial build
+    (warm in the session cache) and never the exhaustive proof leg."""
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    parted0, edges0 = hnsw.cached_index(
+        initial, f"{sf_dir}#hnsw_upsert_init", HNSW_PARTITIONS
+    )
+    parted, edges = hnsw.hnsw_upsert(parted0, edges0, batch, HNSW_PARTITIONS)
+    return hnsw.knn_hnsw_prebuilt(parted, edges, qs, K)
+
+
+@register("hnsw_delete_serve")
+def q_hnsw_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_delete_search's SERVING twin: tombstone filter over the
+    session-cached REAL 8-shard graph (the one knn_hnsw serves from) at
+    ef=EF_SEARCH, with knn_hnsw_deleted's k+T cut/beam widening. A
+    tombstone delete costs zero build work — the timed cost is the
+    anti-join + widened search only."""
+    base, qs = _split(spark, sf_dir)
+    parted, edges = hnsw.cached_index(base, sf_dir, HNSW_PARTITIONS)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    return hnsw.knn_hnsw_deleted(parted, edges, tombstones, qs, K)
+
+
+@register("hnsw_routed_upsert_serve")
+def q_hnsw_routed_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_routed_upsert_search's SERVING twin: micro-batch ingest under
+    the FROZEN centroids onto the session-cached initial per-cell graphs
+    (touched cells rebuild — hnsw.hnsw_routed_upsert), then the real
+    default-nprobe ef=EF_SEARCH routed search."""
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    cells0, edges0, cents = hnsw.cached_routed_index(
+        initial, f"{sf_dir}#routed_upsert_init"
+    )
+    cells, edges = hnsw.hnsw_routed_upsert(cells0, edges0, cents, batch)
+    return hnsw.knn_hnsw_routed_prebuilt(cells, edges, cents, qs, K)
+
+
+@register("hnsw_routed_delete_serve")
+def q_hnsw_routed_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_routed_delete_search's SERVING twin: tombstone filter over
+    the session-cached routed index at the real default-nprobe
+    ef=EF_SEARCH configuration (knn_hnsw_routed_deleted's k+T widening
+    across probed cells)."""
+    base, qs = _split(spark, sf_dir)
+    cells, edges, cents = hnsw.cached_routed_index(base, sf_dir)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    return hnsw.knn_hnsw_routed_deleted(
+        cells, edges, cents, tombstones, qs, K
+    )
+
+
 @register(
     "knn_hnsw_filtered",
     f"""
@@ -2652,7 +2793,10 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-_POST_WINDOW_OVERFLOW: list[str] = []
+# Round 9 queues the two new BQ2 keys (created after the round's 18
+# rotations were spent on hnsw_routed_build + the 17 oldest-row keys);
+# they rotate in next round.
+_POST_WINDOW_OVERFLOW: list[str] = ["bq2_codes", "knn_bq2_rerank"]
 
 
 @register("streaming_vector_ingest")
@@ -3114,6 +3258,12 @@ def _register_similarity_oracles() -> None:
             "      JOIN qlbl ql ON ql.query_id = qc.query_id"
         ),
     )
+    # BQ2 (round 9, verdict r8 item 8): 2-bit codes + serving at the
+    # SHARED rerank floor — knobs in oracle lockstep
+    _ORACLES["bq2_codes"] = O.bq2_codes_sql(_SPLIT_CTE)
+    _ORACLES["knn_bq2_rerank"] = O.knn_bq2_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K)
+    )
     _ORACLES["sq_train"] = O.sq_train_sql(_SPLIT_CTE)
     _ORACLES["sq_codes"] = O.sq_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_sq_rerank"] = O.knn_sq_rerank_sql(
@@ -3215,6 +3365,10 @@ def _register_similarity_oracles() -> None:
         ),
     )
     _ORACLES["ivfpq_build"] = O.ivfpq_build_sql(_SPLIT_CTE)
+    # round 9 (verdict r8 item 3): the routed graph build's driver row —
+    # cell structure via the shared deterministic-k-means chain, graph
+    # facts as in-plan gate booleans the oracle asserts TRUE
+    _ORACLES["hnsw_routed_build"] = O.hnsw_routed_build_sql(_SPLIT_CTE)
     # the partitioned-search key runs the SAME computation as knn_ivfpq
     # over the on-disk partitioned artifact — one oracle, two sources
     _ORACLES["ivfpq_partitioned_search"] = _ORACLES["knn_ivfpq"]

@@ -16,9 +16,19 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "toy_vector_db_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+    )
+    # local-mode default heap is 1 GB shared by all executor threads;
+    # oversized off-fixture runs (scripts/scale_evidence_sf1.py --cap:
+    # 200k vectors) opt into a larger JVM via env — must be set before
+    # the JVM launches, so it's a builder config, not a runtime conf
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
