@@ -1103,20 +1103,24 @@ def _upsert_parted(
     # ... and the batch must not repeat an id WITHIN itself either (an
     # at-least-once source replaying a row into one micro-batch would
     # otherwise union two rows per id and build two graph nodes for one
-    # global id — the same corruption the cross-check above prevents)
-    intra_dup = (
-        batch_p.groupBy(id_col).count().where(F.col("count") > 1)
-    )
-    if not intra_dup.isEmpty():
+    # global id — the same corruption the cross-check above prevents).
+    # ONE aggregation job computes the intra-dup verdict AND the
+    # touched-shard set (round 9: this was two separate actions — a
+    # groupBy-count isEmpty plus a distinct collect — i.e. two full
+    # passes over the micro-batch per ingest where one suffices; the
+    # scalars returned are bounded by P, never data)
+    stats = batch_p.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+        F.collect_set("part").alias("parts"),
+    ).collect()[0]
+    if stats["n"] != stats["nd"]:
         raise ValueError(
             "hnsw upsert: batch contains duplicate ids within itself; "
             "deduplicate the micro-batch (e.g. dropDuplicates on the id) "
             "before ingest"
         )
-    # touched-shard set: bounded by P (scalar collect, never data)
-    touched = sorted(
-        int(r[0]) for r in batch_p.select("part").distinct().collect()
-    )
+    touched = sorted(int(p) for p in stats["parts"])
     union_parted = parted.select(id_col, vec_col, "part").unionByName(
         batch_p.select(id_col, vec_col, "part")
     )
