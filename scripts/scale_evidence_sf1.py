@@ -63,31 +63,38 @@ def make_corpus(spark, n_draw: int, cut: int):
     ``n_draw`` matches the gate EXACTLY in 10x mode (n=20000, base =
     first 19000, queries = next 100) so this script's rows are
     comparable with the documented gate numbers."""
-    rng = np.random.default_rng(42)
-    d, kc, sigma = 64, 10, 2.5
-    centers = rng.normal(0, 1, (kc, d))
-    lab = rng.integers(0, kc, n_draw)
-    X = (centers[lab] + rng.normal(0, sigma, (n_draw, d))).astype(np.float32)
     # materialize through parquet (pyarrow buffers, no per-element Python
     # boxing): createDataFrame over 200k list-of-list rows put the DRIVER
     # JVM into GCLocker thrash — the corpus belongs on disk, like any
-    # real input
+    # real input. Atomic write (tmp + rename) so a killed run can never
+    # leave a truncated file that a later run silently reuses; the whole
+    # generation (rng draws included) is skipped when the cached corpus
+    # already exists.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n_keep = cut + N_QUERIES
-    flat = pa.array(X[:n_keep].reshape(-1), type=pa.float32())
-    offsets = pa.array(
-        np.arange(0, (n_keep + 1) * d, d, dtype=np.int32)
-    )
-    tbl = pa.table({
-        "vec_id": pa.array(np.arange(n_keep, dtype=np.int64)),
-        "embedding": pa.ListArray.from_arrays(offsets, flat),
-        "label": pa.array(lab[:n_keep].astype(np.int32)),
-    })
     path = f"/tmp/tvdb_scale_corpus_{n_draw}_{cut}.parquet"
     if not os.path.exists(path):
-        pq.write_table(tbl, path)
+        rng = np.random.default_rng(42)
+        d, kc, sigma = 64, 10, 2.5
+        centers = rng.normal(0, 1, (kc, d))
+        lab = rng.integers(0, kc, n_draw)
+        X = (centers[lab] + rng.normal(0, sigma, (n_draw, d))).astype(
+            np.float32
+        )
+        n_keep = cut + N_QUERIES
+        flat = pa.array(X[:n_keep].reshape(-1), type=pa.float32())
+        offsets = pa.array(
+            np.arange(0, (n_keep + 1) * d, d, dtype=np.int32)
+        )
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(n_keep, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
+            "label": pa.array(lab[:n_keep].astype(np.int32)),
+        })
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
     emb = spark.read.parquet(path).repartition(32).persist()
     emb.count()
     base = emb.where(F.col("vec_id") < cut)
@@ -183,7 +190,10 @@ def main() -> None:
         df = fn()
         df.collect()
         wall = round(time.perf_counter() - t0, 2)
-        rec = recall(fn())
+        # score the TIMED frame (same plan object) — rebuilding the
+        # pipeline a third time via fn() costs another full Spark job
+        # per family (~+50% wall in --cap mode) for identical values
+        rec = recall(df)
         row = {
             "family": name,
             "n_base": n_base,

@@ -407,6 +407,27 @@ def test_upsert_rejects_intra_batch_duplicate_ids(spark, embeddings):
         hnsw.hnsw_upsert(parted0, edges0, doubled, P)
 
 
+def test_upsert_rejects_null_ids_with_the_right_error(spark, embeddings):
+    """Review finding (round 9): the fused count/countDistinct check
+    ignores NULLs in countDistinct, so a NULL id used to read as a
+    within-batch duplicate — the wrong diagnosis (dropDuplicates fixes
+    nothing). A null id must raise its OWN typed error."""
+    import pytest
+
+    base = embeddings.limit(60)
+    initial = base.where(F.col("vec_id") < 40)
+    parted0, edges0 = hnsw.hnsw_index(initial, P)
+    fresh = base.where(F.col("vec_id") >= 40)
+    nulled = fresh.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 41, F.lit(None)).otherwise(
+            F.col("vec_id")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL ids"):
+        hnsw.hnsw_upsert(parted0, edges0, nulled, P)
+
+
 def test_labeled_index_rejects_truncating_float_labels(spark, embeddings):
     """Review finding (round 8): try_cast TRUNCATES non-integral
     numerics (2.3 and 2.6 both → part 2), silently MERGING distinct

@@ -1111,10 +1111,19 @@ def _upsert_parted(
     # scalars returned are bounded by P, never data)
     stats = batch_p.agg(
         F.count("*").alias("n"),
+        F.count(F.col(id_col)).alias("nn"),  # non-null ids
         F.countDistinct(id_col).alias("nd"),
         F.collect_set("part").alias("parts"),
     ).collect()[0]
-    if stats["n"] != stats["nd"]:
+    if stats["nn"] != stats["n"]:
+        # countDistinct ignores NULLs, so without this branch a null id
+        # would be misreported as a within-batch duplicate and send the
+        # operator down the wrong remediation path (review r9)
+        raise ValueError(
+            "hnsw upsert: batch contains NULL ids; ids are the graph's "
+            "node identity and must be non-null"
+        )
+    if stats["nn"] != stats["nd"]:
         raise ValueError(
             "hnsw upsert: batch contains duplicate ids within itself; "
             "deduplicate the micro-batch (e.g. dropDuplicates on the id) "
