@@ -107,12 +107,21 @@ def make_corpus(spark, n_draw: int, cut: int):
 
 def main() -> None:
     cap_mode = "--cap" in sys.argv
-    cut = 200_000 if cap_mode else 19_000
-    n_draw = cut + N_QUERIES if cap_mode else 20_000  # 10x = gate corpus
-    if cap_mode:
+    graphs_mode = "--graphs" in sys.argv
+    if graphs_mode:
+        # graph-family scale point: 100k vectors, shard/cell counts
+        # scaled with the corpus (32 shards / 32 cells) exactly as a
+        # cluster deployment scales them — per-shard insert work stays
+        # ~constant as shards ride executors
+        cut, n_draw = 100_000, 100_000 + N_QUERIES
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    elif cap_mode:
+        cut, n_draw = 200_000, 200_000 + N_QUERIES
         # 200k vectors through the quantizer pipelines needs more than
         # the 1 GB local-mode default heap (32 concurrent tasks)
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    else:
+        cut, n_draw = 19_000, 20_000  # 10x = the recall gates' corpus
     spark = get_spark("tvdb-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     base, qs, n_base = make_corpus(spark, n_draw, cut)
@@ -129,48 +138,92 @@ def main() -> None:
         )
 
     r_budget = similarity._rerank_budget(base, K)
-    probe_frac = round(similarity.N_PROBE / similarity.N_CENTROIDS, 3)
+    # graphs mode routes over 32 cells (deployment-scaled), the
+    # quantizer modes over the shipped N_CENTROIDS=16
+    n_cells = 32 if graphs_mode else similarity.N_CENTROIDS
+    probe_frac = round(similarity.N_PROBE / n_cells, 3)
 
     families: list[tuple[str, float, object]] = []
 
     def family(name, floor, fn):
         families.append((name, floor, fn))
 
-    # quantizer families (build artifacts session-cached by first call).
-    # IVF probe serves from the TRAINED quantizer + the persisted
-    # cell-partitioned base, exactly like the registry's knn_ivf key —
-    # the bare knn_ivf(base, qs, k) default is the untrained first-K
-    # stand-in and would recompute the assignment per call.
-    family(
-        "ivf_probe",
-        FLAT_FLOOR,
-        lambda: similarity.knn_ivf(
-            base, qs, K,
-            cents=similarity.cached_trained_centroids(base),
-            cell_vectors=similarity.cached_cell_vectors(base),
-        ),
-    )
-    family(
-        "pq_rerank", FLAT_FLOOR, lambda: similarity.knn_pq_rerank(base, qs, K)
-    )
-    family(
-        "sq_rerank", FLAT_FLOOR, lambda: similarity.knn_sq_rerank(base, qs, K)
-    )
-    family(
-        "bq_rerank",
-        COMPRESSED_FLOOR,
-        lambda: similarity.knn_bq_rerank(base, qs, K),
-    )
-    family(
-        "ivfpq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfpq(base, qs, K)
-    )
-    family(
-        "ivfsq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfsq(base, qs, K)
-    )
-    family(
-        "ivfbq", COMPRESSED_FLOOR, lambda: similarity.knn_ivfbq(base, qs, K)
-    )
-    if not cap_mode:
+    if graphs_mode:
+        # graph families only, with TIMED builds: the quantizer families'
+        # scale rows live in the default/--cap modes; what this mode adds
+        # is build wall-time + serving recall for the two graph indexes
+        # at 100k with deployment-scaled shard/cell counts.
+        import json as _json
+
+        t0 = time.perf_counter()
+        parted, edges = hnsw.cached_index(base, "#scale100k", 32)
+        flat_build = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cells, redges, cents = hnsw.cached_routed_index(
+            base, "#scale100k", 32
+        )
+        routed_build = round(time.perf_counter() - t0, 2)
+        print(_json.dumps({
+            "build": {"hnsw_flat_32shard_sec": flat_build,
+                      "hnsw_routed_32cell_sec": routed_build,
+                      "n_base": n_base},
+        }), flush=True)
+
+        family(
+            "hnsw_flat",
+            FLAT_FLOOR,
+            lambda: hnsw.knn_hnsw_prebuilt(parted, edges, qs, K),
+        )
+        family(
+            "hnsw_routed",
+            COMPRESSED_FLOOR,
+            lambda: hnsw.knn_hnsw_routed_prebuilt(
+                cells, redges, cents, qs, K
+            ),
+        )
+
+    if not graphs_mode:
+        # quantizer families (build artifacts session-cached by first
+        # call). IVF probe serves from the TRAINED quantizer + the
+        # persisted cell-partitioned base, exactly like the registry's
+        # knn_ivf key — the bare knn_ivf(base, qs, k) default is the
+        # untrained first-K stand-in and would recompute the assignment
+        # per call.
+        family(
+            "ivf_probe",
+            FLAT_FLOOR,
+            lambda: similarity.knn_ivf(
+                base, qs, K,
+                cents=similarity.cached_trained_centroids(base),
+                cell_vectors=similarity.cached_cell_vectors(base),
+            ),
+        )
+        family(
+            "pq_rerank", FLAT_FLOOR,
+            lambda: similarity.knn_pq_rerank(base, qs, K),
+        )
+        family(
+            "sq_rerank", FLAT_FLOOR,
+            lambda: similarity.knn_sq_rerank(base, qs, K),
+        )
+        family(
+            "bq_rerank",
+            COMPRESSED_FLOOR,
+            lambda: similarity.knn_bq_rerank(base, qs, K),
+        )
+        family(
+            "ivfpq", COMPRESSED_FLOOR,
+            lambda: similarity.knn_ivfpq(base, qs, K),
+        )
+        family(
+            "ivfsq", COMPRESSED_FLOOR,
+            lambda: similarity.knn_ivfsq(base, qs, K),
+        )
+        family(
+            "ivfbq", COMPRESSED_FLOOR,
+            lambda: similarity.knn_ivfbq(base, qs, K),
+        )
+    if not cap_mode and not graphs_mode:
         # graph families at the 10x corpus: flat 8-shard + routed
         def _hnsw():
             parted, edges = hnsw.cached_index(base, "#scale10x", 8)
