@@ -2024,6 +2024,31 @@ def knn_bq2_rerank(
     )
 
 
+def bq2_upsert(
+    initial: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BQ2 ingest (round 9) — the sq_upsert contract on the
+    2-bit family: the per-dim |nv| max bounds are computed ONCE over the
+    initial corpus and FROZEN; every later micro-batch is only encoded
+    against the broadcast bounds row and the new code rows are UNIONed
+    onto the existing artifact (appended parquet files at 100 TB). A
+    batch value with |nv| above the frozen mx simply sets the magnitude
+    bit (the threshold is a comparison, no clamp needed) and
+    reconstructs at 0.75·mx — deterministic on both engines. The encode
+    is a pure per-row expression, so the upserted code set is provably
+    row-identical to encoding the full corpus under the same frozen
+    bounds — search stays DuckDB-oracle-able (the oracle bounds the max
+    scan to the initial slice). Returns ``(codes, bounds)`` for
+    ``knn_bq2_rerank``."""
+    bounds = cached_bq2_bounds(initial, id_col, vec_col)
+    existing = bq2_code_array(initial, bounds, id_col, vec_col)
+    new_codes = bq2_code_array(batch, bounds, id_col, vec_col)
+    return existing.unionByName(new_codes), bounds
+
+
 # (appId, plan hash, cols) → persisted cell-keyed SQ codes — the IVF-SQ
 # index artifact (codes ⋈ coarse-cell assignment), the cached_codes_cells
 # idiom for the fourth family

@@ -742,19 +742,23 @@ def _sq_common_ctes(split_cte: str, bounds_pred: str = "TRUE") -> str:
       FROM nb, sqbounds)"""
 
 
-def _bq2_common_ctes(split_cte: str) -> str:
+def _bq2_common_ctes(split_cte: str, bounds_pred: str = "TRUE") -> str:
     """Shared BQ2 CTEs (round 9): normalized base, per-dim |nv| max
     (exact selection — bit-identical cross-engine), 2-bit sign+magnitude
     codes, and the per-code reconstruction — SQL twins of
     similarity.bq2_bounds / bq2_code_array / _bq2_recon, op for op
-    (sign·(level·mx), level ∈ {BQ2_LO, BQ2_HI})."""
+    (sign·(level·mx), level ∈ {BQ2_LO, BQ2_HI}). ``bounds_pred``
+    restricts the max scan (the upsert key's frozen initial slice —
+    similarity.bq2_upsert's contract); codes are always computed over
+    the full base under those bounds, which is exactly what
+    frozen-bounds append produces (per-row encode)."""
     from toy_vector_db_spark.operators.similarity import BQ2_HI, BQ2_LO
 
     return f"""{split_cte},
     nb AS (SELECT vec_id, {_norm_sql('embedding')} AS nv FROM base),
     b2dim AS (SELECT vec_id, unnest(nv) AS x,
                      generate_subscripts(nv, 1) AS dim
-              FROM nb),
+              FROM nb WHERE {bounds_pred}),
     b2b AS (SELECT dim, max(abs(x)) AS mx FROM b2dim GROUP BY dim),
     b2bounds AS (SELECT list(mx ORDER BY dim) AS mx FROM b2b),
     b2codes AS (
@@ -785,18 +789,29 @@ def bq2_codes_sql(split_cte: str) -> str:
     """
 
 
-def knn_bq2_rerank_sql(split_cte: str, k: int, rerank_r: int | str) -> str:
+def knn_bq2_rerank_sql(
+    split_cte: str,
+    k: int,
+    rerank_r: int | str,
+    cand_pred: str | None = None,
+    bounds_pred: str = "TRUE",
+) -> str:
     """BQ2 serving oracle: clamped-cosine candidate scores between each
     code's reconstruction and the raw query, top-R prune at the SHARED
     budget, exact cosine rerank — the SQL twin of
-    similarity.knn_bq2_rerank."""
+    similarity.knn_bq2_rerank. ``cand_pred`` is the delete key's
+    tombstone exclusion (deleted code rows never become candidates);
+    ``bounds_pred`` bounds the max scan (upsert key: the frozen initial
+    slice) — the knn_sq_rerank_sql lifecycle hooks."""
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
     d_code = V.sql_cosine_distance("r.recon", "q.qv")
     d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
     return f"""
-    WITH {_bq2_common_ctes(split_cte)},
+    WITH {_bq2_common_ctes(split_cte, bounds_pred)},
     cand AS (
       SELECT q.query_id, r.vec_id, {d_code} AS cd
-      FROM b2recon r, q),
+      FROM b2recon r, q
+      WHERE {cand_where}),
     pruned AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,

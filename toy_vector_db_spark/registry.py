@@ -2044,6 +2044,53 @@ def q_knn_bq2_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bq2_rerank(base, qs, K)
 
 
+@register("bq2_upsert_search")
+def q_bq2_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ2 search over an INCREMENTALLY-INGESTED index (round 9 — the
+    lifecycle leg every other quantizer family carries): the per-dim
+    |nv| max bounds freeze on the first 75% of the base; the last 25%
+    arrives as a micro-batch that is only encoded against the broadcast
+    bounds row and appended (similarity.bq2_upsert). Oracle:
+    knn_bq2_rerank's SQL with the max scan bounded to the initial slice
+    — valid because frozen-bounds append is a per-row expression,
+    provably row-identical to a full re-encode."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+    codes, bounds = similarity.bq2_upsert(initial, batch)
+    return similarity.knn_bq2_rerank(
+        base, qs, K, bounds=bounds, codes=codes
+    )
+
+
+@register("bq2_delete_search")
+def q_bq2_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the BQ2 index via tombstones (round 9): the shared
+    deterministic set vec_id % 17 == 0 anti-joins out of the code rows
+    BEFORE the reconstruction-cosine scan — bounds not retrained,
+    neighbors back-fill from next-nearest survivors (the sq_delete
+    contract; compaction is definitionally identical for a per-row
+    encode, proven for SQ in tests). Oracle: knn_bq2_rerank's SQL with
+    the exclusion in the candidate CTE."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    bounds = similarity.cached_bq2_bounds(base)
+    codes = similarity.bq2_code_array(base, bounds)
+    tombstones = base.select("vec_id").where(
+        F.col("vec_id") % DELETE_MOD == 0
+    )
+    live = codes.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return similarity.knn_bq2_rerank(
+        base, qs, K, bounds=bounds, codes=live
+    )
+
+
 @register("sq_train")
 def q_sq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 'training' (round 8, fourth index family): per-dimension
@@ -2793,10 +2840,12 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-# Round 9 queues the two new BQ2 keys (created after the round's 18
+# Round 9 queues the four new BQ2 keys (created after the round's 18
 # rotations were spent on hnsw_routed_build + the 17 oldest-row keys);
 # they rotate in next round.
-_POST_WINDOW_OVERFLOW: list[str] = ["bq2_codes", "knn_bq2_rerank"]
+_POST_WINDOW_OVERFLOW: list[str] = [
+    "bq2_codes", "knn_bq2_rerank", "bq2_upsert_search", "bq2_delete_search",
+]
 
 
 @register("streaming_vector_ingest")
@@ -3259,10 +3308,23 @@ def _register_similarity_oracles() -> None:
         ),
     )
     # BQ2 (round 9, verdict r8 item 8): 2-bit codes + serving at the
-    # SHARED rerank floor — knobs in oracle lockstep
+    # SHARED rerank floor — knobs in oracle lockstep; lifecycle legs via
+    # the knn_sq_rerank_sql-style hooks (frozen-bounds upsert, tombstone
+    # delete)
     _ORACLES["bq2_codes"] = O.bq2_codes_sql(_SPLIT_CTE)
     _ORACLES["knn_bq2_rerank"] = O.knn_bq2_rerank_sql(
         _SPLIT_CTE, K, O.rerank_budget_sql(K)
+    )
+    _ORACLES["bq2_upsert_search"] = O.knn_bq2_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K),
+        bounds_pred=(
+            f"vec_id < (SELECT CAST(round({UPSERT_RATIO} * c) AS BIGINT)"
+            " FROM cut)"
+        ),
+    )
+    _ORACLES["bq2_delete_search"] = O.knn_bq2_rerank_sql(
+        _SPLIT_CTE, K, O.rerank_budget_sql(K),
+        cand_pred=f"r.vec_id % {DELETE_MOD} <> 0",
     )
     _ORACLES["sq_train"] = O.sq_train_sql(_SPLIT_CTE)
     _ORACLES["sq_codes"] = O.sq_codes_sql(_SPLIT_CTE)
