@@ -87,6 +87,10 @@ HEADLINE = [
     # B/vector Hamming scan within probed cells, deeper rerank floor
     "knn_ivfbq",
     "knn_ivfbq_filtered",
+    # round 9: the matrix's fourth column — 2-bit fine code at the
+    # SHARED budget
+    "knn_ivfbq2",
+    "knn_ivfbq2_filtered",
     "ivfpq_build",
     "knn_ivfpq",
     "knn_ivfpq_filtered",

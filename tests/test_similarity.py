@@ -1300,3 +1300,45 @@ def test_ivfbq_recall(spark, embeddings):
     )
     small = base.count() <= 1000
     assert rec >= (0.70 if small else 0.65), f"IVF-BQ recall@10 = {rec}"
+
+
+def test_ivfbq2_full_probe_equals_bq2_rerank(spark, embeddings):
+    """IVF-BQ2 (round 9): at nprobe = C every cell is probed, so the
+    fourth composition column must return EXACTLY the flat BQ2
+    pipeline's results — the matrix gating argument, now on all four
+    fine quantizers."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    flat = similarity.knn_bq2_rerank(base, qs, 10).collect()
+    full = similarity.knn_ivfbq2(
+        base, qs, 10, nprobe=similarity.N_CENTROIDS
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, full))
+
+
+def test_ivfbq2_recall(spark, embeddings):
+    """IVF-BQ2 partial probe at the SHARED budget: the 2-bit code's
+    near-SQ in-cell ranking means the probe miss rate dominates — the
+    floor matches the SQ composition's family bar, NOT BQ's deepened
+    one."""
+    cut = split_count(embeddings.count(), 0.95)
+    base = embeddings.where(F.col("vec_id") < cut).select(
+        "vec_id", "embedding"
+    )
+    qs = embeddings.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn.knn_exact_batch(base, qs, 10)
+    ivfbq2 = similarity.knn_ivfbq2(base, qs, 10)
+    rec = (
+        evaluation.evaluate_recall(ivfbq2, exact)
+        .agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= 0.70, f"IVF-BQ2 recall@10 = {rec}"

@@ -46,6 +46,7 @@ def _cache_dicts() -> list[dict]:
         similarity._LABEL_HIST_CACHE,
         similarity._SQ_BOUNDS_CACHE,
         similarity._BQ2_BOUNDS_CACHE,
+        similarity._BQ2_CELLS_CACHE,
         similarity._SQ_CELLS_CACHE,
         similarity._BQ_CELLS_CACHE,
         dedup._PAIRS_CACHE,

@@ -2049,6 +2049,176 @@ def bq2_upsert(
     return existing.unionByName(new_codes), bounds
 
 
+# (appId, plan hash, cols) → persisted cell-keyed BQ2 codes — the IVF-BQ2
+# index artifact, the cached_sq_cells idiom on the 2-bit family
+_BQ2_CELLS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_bq2_cells(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, centroid_id) persisted per session — the IVF-BQ2
+    index artifact: 2-bit codes keyed by the SAME trained coarse cell
+    every sibling composition uses (one consistent coarse quantizer per
+    serving stack), i.e. what a 100 TB build WRITES partitioned by
+    centroid_id at 16 B/vector inside each cell directory."""
+    key = (
+        base.sparkSession.sparkContext.applicationId,
+        base.semanticHash(),
+        id_col,
+        vec_col,
+    )
+    if key not in _BQ2_CELLS_CACHE:
+        bounds = cached_bq2_bounds(base, id_col, vec_col)
+        assign = cached_trained_assign(base, id_col, vec_col)
+        bc = (
+            bq2_code_array(base, bounds, id_col, vec_col)
+            .join(assign, id_col)
+            .persist()
+        )
+        bc.count()
+        _BQ2_CELLS_CACHE[key] = bc
+    return _BQ2_CELLS_CACHE[key]
+
+
+def knn_ivfbq2(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    rerank_r: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cents: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+    bq2_cells: DataFrame | None = None,
+    labels: DataFrame | None = None,
+    query_labels: DataFrame | None = None,
+    label_hist: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-BQ2 (round 9 — the composition matrix's FOURTH column,
+    IVF×{PQ, SQ, BQ, BQ2} over ONE trained coarse quantizer): the
+    shared coarse probe gates the 2-bit reconstruction-cosine prune at
+    the SHARED rerank budget (BQ2's measured point: no BQ-style
+    deepening needed), then the exact rerank. Candidate scoring is the
+    exact pair kernel routed by ``cells_by_query`` — a base row is
+    scored only against the queries probing its cell — with the
+    probe-join Catalyst fallback above QUERY_BATCH_MAX (the knn_ivf
+    guard: no driver collect on an oversized query frame). 16 B/vector
+    probed bytes: 2× BQ's, ¼ of SQ's, with near-SQ ranking quality
+    (scripts/bq2_study.py).
+
+    FILTERED search: the knn_ivfpq hooks, identically shaped — label
+    equality before the top-R cut, optional histogram-guided probe
+    selection via the shared build-time ``label_hist``. Fully
+    deterministic → DuckDB-oracle-able end to end (trained centroids by
+    the kmeans_chain parity, bounds by exact max selection, candidate
+    cosine by the pair-kernel ≡ SQL-expression parity)."""
+    from toy_vector_db_spark.operators import knn as KNN
+
+    if (labels is None) != (query_labels is None):
+        raise ValueError(
+            "knn_ivfbq2: labels and query_labels must be passed together"
+        )
+    if label_hist is not None and labels is None:
+        raise ValueError(
+            "knn_ivfbq2: label_hist requires labels and query_labels — "
+            "histogram-guided probing restricts WHICH cells are ranked, "
+            "but only the row-level label filter keeps non-matching "
+            "rows in those cells out of the result"
+        )
+    if (bq2_cells is None) != (bounds is None):
+        raise ValueError(
+            "knn_ivfbq2: bq2_cells and bounds must be injected together "
+            "— codes encoded under one bounds row reconstructed against "
+            "another silently mis-decode every distance"
+        )
+    if rerank_r is None:
+        rerank_r = _rerank_budget(base, k, id_col)
+    if cents is None:
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+    if bounds is None:
+        bounds = cached_bq2_bounds(base, id_col, vec_col)
+    if bq2_cells is None:
+        bq2_cells = cached_bq2_cells(base, id_col, vec_col)
+    recon = bq2_cells.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "centroid_id",
+        _bq2_recon(F.col("codes"), F.col("mx")).alias("recon"),
+    )
+    if label_hist is not None:
+        probes = _ivf_probes_labeled(
+            queries, cents, query_labels, label_hist, nprobe,
+            int(rerank_r), query_id_col, query_vec_col,
+        )
+    else:
+        probes = _ivf_probes(
+            queries, cents, nprobe, query_id_col, query_vec_col
+        )
+    if KNN.query_batch_count(queries) > KNN.QUERY_BATCH_MAX:
+        # no-collect fallback (the knn_ivf guard): probe frame joined on
+        # centroid_id, reconstruction cosine inline; the probed-cell
+        # IN-filter collect is bounded by C, not nq
+        probed_cells = sorted(
+            int(r[0])
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand = (
+            recon.where(F.col("centroid_id").isin(probed_cells))
+            .join(
+                probes.select(query_id_col, "centroid_id"), "centroid_id"
+            )
+            .join(
+                queries.select(query_id_col, query_vec_col), query_id_col
+            )
+            .select(
+                F.col(query_id_col).cast("long").alias(query_id_col),
+                F.col(id_col).cast("long").alias(id_col),
+                V.distance(
+                    F.col("recon"), F.col(query_vec_col)
+                ).alias("dist"),
+            )
+        )
+    else:
+        cells_by_query: dict[int, list] = {}
+        for r in probes.select(query_id_col, "centroid_id").collect():
+            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        probed_cells = sorted(
+            {c for cs in cells_by_query.values() for c in cs}
+        )
+        cand = KNN.pair_scores(
+            recon.where(F.col("centroid_id").isin(probed_cells)),
+            queries,
+            id_col=id_col,
+            vec_col="recon",
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            cells_by_query=cells_by_query,
+        )
+    if labels is not None:
+        cand = (
+            cand.join(labels, id_col)
+            .join(F.broadcast(query_labels), query_id_col)
+            .where(F.col("label") == F.col("qlabel"))
+            .drop("label", "qlabel")
+        )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") <= rerank_r)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        pruned, base, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
 # (appId, plan hash, cols) → persisted cell-keyed SQ codes — the IVF-SQ
 # index artifact (codes ⋈ coarse-cell assignment), the cached_codes_cells
 # idiom for the fourth family

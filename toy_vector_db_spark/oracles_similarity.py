@@ -834,6 +834,67 @@ def knn_bq2_rerank_sql(
     """
 
 
+def knn_ivfbq2_sql(
+    split_cte: str,
+    k: int,
+    nprobe: int,
+    rerank_r: int | str,
+    cand_pred: str | None = None,
+    extra_cand_joins: str = "",
+    label_probe_r: int | str | None = None,
+) -> str:
+    """IVF-BQ2 serving oracle (round 9 — the matrix's fourth column):
+    the knn_ivf probe chain (trained coarse centroids → nearest-cell
+    assignment → nprobe probes per query) gating the BQ2
+    reconstruction-cosine prune of knn_bq2_rerank_sql, then the shared
+    top-R prune and exact rerank. Filtered hooks are knn_ivfsq_sql's,
+    identically shaped."""
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    d_code = V.sql_cosine_distance("r.recon", "q.qv")
+    d_exact = V.sql_cosine_distance("b.embedding", "q.qv")
+    cand_where = cand_pred if cand_pred is not None else "TRUE"
+    probes_cte = _ivf_probes_ctes("cents", nprobe, label_probe_r)
+    return f"""
+    WITH {_bq2_common_ctes(split_cte)},
+    {_trained_cents_cte()},
+    assign AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d_bc} ASC, c.centroid_id ASC) AS rn
+        FROM base b, cents c)
+      WHERE rn = 1),
+    {probes_cte},
+    cand AS (
+      SELECT p.query_id, r.vec_id, {d_code} AS cd
+      FROM b2recon r
+      JOIN assign a ON a.vec_id = r.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN q ON q.query_id = p.query_id
+      {extra_cand_joins}
+      WHERE {cand_where}),
+    pruned AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cd ASC, vec_id ASC) AS rr
+        FROM cand)
+      WHERE rr <= {rerank_r}),
+    rescored AS (
+      SELECT p.query_id, p.vec_id, {d_exact} AS d
+      FROM pruned p
+      JOIN base b ON b.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, vec_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, vec_id, round(d, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def sq_train_sql(split_cte: str) -> str:
     """Exploded per-dim bounds (dim, mn, mx) — SQL twin of
     similarity.sq_train (0-based dim to match posexplode)."""

@@ -2044,6 +2044,54 @@ def q_knn_bq2_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bq2_rerank(base, qs, K)
 
 
+@register("knn_ivfbq2")
+def q_knn_ivfbq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ2 (round 9 — the composition matrix's FOURTH column,
+    IVF×{PQ, SQ, BQ, BQ2} over the ONE shared trained coarse
+    quantizer): coarse probe gates the 2-bit reconstruction-cosine
+    prune at the SHARED rerank budget (BQ2 needs no BQ-style deepening
+    — scripts/bq2_study.py), exact rerank. 16 B/vector probed bytes —
+    2× BQ's with near-SQ ranking quality. Candidates scored by the
+    exact pair kernel routed per probed cell; DuckDB-oracled end to
+    end."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _split(spark, sf_dir)
+    return similarity.knn_ivfbq2(base, qs, K)
+
+
+@register("knn_ivfbq2_filtered")
+def q_knn_ivfbq2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF-BQ2 (round 9): the knn_ivfpq_filtered machinery —
+    label equality BEFORE the top-R cut (IDSelector) plus
+    histogram-guided probe selection — over the 2-bit fine code. The
+    SAME build-time histogram serves all four compositions: filtered
+    search is a property of the shared partitioner, not the fine
+    quantizer."""
+    from toy_vector_db_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cut = split_count(_emb_count(spark, sf_dir), SPLIT_RATIO)
+    base = emb.where(F.col("vec_id") < cut)
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    return similarity.knn_ivfbq2(
+        bvec,
+        qs.select("query_id", "query_vec"),
+        K,
+        labels=labels,
+        query_labels=qs.select(
+            "query_id", F.col("label").alias("qlabel")
+        ),
+        label_hist=similarity.cached_label_cell_hist(bvec, labels),
+    )
+
+
 @register("bq2_upsert_search")
 def q_bq2_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BQ2 search over an INCREMENTALLY-INGESTED index (round 9 — the
@@ -2840,11 +2888,12 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-# Round 9 queues the four new BQ2 keys (created after the round's 18
-# rotations were spent on hnsw_routed_build + the 17 oldest-row keys);
-# they rotate in next round.
+# Round 9 queues the six new BQ2-family keys (created after the round's
+# 18 rotations were spent on hnsw_routed_build + the 17 oldest-row
+# keys); they rotate in next round.
 _POST_WINDOW_OVERFLOW: list[str] = [
     "bq2_codes", "knn_bq2_rerank", "bq2_upsert_search", "bq2_delete_search",
+    "knn_ivfbq2", "knn_ivfbq2_filtered",
 ]
 
 
@@ -3325,6 +3374,26 @@ def _register_similarity_oracles() -> None:
     _ORACLES["bq2_delete_search"] = O.knn_bq2_rerank_sql(
         _SPLIT_CTE, K, O.rerank_budget_sql(K),
         cand_pred=f"r.vec_id % {DELETE_MOD} <> 0",
+    )
+    # IVF-BQ2: the matrix's fourth column, at the SHARED budget
+    _ORACLES["knn_ivfbq2"] = O.knn_ivfbq2_sql(
+        _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
+    )
+    _ORACLES["knn_ivfbq2_filtered"] = O.knn_ivfbq2_sql(
+        _SPLIT_CTE
+        + """,
+    lbl AS (SELECT vec_id, label FROM embeddings, cut WHERE vec_id < c),
+    qlbl AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings, cut WHERE vec_id >= c)""",
+        K,
+        N_PROBE,
+        O.rerank_budget_sql(K),
+        cand_pred="bl.label = ql.qlabel",
+        extra_cand_joins=(
+            "JOIN lbl bl ON bl.vec_id = r.vec_id\n"
+            "      JOIN qlbl ql ON ql.query_id = p.query_id"
+        ),
+        label_probe_r=O.rerank_budget_sql(K),
     )
     _ORACLES["sq_train"] = O.sq_train_sql(_SPLIT_CTE)
     _ORACLES["sq_codes"] = O.sq_codes_sql(_SPLIT_CTE)
