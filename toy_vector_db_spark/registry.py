@@ -2893,7 +2893,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys); they rotate in next round.
 _POST_WINDOW_OVERFLOW: list[str] = [
     "bq2_codes", "knn_bq2_rerank", "bq2_upsert_search", "bq2_delete_search",
-    "knn_ivfbq2", "knn_ivfbq2_filtered",
+    "knn_ivfbq2", "knn_ivfbq2_filtered", "streaming_bq2_ingest",
 ]
 
 
@@ -2952,6 +2952,35 @@ def q_streaming_sq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = existing.unionByName(streamed.select(*existing.columns))
     return similarity.knn_sq_rerank(
+        base, qs, K, bounds=bounds, codes=codes
+    )
+
+
+@register("streaming_bq2_ingest")
+def q_streaming_bq2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ingest into the BQ2 index (round 9): the arriving 25%
+    of the base flows through readStream → foreachBatch; each
+    micro-batch is encoded against the FROZEN broadcast |nv|-max bounds
+    row and appended as parquet to the index sink — the streaming
+    quartet (IVF-PQ, HNSW, SQ, BQ2). Per-row encode makes the drained
+    code set row-identical to the batch upsert regardless of batch
+    boundaries, so search over it shares bq2_upsert_search's DuckDB
+    oracle exactly."""
+    from toy_vector_db_spark.operators import similarity
+    from toy_vector_db_spark.streaming import ingest
+
+    base, qs = _split(spark, sf_dir)
+    n = _emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    bounds = similarity.cached_bq2_bounds(initial)
+    existing = similarity.bq2_code_array(initial, bounds)
+    streamed = ingest.stream_ingest_bq2_codes(
+        spark, sf_dir, init_cut, cut, bounds
+    )
+    codes = existing.unionByName(streamed.select(*existing.columns))
+    return similarity.knn_bq2_rerank(
         base, qs, K, bounds=bounds, codes=codes
     )
 
@@ -3420,6 +3449,9 @@ def _register_similarity_oracles() -> None:
     # only partition the work) — same oracle, the strongest possible
     # check for a streaming path (the streaming_vector_ingest idiom)
     _ORACLES["streaming_sq_ingest"] = _ORACLES["sq_upsert_search"]
+    # BQ2 streaming twin (round 9): same argument — per-row encode under
+    # frozen bounds, drained set row-identical to the batch upsert
+    _ORACLES["streaming_bq2_ingest"] = _ORACLES["bq2_upsert_search"]
     _ORACLES["knn_ivfsq"] = O.knn_ivfsq_sql(
         _SPLIT_CTE, K, N_PROBE, O.rerank_budget_sql(K)
     )

@@ -176,6 +176,64 @@ def stream_ingest_sq_codes(
     return spark.read.parquet(_INGEST_CACHE[key])
 
 
+def stream_ingest_bq2_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    bounds: DataFrame,
+) -> DataFrame:
+    """CONTINUOUS ingest into the BQ2 index (round 9): the streaming
+    twin of ``similarity.bq2_upsert`` — same drain shape as
+    ``stream_ingest_sq_codes`` (readStream → foreachBatch, each
+    micro-batch encoded against the FROZEN broadcast |nv|-max bounds
+    row — a pure per-row Catalyst expression — and appended as parquet
+    to the index sink). Per-row encode makes the drained code set
+    row-identical to the batch upsert regardless of batch boundaries,
+    so search over it shares bq2_upsert_search's DuckDB oracle
+    exactly."""
+    from toy_vector_db_spark.operators import similarity
+
+    key = (spark.sparkContext.applicationId, sf_dir, lo, hi, "bq2")
+    if key not in _INGEST_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        sink = os.path.join(
+            FIXTURE_DIR, "sink_out", "stream_bq2", tag, f"{lo}_{hi}"
+        )
+        if os.path.exists(sink):
+            shutil.rmtree(sink)
+        os.makedirs(sink, exist_ok=True)
+
+        src_dir = _stream_embeddings_dir(spark, sf_dir)
+        schema = spark.read.parquet(src_dir).schema
+        arriving = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .where(f"vec_id >= {lo} AND vec_id < {hi}")
+        )
+
+        def _process(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch = batch_df.select("vec_id", "embedding")
+            similarity.bq2_code_array(batch, bounds).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            arriving.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _INGEST_CACHE[key] = sink
+    return spark.read.parquet(_INGEST_CACHE[key])
+
+
 def stream_ingest_hnsw(
     spark: SparkSession,
     sf_dir: str,
