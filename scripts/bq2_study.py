@@ -80,10 +80,22 @@ def main() -> None:
     # fixed reconstruction levels 0.25/0.75 * mx_d, candidates ranked by
     # clamped cosine(query, reconstruction). These are the numbers the
     # ship decision and SCALE.md cite. ---
+    import sys as _sys
+
+    _sys.path.insert(
+        0, __file__.rsplit("/", 2)[0]
+    )
+    from toy_vector_db_spark.operators.similarity import BQ2_HI, BQ2_LO
+
     nb = normalize(base)
     mx = np.abs(nb).max(axis=0)
     hi_mask = np.abs(nb) > mx / 2
-    recon_ship = np.sign(nb) * np.where(hi_mask, 0.75 * mx, 0.25 * mx)
+    # sign from the engine's code bit (nv > 0 → +1, else −1) — NOT
+    # np.sign, whose 0 at an exactly-zero dim would diverge from
+    # _bq2_recon; levels imported so a constant retune can't
+    # desynchronize the study (review r9)
+    sign = np.where(nb > 0, 1.0, -1.0)
+    recon_ship = sign * np.where(hi_mask, BQ2_HI * mx, BQ2_LO * mx)
     score_ship = cosine_dist(queries, recon_ship)
 
     # --- exploratory variant (the first probe that motivated BQ2):

@@ -26,7 +26,12 @@ not cold-cache artifact construction). Floors asserted: >= 0.85 for the
 uncompressed/flat paths (IVF probe, PQ/SQ rerank, HNSW), >= 0.70 for the
 compressed compositions (IVF-PQ, IVF-SQ, IVF-BQ, BQ, routed HNSW).
 
-Usage: python scripts/scale_evidence_sf1.py [--cap]
+  * ``--graphs`` : the graph families only, at 100,000 vectors with
+    deployment-scaled shard/cell counts (32 shards / 32 cells) and the
+    builds TIMED — the build-cost evidence the quantizer modes don't
+    cover (their builds are one agg pass / a bounded k-means).
+
+Usage: python scripts/scale_evidence_sf1.py [--cap | --graphs]
 Prints one JSON line per family and a markdown table for SCALE.md.
 """
 
@@ -153,8 +158,6 @@ def main() -> None:
         # scale rows live in the default/--cap modes; what this mode adds
         # is build wall-time + serving recall for the two graph indexes
         # at 100k with deployment-scaled shard/cell counts.
-        import json as _json
-
         t0 = time.perf_counter()
         parted, edges = hnsw.cached_index(base, "#scale100k", 32)
         flat_build = round(time.perf_counter() - t0, 2)
@@ -163,7 +166,7 @@ def main() -> None:
             base, "#scale100k", 32
         )
         routed_build = round(time.perf_counter() - t0, 2)
-        print(_json.dumps({
+        print(json.dumps({
             "build": {"hnsw_flat_32shard_sec": flat_build,
                       "hnsw_routed_32cell_sec": routed_build,
                       "n_base": n_base},

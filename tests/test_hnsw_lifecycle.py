@@ -418,9 +418,12 @@ def test_upsert_rejects_null_ids_with_the_right_error(spark, embeddings):
     initial = base.where(F.col("vec_id") < 40)
     parted0, edges0 = hnsw.hnsw_index(initial, P)
     fresh = base.where(F.col("vec_id") >= 40)
+    # null out an id that is PROVABLY in the batch (limit() on a
+    # multi-partition frame guarantees no particular id subset)
+    victim = fresh.agg(F.min("vec_id")).first()[0]
     nulled = fresh.withColumn(
         "vec_id",
-        F.when(F.col("vec_id") == 41, F.lit(None)).otherwise(
+        F.when(F.col("vec_id") == victim, F.lit(None)).otherwise(
             F.col("vec_id")
         ),
     )

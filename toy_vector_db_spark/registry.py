@@ -2888,9 +2888,9 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-# Round 9 queues the six new BQ2-family keys (created after the round's
-# 18 rotations were spent on hnsw_routed_build + the 17 oldest-row
-# keys); they rotate in next round.
+# Round 9 queues the SEVEN new BQ2-family keys (created after the
+# round's 18 rotations were spent on hnsw_routed_build + the 17
+# oldest-row keys); they rotate in next round.
 _POST_WINDOW_OVERFLOW: list[str] = [
     "bq2_codes", "knn_bq2_rerank", "bq2_upsert_search", "bq2_delete_search",
     "knn_ivfbq2", "knn_ivfbq2_filtered", "streaming_bq2_ingest",
