@@ -27,6 +27,17 @@ def get_spark(app_name: str = "toy_vector_db_spark", cpus: int | None = None) ->
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+    # The JVM's default 240 MB reserved code cache FILLS over a
+    # many-query session (hundreds of whole-stage-codegen classes), the
+    # JIT stops compiling, and codegen-heavy plans silently drop to
+    # interpreted execution — measured in round 9 as knn_ivfpq_filtered
+    # degrading 3.3 s → 8-17 s after ~50 prior keys with identical
+    # executed plans, fully cured by raising the cache (dirty-session
+    # samples 2.9-3.5 s at 1 GB). Reserved ≠ committed: this costs
+    # address space, not resident memory.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+    )
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(cpus))
