@@ -29,6 +29,7 @@ Usage: python scripts/bq2_study.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -80,10 +81,8 @@ def main() -> None:
     # fixed reconstruction levels 0.25/0.75 * mx_d, candidates ranked by
     # clamped cosine(query, reconstruction). These are the numbers the
     # ship decision and SCALE.md cite. ---
-    import sys as _sys
-
-    _sys.path.insert(
-        0, __file__.rsplit("/", 2)[0]
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     from toy_vector_db_spark.operators.similarity import BQ2_HI, BQ2_LO
 

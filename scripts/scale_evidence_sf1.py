@@ -31,7 +31,15 @@ compressed compositions (IVF-PQ, IVF-SQ, IVF-BQ, BQ, routed HNSW).
     builds TIMED — the build-cost evidence the quantizer modes don't
     cover (their builds are one agg pass / a bounded k-means).
 
-Usage: python scripts/scale_evidence_sf1.py [--cap | --graphs]
+  * ``--graphs200k`` : the ROUTED graph family at 200,000 vectors with
+    cells=64 (constant rows/cell vs the 100k/32 row), build TIMED, the
+    cell-size skew ratio (max/mean cell rows — the tail-task driver in
+    the cogroup build) recorded, and serving recall at nprobe=8 and
+    nprobe=64 — the row that prices the graph family against the
+    quantizer families at the same cap-engaged corpus (verdict r9
+    item 7).
+
+Usage: python scripts/scale_evidence_sf1.py [--cap | --graphs | --graphs200k]
 Prints one JSON line per family and a markdown table for SCALE.md.
 """
 
@@ -113,7 +121,15 @@ def make_corpus(spark, n_draw: int, cut: int):
 def main() -> None:
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv
-    if graphs_mode:
+    graphs200k_mode = "--graphs200k" in sys.argv
+    if graphs200k_mode:
+        # round 10 (verdict r9 item 7): routed-build economics at the
+        # cap-engaged 200k corpus, cells=64 — the deployment lever is
+        # cell count scaling with the corpus, so rows/cell stays ~3.1k
+        # (the 100k/32 row's density) and per-cell build cost ~constant
+        cut, n_draw = 200_000, 200_000 + N_QUERIES
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    elif graphs_mode:
         # graph-family scale point: 100k vectors, shard/cell counts
         # scaled with the corpus (32 shards / 32 cells) exactly as a
         # cluster deployment scales them — per-shard insert work stays
@@ -143,15 +159,53 @@ def main() -> None:
         )
 
     r_budget = similarity._rerank_budget(base, K)
-    # graphs mode routes over 32 cells (deployment-scaled), the
+    # graphs modes route over 32/64 cells (deployment-scaled), the
     # quantizer modes over the shipped N_CENTROIDS=16
-    n_cells = 32 if graphs_mode else similarity.N_CENTROIDS
+    n_cells = (
+        64 if graphs200k_mode else 32 if graphs_mode
+        else similarity.N_CENTROIDS
+    )
     probe_frac = round(similarity.N_PROBE / n_cells, 3)
 
-    families: list[tuple[str, float, object]] = []
+    families: list[tuple[str, float, object, object]] = []
 
-    def family(name, floor, fn):
-        families.append((name, floor, fn))
+    def family(name, floor, fn, pf=None):
+        families.append((name, floor, fn, pf))
+
+    if graphs200k_mode:
+        t0 = time.perf_counter()
+        cells, redges, cents = hnsw.cached_routed_index(
+            base, "#scale200k", 64
+        )
+        build = round(time.perf_counter() - t0, 2)
+        # the skew that drives tail tasks in the cogroup build: per-cell
+        # row counts (per-cell build cost is ~O(n log n) in cell rows,
+        # so the slowest task rides the fattest k-means cell)
+        sizes = [
+            r["c"]
+            for r in cells.groupBy("part")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        skew = round(max(sizes) / (sum(sizes) / len(sizes)), 2)
+        print(json.dumps({
+            "build": {
+                "hnsw_routed_64cell_sec": build,
+                "n_base": n_base,
+                "n_cells": len(sizes),
+                "cell_size_skew_max_over_mean": skew,
+                "max_cell_rows": max(sizes),
+            },
+        }), flush=True)
+        for np_ in (8, 64):
+            family(
+                f"hnsw_routed_nprobe{np_}",
+                COMPRESSED_FLOOR if np_ == 8 else FLAT_FLOOR,
+                lambda np_=np_: hnsw.knn_hnsw_routed_prebuilt(
+                    cells, redges, cents, qs, K, nprobe=np_
+                ),
+                pf=round(np_ / 64, 3),
+            )
 
     if graphs_mode:
         # graph families only, with TIMED builds: the quantizer families'
@@ -185,7 +239,7 @@ def main() -> None:
             ),
         )
 
-    if not graphs_mode:
+    if not graphs_mode and not graphs200k_mode:
         # quantizer families (build artifacts session-cached by first
         # call). IVF probe serves from the TRAINED quantizer + the
         # persisted cell-partitioned base, exactly like the registry's
@@ -214,6 +268,16 @@ def main() -> None:
             COMPRESSED_FLOOR,
             lambda: similarity.knn_bq_rerank(base, qs, K),
         )
+        # round 10 (verdict r9 item 3): the 2-bit family's rows in the
+        # SAME regimes as its 1-bit sibling — BQ2 exists precisely to
+        # answer BQ's capped-regime decay (1-bit bq_rerank measured
+        # 0.617 at 200k with no lever), so the cap-engaged table must
+        # show whether the second bit holds the floor at frozen R
+        family(
+            "bq2_rerank",
+            COMPRESSED_FLOOR,
+            lambda: similarity.knn_bq2_rerank(base, qs, K),
+        )
         family(
             "ivfpq", COMPRESSED_FLOOR,
             lambda: similarity.knn_ivfpq(base, qs, K),
@@ -226,7 +290,11 @@ def main() -> None:
             "ivfbq", COMPRESSED_FLOOR,
             lambda: similarity.knn_ivfbq(base, qs, K),
         )
-    if not cap_mode and not graphs_mode:
+        family(
+            "ivfbq2", COMPRESSED_FLOOR,
+            lambda: similarity.knn_ivfbq2(base, qs, K),
+        )
+    if not cap_mode and not graphs_mode and not graphs200k_mode:
         # graph families at the 10x corpus: flat 8-shard + routed
         def _hnsw():
             parted, edges = hnsw.cached_index(base, "#scale10x", 8)
@@ -240,7 +308,7 @@ def main() -> None:
         family("hnsw_routed", COMPRESSED_FLOOR, _routed)
 
     results = []
-    for name, floor, fn in families:
+    for name, floor, fn, pf in families:
         fn().collect()  # untimed warmup: builds + plan analysis
         t0 = time.perf_counter()
         df = fn()
@@ -259,7 +327,8 @@ def main() -> None:
             "serve_sec": wall,
             "rerank_budget": r_budget,
             "rerank_frac": round(r_budget / n_base, 4),
-            "probe_frac": probe_frac if "ivf" in name or "routed" in name
+            "probe_frac": pf if pf is not None
+            else probe_frac if "ivf" in name or "routed" in name
             else None,
             "cap_engaged": r_budget == similarity.RERANK_CAP,
         }

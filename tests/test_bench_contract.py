@@ -142,3 +142,54 @@ def test_summary_lines_carry_queries_even_past_budget():
         assert union == fake_grown, f"+{extra}: split dropped medians"
         forced_split |= len(lines) > 1
     assert forced_split, "no growth case exercised the split branch"
+
+
+def test_bench_interleaves_sample_passes():
+    """Round 10 (verdict r9 item 2): the timed samples must run as
+    interleaved full sweeps (pass loop OUTSIDE the key loop) so a
+    transient contention window cannot own all three samples of one key
+    — the r9 driver medians for dedup_minhash_lsh (7.33 s vs 2.14 s
+    steady state) and ivfpq_partitioned_search (8.95 s vs 4.07 s) were
+    exactly that failure. Statically pin the loop nesting."""
+    src = (REPO / "bench.py").read_text()
+    pass_loop = src.index("for _pass in range(runs):")
+    key_loop = src.index("for name in names:", pass_loop)
+    append = src.index("samples[name].append", key_loop)
+    assert pass_loop < key_loop < append
+
+
+def test_bench_warns_when_build_key_owns_nothing():
+    """Advisor (round 9): a build key whose warmup created no cache
+    entries would have every timed sample measure a dict hit. bench.py
+    must detect that, warn on stderr, and flag the key in the record."""
+    src = (REPO / "bench.py").read_text()
+    assert "suspect_builds" in src and "suspect_build_keys" in src
+    warn = src.index("owned no cache entries")
+    timed = src.index("for _pass in range(runs):")
+    assert warn < timed, "ownership check must precede the timed loop"
+
+
+def test_min_summary_lines_carry_mins_within_budget():
+    """Round 10 (verdict r9 item 2): per-query mins must reach the
+    driver tail. Every min line stays within SUMMARY_BUDGET, the union
+    of chunks is complete, and main() prints them BEFORE the median
+    summary so the LAST parseable line remains the totals contract."""
+    import bench
+
+    fake = {name: 99.99 for name in bench.HEADLINE}
+    for extra in (0, 40, 200):
+        grown = dict(fake)
+        for i in range(extra):
+            grown[f"future_operator_with_long_name_{i:03d}"] = 99.99
+        lines = bench.min_summary_lines(grown)
+        assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines)
+        union = {}
+        for ln in lines:
+            rec = json.loads(ln)
+            assert rec["metric"] == "headline_queries_min"
+            union.update(rec["queries"])
+        assert union == grown
+    src = (REPO / "bench.py").read_text()
+    assert src.index("for line in min_summary_lines(") < src.index(
+        "for line in summary_lines("
+    ), "min lines must print before the final totals line"

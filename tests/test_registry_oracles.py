@@ -58,3 +58,39 @@ def test_overflow_keys_are_oracled_and_queued():
         assert k in names, k
         assert k in oracles, k
         assert k not in window, k
+
+
+def test_r11_rotation_queue_is_complete_and_consistent():
+    """Rotation-debt policy (verdict r9 item 4): _R11_ROTATION_QUEUE must
+    hold every registered key whose last driver-green row predates r8 and
+    that is not already refreshed by the round-10 window, so that rotating
+    the queue in at round 11 leaves no key's last driver row older than
+    r8. The last-green map is pinned from merged CORRECTNESS_r01-r09
+    (committed artifacts, stable)."""
+    import glob
+    import json
+    import re
+
+    hist: dict[str, int] = {}
+    files = sorted(glob.glob("CORRECTNESS_r0*.json"))
+    if not files:  # running from a checkout without driver artifacts
+        import pytest
+
+        pytest.skip("no CORRECTNESS artifacts")
+    for f in files:
+        rnd_n = int(re.search(r"r(\d+)", f).group(1))
+        for k, v in json.load(open(f)).items():
+            if v.get("hash_match") or v.get("err") == "no_oracle":
+                hist[k] = max(hist.get(k, 0), rnd_n)
+    names = list(registry.queries())
+    window = set(names[:50])
+    stale = {
+        k for k, r in hist.items() if r < 8 and k in names and k not in window
+    }
+    queued = set(registry._R11_ROTATION_QUEUE)
+    assert stale == queued, (
+        f"missing from queue: {sorted(stale - queued)}; "
+        f"queued but not stale: {sorted(queued - stale)}"
+    )
+    # queue keys must remain registered and out-of-window until r11
+    assert not queued & window

@@ -74,155 +74,90 @@ def register(name: str, oracle: str | None = None):
 # fully oracle-tested locally (tests/test_registry_oracles.py covers every
 # registered oracle) and run in `bench.py --all`.
 _PRIORITY = [
-    # -- SURVEY §2 reference parity (S1-S3, V1-V5, E3, H1/H2, H*, X1-X3) --
-    # (round 8: vec_dot — driver-green r1-r7, exercised indirectly by
-    # every cosine key — rotates out for the new hnsw_recall_gate, the
-    # REAL ef=100 serving config's driver row)
-    # (round 8, second rotation: vec_cosine_sim / vec_euclidean_dist —
-    # driver-green r1-r7 and exercised indirectly by every cosine / ADC
-    # key — and knn_range_search / result_intersection — green in both
-    # r6 and r7 (range) / r1-r7 (intersection, sibling eval_recall stays
-    # in-window) — rotate out for the NEW SQ8 family quartet sq_train /
-    # sq_codes / knn_sq_rerank / knn_sq_filtered, the fourth index
-    # family's first driver rows)
-    # (round 8, late-session rotation: the session resumed with turns
-    # left while the driver's r8 correctness run was still ahead, so the
-    # ten queued overflow keys rotate IN *this* round instead of waiting
-    # for round 9 — emptying the queue one round early. Rotating OUT ten
-    # keys each driver-green in ≥2 consecutive rounds with a family
-    # sibling staying in-window: vec_magnitude, knn_exact_single,
-    # knn_exact_filtered (knn_exact_batch stays — it exercises the Arrow
-    # pair kernel), eval_recall (r1-r7; hnsw_recall_gate computes recall
-    # in-query in-window), decontaminate_ngram, doc_repetition_stats,
-    # model_quality_inference (r5-r7; decontaminate_eval_fixture and
-    # decontaminate_embedding stay), hybrid_rrf_topk (r6-r7; sibling
-    # hybrid_rrf_ivfpq stays), contamination_report, doc_embedding_pool
-    # (r6-r7).)
-    # ============ ROUND-9 ROTATION (verdict r8 items 3 + 5) ============
-    # IN (18): hnsw_routed_build — the one registered key with NO driver
-    # row in r1-r8, now hash-checkable via the new per-cell-invariant
-    # output + deterministic-k-means oracle (verdict item 3) — plus the
-    # SEVENTEEN longest-unchecked oracled keys in the repo: the ten
-    # relational keys whose last driver row is ROUND 1
-    # (tpch_q6_forecast_revenue, grouping_sets_sales, event_value_tiers,
-    # distinct_counts, orders_above_customer_avg, unpivot_order_counts,
-    # active_month_intersect, salted_event_type_stats, revenue_by_nation,
-    # top_orders_per_customer) and the seven whose last row is ROUND 2
-    # (tpch_q3_shipping_priority, text_hash_features,
-    # tpch_q1_pricing_summary, sessionize_events, asof_last_click,
-    # parquet_sink_roundtrip, bucketed_join_revenue). The verdict-named
-    # §2 parity keys (scan_ndjson, split_dataset, first_sentence, vec_*,
-    # knn_exact_single, eval_recall — all last-green r7) are QUEUED for
-    # the round-10 rotation together with the round-3 cohort: freshness
-    # priority goes strictly by last-row age, and r7 beats r1-r3.
-    # OUT (18), each driver-green in ≥2 consecutive rounds with family
-    # coverage staying in-window: hnsw_upsert_search, hnsw_delete_search
-    # (r7-r8; lifecycle family keeps hnsw_compact_search +
-    # streaming_hnsw_ingest; the serve twins are now the benched path),
-    # ivf_train, knn_ivf (r3/r1-r8), pq_train, pq_codes, knn_pq_rerank
-    # (r3-r8), ivfpq_build, ivfpq_upsert_search, ivfpq_delete_search,
-    # ivfpq_compact_search (r5/r6/r7-r8; family keeps
-    # knn_ivfpq_filtered), bq_codes, knn_bq_rerank (r7-r8; family keeps
-    # knn_bq_filtered), hybrid_rrf_ivfpq (r6-r8), decontaminate_embedding
-    # (r5-r8), knn_hnsw_exhaustive (r3-r8; the exhaustive kernel proof
-    # stays exercised in-window by hnsw_compact_search /
-    # streaming_hnsw_ingest / knn_hnsw_filtered, all exact-oracled), and
-    # the rows-only knn_hnsw_routed (r1-r8; routed family keeps the
-    # hash-checked lifecycle trio + hnsw_routed_build) and
-    # sketch_event_stats (r4-r8; exact twin stays locally oracle-tested).
-    # ===================================================================
-    "knn_exact_batch",
-    "sq_train", "sq_codes", "knn_sq_rerank", "knn_sq_filtered",
-    "sq_upsert_search", "sq_delete_search", "streaming_sq_ingest",
-    "hnsw_build", "knn_hnsw",
-    "hnsw_recall_gate",
-    "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
-    "hnsw_routed_compact_search",
-    "knn_bq_filtered",
-    "hnsw_compact_search", "streaming_hnsw_ingest", "knn_hnsw_filtered",
+    # ============ ROUND-10 ROTATION (verdict r9 items 1, 4, 8) ============
+    # IN (49 of 50 — the largest churn yet, burning down rotation debt per
+    # verdict item 4):
+    #   * the SURVEY §2 parity cohort (14 keys, all last driver-green r7,
+    #     queued since the round-9 note): scan_ndjson, split_dataset,
+    #     first_sentence, vec_magnitude/dot/cosine_sim/cosine_dist/
+    #     euclidean_dist, knn_exact_single, argmin_dist, argmax_dist,
+    #     result_intersection, eval_recall, eval_precision;
+    #   * the 7 BQ2-family keys (verdict item 1: the only oracled keys
+    #     with NO driver row ever — created round 9 after the rotation
+    #     budget was spent, queued in _POST_WINDOW_OVERFLOW);
+    #   * serve_invariants (NEW round 10, verdict item 8: one hashed
+    #     boolean row per *_serve twin so the serving config gets driver
+    #     rows without burning four slots);
+    #   * the full round-3-stale cohort (14 keys) and round-4-stale
+    #     cohort (12 keys) plus the oldest round-5 key
+    #     (token_batch_packing) — freshness strictly by last-row age.
+    # KEPT (1): hnsw_routed_build — first driver row was r9; stays for
+    # the conventional second consecutive green.
+    # OUT (49): everything else in the r9 window — every rotated-out key
+    # has >=2 consecutive driver-green rounds (the 17 relational
+    # freshness one-shots were r1+r9 by design; the SQ / IVF-SQ / IVF-BQ
+    # / mm_* / HNSW-lifecycle keys were green r8+r9; knn_exact_batch,
+    # hnsw_build, knn_hnsw, hnsw_recall_gate were green r1..r9-ish) and
+    # stays fully oracle-tested locally at three SFs
+    # (tests/test_registry_oracles.py) and benched in bench.py.
+    # The remaining stale keys (last rows r5-r7) are queued for round 11
+    # in _R11_ROTATION_QUEUE below (policy-tested) so that after
+    # CORRECTNESS_r11 no registered key's last driver row predates r8.
+    # Rotation history r4-r9 lives in git (this comment block, commits
+    # 0e1e14b and earlier); merged CORRECTNESS_r01-r09 is the coverage
+    # record.
+    # ======================================================================
+    # -- SURVEY §2 reference parity (S1-S3, V1-V6, E3, H1/H2, X1-X3) --
+    "scan_ndjson", "split_dataset", "first_sentence",
+    "vec_magnitude", "vec_dot", "vec_cosine_sim", "vec_cosine_dist",
+    "vec_euclidean_dist",
+    "knn_exact_single", "argmin_dist", "argmax_dist",
+    "result_intersection", "eval_recall", "eval_precision",
+    # -- BQ2 2-bit quantizer family: first driver rows --
+    "bq2_codes", "knn_bq2_rerank", "knn_ivfbq2", "knn_ivfbq2_filtered",
+    "bq2_upsert_search", "bq2_delete_search", "streaming_bq2_ingest",
+    # -- NEW round 10: serving-config invariants (verdict item 8) --
+    "serve_invariants",
+    # -- second consecutive green --
     "hnsw_routed_build",
-    # -- LLM-data-pipeline: dedup / similarity / text / multimodal --
-    # (round-5 rotation: the three round-4 operators that had never seen
-    # a driver CORRECTNESS row — decontaminate_ngram, doc_repetition_stats,
-    # model_quality_inference — rotate IN, as do this round's new keys
-    # knn_hnsw_routed_exhaustive, decontaminate_eval_fixture, ivfpq_build,
-    # and mm_decode_image_stats; rotating out to make room:
-    # stratified_quality_filter, chunk_documents, pii_scrub,
-    # dup_clusters, simhash_signatures,
-    # streaming_tumbling_counts, streaming_session_windows,
-    # dedup_minhash_lsh, streaming_stateful_user_stats, text_quality
-    # (each driver-green in at least rounds 3 and 4) — freeing the slots
-    # for the new span_dedup_scrub, vocab_topk, training_shard_assign,
-    # ivfpq_partitioned_search, and decontaminate_embedding. Two further
-    # round-5 keys (hybrid_rrf_topk, contamination_report) did NOT fit
-    # the 50-slot window then.
-    # Round-6 rotation (verdict r5 item 1): the two round-5 overflow keys
-    # hybrid_rrf_topk and contamination_report rotate IN (after this,
-    # every oracled key in the repo has ≥1 driver hash row), together
-    # with all eight round-6-created keys — sketch_event_stats_exact
-    # (verdict item 4), hybrid_rrf_ivfpq (verdict item 6),
-    # ivfpq_upsert_search, ivfpq_delete_search, streaming_vector_ingest,
-    # knn_exact_filtered, knn_range_search, and doc_embedding_pool.
-    # Rotating OUT ten keys, each driver-green in BOTH rounds 4 and 5:
-    # token_batch_packing, source_mixture_sample, csv_sink_roundtrip,
-    # events_json_stats, running_total_by_supplier, order_priority_pivot,
-    # top_customer_set_difference, order_price_percentiles,
-    # customers_without_orders, streaming_sliding_counts.
-    # Rotated-out keys stay fully oracle-tested locally
-    # and in bench.py --all; merged CORRECTNESS_r01-r05 is the coverage
-    # record. Round-4 rotation history: dedup_exact, simhash_near_pairs,
-    # ngram_jaccard_topk, embedding_near_dups, ivf_assign, knn_pq_adc,
-    # lsh_buckets, semantic_search, text_langid, text_token_stats,
-    # curation_filter, mm_feature_extract, mm_frame_sample,
-    # doc_fingerprint rotated out after going green in rounds 2 and 3.
-    # Round-7 rotation (verdict r6 item 2): the three round-6 overflow
-    # keys — ivfpq_compact_search, bq_codes, knn_bq_rerank — rotate IN
-    # (after this, every oracled key in the repo once again has ≥1 driver
-    # hash row). Rotating OUT span_dedup_scrub, vocab_topk, and
-    # training_shard_assign, each driver-green in BOTH rounds 5 and 6.
-    # The three NEW round-7 keys — hnsw_upsert_search, hnsw_delete_search
-    # (the HNSW lifecycle, verdict item 5, driver-hashed via the
-    # exhaustive-degenerate trick) and knn_ivfpq_filtered (filtered ANN,
-    # verdict item 6) — also rotate in; making room, rotating OUT
-    # embedding_near_dups_lsh, mm_decode_image_stats, and
-    # streaming_dedup_counts, each driver-green in BOTH rounds 5 and 6
-    # (streaming keeps streaming_vector_ingest in-window).
-    "knn_ivfpq_filtered",
-    # round-8 late rotation: the quantizer composition matrix's IVF-SQ /
-    # IVF-BQ columns and the IVF-SQ lifecycle got their first driver
-    # rows in r8; they stay for a second consecutive green round
-    "knn_ivfsq", "knn_ivfsq_filtered",
-    "ivfsq_upsert_search", "ivfsq_delete_search",
-    "knn_ivfbq", "knn_ivfbq_filtered",
-    # (round 8, late session: the two REAL-codec keys created this
-    # session — mm_decode_png_stats (from-scratch stdlib-zlib PNG,
-    # all five scanline filters, CRC-strict) and mm_decode_wav_stats
-    # (stdlib-wave 8-bit PCM container) — rotate in immediately,
-    # displacing ivfpq_partitioned_search (green r5-r7; four IVF-PQ
-    # lifecycle siblings stay in-window) and decontaminate_eval_fixture
-    # (green r5-r7; sibling decontaminate_embedding stays).)
-    "mm_resize", "mm_decode_png_stats", "mm_decode_wav_stats",
-    "mm_audio_features", "mm_scene_cuts",
-    # (round 8, late session: mm_decode_jpeg_stats — the from-scratch
-    # baseline-JPEG round-trip — rotates in, displacing
-    # streaming_vector_ingest (green r6-r7; the streaming family keeps
-    # streaming_hnsw_ingest AND streaming_sq_ingest in-window);
-    # mm_decode_video_stats — the MJPEG-in-AVI container round-trip —
-    # displaces sketch_event_stats_exact (green r6-r7; sibling
-    # sketch_event_stats stays in-window and the exact twin remains
-    # locally oracle-tested at three SFs))
-    "mm_decode_jpeg_stats", "mm_decode_video_stats",
-    # -- relational re-checks: the round-9 freshness cohort (see the
-    # rotation note at the top of this list) --
-    "tpch_q6_forecast_revenue", "grouping_sets_sales",
-    "event_value_tiers", "distinct_counts",
-    "orders_above_customer_avg", "unpivot_order_counts",
-    "active_month_intersect", "salted_event_type_stats",
-    "revenue_by_nation", "top_orders_per_customer",
-    "tpch_q3_shipping_priority", "text_hash_features",
-    "tpch_q1_pricing_summary", "sessionize_events",
-    "asof_last_click", "parquet_sink_roundtrip",
-    "bucketed_join_revenue",
+    # -- round-3-stale cohort (dedup / similarity / text / multimodal) --
+    "semantic_search", "dedup_exact", "simhash_near_pairs",
+    "ngram_jaccard_topk", "embedding_near_dups", "ivf_assign",
+    "lsh_buckets", "text_langid", "text_token_stats", "doc_fingerprint",
+    "curation_filter", "mm_feature_extract", "knn_pq_adc",
+    "mm_frame_sample",
+    # -- round-4-stale cohort --
+    "dedup_minhash_lsh", "simhash_signatures", "text_quality",
+    "mm_payload_metadata", "streaming_tumbling_counts",
+    "streaming_session_windows", "dup_clusters",
+    "stratified_quality_filter", "bm25_topk",
+    "streaming_stateful_user_stats", "chunk_documents", "pii_scrub",
+    # -- oldest round-5 key --
+    "token_batch_packing",
+]
+
+# Round-11 rotation queue (verdict r9 item 4, policy-tested beside
+# test_overflow_keys_are_oracled_and_queued): every registered key whose
+# last driver row is r5-r7 after the round-10 window lands. Rotating these
+# 29 in next round leaves no key's last driver row older than r8 at r11.
+_R11_ROTATION_QUEUE: list[str] = [
+    # last driver row r5
+    "source_mixture_sample", "streaming_sliding_counts",
+    "csv_sink_roundtrip", "events_json_stats",
+    "running_total_by_supplier", "order_price_percentiles",
+    "customers_without_orders", "order_priority_pivot",
+    "top_customer_set_difference",
+    # last driver row r6
+    "embedding_near_dups_lsh", "streaming_dedup_counts",
+    "span_dedup_scrub", "mm_decode_image_stats", "vocab_topk",
+    "training_shard_assign",
+    # last driver row r7
+    "knn_ivfpq", "ivfpq_partitioned_search", "knn_hnsw_routed_exhaustive",
+    "decontaminate_ngram", "decontaminate_eval_fixture",
+    "doc_repetition_stats", "model_quality_inference",
+    "knn_exact_filtered", "knn_range_search", "hybrid_rrf_topk",
+    "contamination_report", "doc_embedding_pool",
+    "streaming_vector_ingest", "sketch_event_stats_exact",
 ]
 
 
@@ -2771,6 +2706,104 @@ def q_hnsw_routed_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One driver-hashable row per serve twin (round 10, verdict r9 item 8): the
+# four *_serve keys are the benched serving path but approximate by nature,
+# so they can never earn a driver hash row of their own. This single key
+# folds each twin's deterministic invariants — exactly K rows per query,
+# rank contiguity 1..K, no tombstone leakage, and mean recall@K vs the
+# exact answer over the correct live universe at or above the family's
+# documented floor (tests/test_serve_keys.py) — into one 4-row boolean
+# table. All four facts are deterministic (hash-seeded levels → fixed
+# graph → fixed beam → fixed recall per SF), so the oracle is the constant
+# all-TRUE table and a serving regression turns a driver row red while
+# burning ONE window slot, not four.
+
+SERVE_FLOOR_PCT = {
+    # integer percent floors, mirroring tests/test_serve_keys.py
+    "hnsw_upsert_serve": 85,
+    "hnsw_delete_serve": 85,
+    "hnsw_routed_upsert_serve": 70,
+    "hnsw_routed_delete_serve": 70,
+}
+_SERVE_TOMBSTONED = {"hnsw_delete_serve", "hnsw_routed_delete_serve"}
+
+
+def _serve_invariant_row(
+    spark: SparkSession, sf_dir: str, twin: str
+) -> DataFrame:
+    base, qs = _split(spark, sf_dir)
+    ann = _QUERIES[twin](spark, sf_dir)
+    tombstoned = twin in _SERVE_TOMBSTONED
+    live = (
+        base.where(F.col("vec_id") % DELETE_MOD != 0) if tombstoned else base
+    )
+    exact = knn.knn_exact_batch(live, qs, K)
+    per_q = ann.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.countDistinct("rank").alias("rdist"),
+        F.max(
+            ((F.col("vec_id") % DELETE_MOD == 0) & F.lit(tombstoned)).cast(
+                "int"
+            )
+        ).alias("tomb"),
+    )
+    shape = per_q.agg(
+        F.bool_and(
+            (F.col("c") == K)
+            & (F.col("rmin") == 1)
+            & (F.col("rmax") == K)
+            & (F.col("rdist") == K)
+        ).alias("shape_all"),
+        F.count("*").alias("nq_ann"),
+        F.max("tomb").alias("tomb_any"),
+    )
+    # integer-arithmetic gate, same discipline as hnsw_recall_gate: mean
+    # recall ≥ floor ⇔ 100·Σhits ≥ floor_pct·K·nq (exact — every query has
+    # exactly K relevant rows); a float avg's partial-agg order is
+    # partition-dependent and an ulp flip at the threshold would flake
+    hits = evaluation.intersection_count(exact, ann).agg(
+        F.sum("n_common").alias("hits"), F.count("*").alias("nq")
+    )
+    return shape.crossJoin(hits).select(
+        F.lit(twin).alias("twin"),
+        (
+            F.col("shape_all") & (F.col("nq_ann") == F.col("nq"))
+        ).alias("shape_ok"),
+        (F.col("tomb_any") == 0).alias("no_tombstones"),
+        (
+            F.col("hits") * 100
+            >= F.lit(SERVE_FLOOR_PCT[twin]) * K * F.col("nq")
+        ).alias("recall_floor_passed"),
+    )
+
+
+@register(
+    "serve_invariants",
+    """
+    SELECT * FROM (VALUES
+      ('hnsw_delete_serve',        TRUE, TRUE, TRUE),
+      ('hnsw_routed_delete_serve', TRUE, TRUE, TRUE),
+      ('hnsw_routed_upsert_serve', TRUE, TRUE, TRUE),
+      ('hnsw_upsert_serve',        TRUE, TRUE, TRUE)
+    ) AS t(twin, shape_ok, no_tombstones, recall_floor_passed)
+    """,
+)
+def q_serve_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver visibility for the serving configuration (see the block
+    comment above): one boolean invariant row per *_serve twin, hashed
+    against the constant all-TRUE oracle."""
+    rows = [
+        _serve_invariant_row(spark, sf_dir, t)
+        for t in sorted(SERVE_FLOOR_PCT)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @register(
     "knn_hnsw_filtered",
     f"""
@@ -2888,13 +2921,13 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-# Round 9 queues the SEVEN new BQ2-family keys (created after the
+# Round 9 queued the SEVEN new BQ2-family keys (created after the
 # round's 18 rotations were spent on hnsw_routed_build + the 17
-# oldest-row keys); they rotate in next round.
-_POST_WINDOW_OVERFLOW: list[str] = [
-    "bq2_codes", "knn_bq2_rerank", "bq2_upsert_search", "bq2_delete_search",
-    "knn_ivfbq2", "knn_ivfbq2_filtered", "streaming_bq2_ingest",
-]
+# oldest-row keys); round 10 rotated all seven in, so the new-key
+# overflow queue is EMPTY again — every oracled key has ≥1 driver row
+# (or a round-10 window slot) once CORRECTNESS_r10 lands. Stale-key
+# refresh is tracked separately in _R11_ROTATION_QUEUE above.
+_POST_WINDOW_OVERFLOW: list[str] = []
 
 
 @register("streaming_vector_ingest")
