@@ -34,9 +34,14 @@ def get_spark(app_name: str = "toy_vector_db_spark", cpus: int | None = None) ->
     # degrading 3.3 s → 8-17 s after ~50 prior keys with identical
     # executed plans, fully cured by raising the cache (dirty-session
     # samples 2.9-3.5 s at 1 GB). Reserved ≠ committed: this costs
-    # address space, not resident memory.
+    # address space, not resident memory. The flag is APPENDED to any
+    # user-supplied options (SPARK_GRAFT_EXTRA_JAVA_OPTS) rather than
+    # clobbering them; user flags come last so an explicit
+    # -XX:ReservedCodeCacheSize override wins.
+    user_opts = os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")
     builder = builder.config(
-        "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+        "spark.driver.extraJavaOptions",
+        f"-XX:ReservedCodeCacheSize=1g {user_opts}".strip(),
     )
     return (
         builder
