@@ -121,6 +121,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dup_clusters",
     "span_dedup_scrub",
+    # round 10: SemDeDup — trained-cluster-blocked semantic dedup; the
+    # within-cell self-join is the cost driver worth tracking
+    "semdedup_prune",
     "simhash_signatures",
     "ngram_jaccard_topk",
     "bm25_topk",

@@ -164,3 +164,73 @@ def test_span_dedup_adversarial_scale(spark):
     assert by_id[0]["n_dropped"] == 0
     assert sum("hot hot hot" in r["clean_text"] for r in rs) == 1
     assert "hot hot hot" in by_id[0]["clean_text"]
+
+
+def test_semdedup_prunes_injected_twins(spark, embeddings):
+    """SemDeDup (round 10): exact-copy twins injected at fresh ids must
+    be pruned at ANY radius (pair sim 1.0 > eps), and the keep rule's
+    tiebreak (equal centroid distance → lower id survives) must keep
+    every ORIGINAL: survivors = the untouched corpus, exactly."""
+    from pyspark.sql import functions as FF
+
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    emb = embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    twins = emb.limit(25).select(
+        (FF.col("vec_id") + FF.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+    )
+    corpus = emb.unionByName(twins)
+    cents = similarity.cached_trained_centroids(corpus)
+    out = dedup.semdedup_prune(corpus, cents)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert all(i < 10_000_000 for i in ids), "an injected twin survived"
+    assert len(ids) <= n
+    # the twins must change NOTHING else: a twin sits at its original's
+    # exact position, so anything it would prune the original (lower id,
+    # same distances) already prunes, and the twin itself is pruned by
+    # the original via the id tiebreak — survivors == the twin-free run
+    baseline = {
+        r["vec_id"]
+        for r in dedup.semdedup_prune(emb, cents).select("vec_id").collect()
+    }
+    assert ids == baseline
+
+
+def test_semdedup_keep_rule_is_farthest_from_centroid(spark, embeddings):
+    """Among a non-tied near-dup pair, the survivor is the member
+    FARTHER from its cluster centroid (the paper's most-atypical keep
+    rule). Construct one: an original and a slightly centroid-ward
+    interpolated copy land in the same cell with sim ≈ 1 > eps; the
+    interpolated copy (closer to the centroid) must be pruned."""
+    from pyspark.sql import functions as FF
+
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    emb = embeddings.select("vec_id", "embedding")
+    cents = similarity.cached_trained_centroids(emb)
+    # interpolate row 0's vector 2% toward its centroid → same cell,
+    # sim >> eps, strictly SMALLER centroid distance
+    r0 = emb.where(FF.col("vec_id") == 0).first()
+    import numpy as np
+
+    v = np.array(r0["embedding"], dtype=np.float64)
+    crows = {r["centroid_id"]: np.array(r["centroid_vec"]) for r in cents.collect()}
+    sims = {
+        cid: float(
+            max(0.0, v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        )
+        for cid, c in crows.items()
+    }
+    own = max(sims, key=lambda cid: (sims[cid], -cid))
+    vv = 0.98 * v + 0.02 * crows[own]
+    twin = spark.createDataFrame(
+        [(20_000_000, [float(x) for x in vv])],
+        "vec_id bigint, embedding array<float>",
+    )
+    corpus = emb.unionByName(twin)
+    out = dedup.semdedup_prune(corpus, cents)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in ids, "the farther-from-centroid original must survive"
+    assert 20_000_000 not in ids, "the centroid-ward copy must be pruned"

@@ -755,3 +755,108 @@ def span_dedup_sql(w: int = SPAN_W) -> str:
            t.n_spans - coalesce(r.n_kept, 0) AS n_dropped
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+# -- SemDeDup: semantic dedup via within-cluster cosine pruning --------------
+
+# Prune radius, calibrated to the synthetic fixture: the corpus has no
+# true near-duplicates (max pairwise cosine measures 0.60 at sf0.1, 0.51
+# at sf0.01), so the paper's 0.95-style radius would make the prune leg
+# vacuously empty at every SF; 0.45 prunes a real, SF-dependent subset
+# (14/28/dozens of rows at sf0.001/0.01/0.1) so the driver hash
+# exercises the EXISTS logic, while injected true twins (sim 1.0) are
+# pruned at any radius — tests/test_dedup.py pins that recovery.
+SEM_EPS = 0.45
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    eps: float = SEM_EPS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for training corpora — cluster the embedding space
+    with the trained coarse quantizer, compute pairwise cosine WITHIN
+    clusters only (the clusters bound the quadratic term — the paper's
+    own scale design, and exactly the blocking the IVF family already
+    provides), and keep one representative per epsilon-ball. Returns the
+    SURVIVOR set (vec_id, centroid_id, cent_dist).
+
+    Keep rule — the paper keeps the member with the LOWEST cosine
+    similarity to its cluster centroid (the most atypical example,
+    preserving diversity), which we state order-free so the result is
+    deterministic and engine-independent: a row is PRUNED iff some
+    same-cluster row within eps is FARTHER from the centroid (unrounded
+    distance; ties broken by lower vec_id). The paper's sequential
+    greedy depends on scan order; this EXISTS form doesn't, and
+    coincides with it on isolated duplicate pairs.
+
+    Scale shape: broadcast the 16-row centroid table, map-side-combined
+    argmin assignment (one exchange row per vector — the ivf_assign
+    plan), then ONE shuffle on the cluster key for the self-join; pair
+    volume is Σ|cell|², the quantity the cluster count controls. The
+    anti-join back is on vec_id. No Python anywhere — pure Catalyst."""
+    from toy_vector_db_spark.functions import vector as V
+
+    # assignment with the UNROUNDED centroid distance (ordering/tiebreak
+    # discipline: comparisons always on unrounded values, rounding only
+    # at emission) — same min-of-struct argmin as similarity.ivf_assign
+    base_m = embeddings.select(
+        id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_mag")
+    )
+    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    c_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(vec_col), F.col("centroid_vec"))
+        / (F.col("_mag") * F.col("_c_mag")),
+    )
+    assigned = (
+        base_m.crossJoin(F.broadcast(cents_m))
+        .withColumn("d", F.lit(1.0) - c_sim)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m"))
+        .select(
+            id_col,
+            F.col("m.centroid_id").alias("centroid_id"),
+            F.col("m.d").alias("_cd"),
+        )
+    )
+    e = base_m.join(assigned, id_col)
+    a, b = e.alias("a"), e.alias("b")
+    pair_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._mag") * F.col("b._mag")),
+    )
+    # b is pruned: a same-cluster near-dup 'a' exists that is FARTHER
+    # from the centroid (a is the kept, more-atypical member) — or
+    # equally far with a smaller id
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .where(
+            (pair_sim > F.lit(eps))
+            & (
+                (F.col("a._cd") > F.col("b._cd"))
+                | (
+                    (F.col("a._cd") == F.col("b._cd"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+            )
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        e.join(pruned, id_col, "left_anti")
+        .select(
+            id_col,
+            "centroid_id",
+            rnd(F.col("_cd"), ROUND).alias("cent_dist"),
+        )
+    )

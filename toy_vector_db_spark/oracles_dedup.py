@@ -209,3 +209,48 @@ def embedding_near_dup_sql(k: int = 20) -> str:
     ORDER BY s DESC, vec_a ASC, vec_b ASC
     LIMIT {k}
     """
+
+
+def semdedup_sql() -> str:
+    """SemDeDup oracle: the kmeans_chain trained centroids (bit-identical
+    to the engine's cached_trained_centroids over the FULL embeddings
+    table), row_number argmin assignment with the UNROUNDED distance,
+    within-cluster EXISTS prune at SEM_EPS, survivors emitted with the
+    rounded centroid distance — every comparison (eps threshold,
+    farther-from-centroid keep rule, id tiebreak) on unrounded values
+    that are IEEE-identical across engines."""
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators.dedup import SEM_EPS
+    from toy_vector_db_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        TRAIN_SAMPLE,
+    )
+    from toy_vector_db_spark.oracles_similarity import kmeans_ctes
+
+    d_bc = V.sql_cosine_distance("b.embedding", "c.centroid_vec")
+    sim_xy = V.sql_cosine_similarity("x.embedding", "y.embedding")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    {kmeans_ctes(N_CENTROIDS, KMEANS_ITERS, TRAIN_SAMPLE, "base")},
+    scored AS MATERIALIZED (
+      SELECT b.vec_id, c.centroid_id, {d_bc} AS d
+      FROM base b, cents c),
+    asg AS MATERIALIZED (
+      SELECT vec_id, centroid_id, d FROM (
+        SELECT vec_id, centroid_id, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    e AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id, a.d, b.embedding
+      FROM asg a JOIN base b USING (vec_id)),
+    pruned AS (
+      SELECT DISTINCT y.vec_id
+      FROM e x JOIN e y
+        ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+      WHERE {sim_xy} > {SEM_EPS}
+        AND (x.d > y.d OR (x.d = y.d AND x.vec_id < y.vec_id)))
+    SELECT vec_id, centroid_id, round(d, {ROUND}) AS cent_dist
+    FROM e WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+    """

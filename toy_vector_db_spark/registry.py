@@ -1553,10 +1553,32 @@ def q_span_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup_scrub(table(spark, sf_dir, "documents"))
 
 
+@register("semdedup_prune")
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (round 10; Abbas et al. 2023, arXiv:2303.09540) —
+    semantic dedup for training corpora: cluster the embedding space
+    with the trained coarse quantizer (the SAME deterministic k-means
+    the IVF family serves from), pairwise cosine WITHIN clusters only,
+    keep the most-atypical member of each epsilon-ball (order-free keep
+    rule: pruned iff a same-cluster near-dup sits farther from the
+    centroid, unrounded distances, id tiebreak). Emits the survivor set
+    with cell + rounded centroid distance — fully DuckDB-oracled via
+    the kmeans_chain CTEs. Pure Catalyst: broadcast 16-row centroids,
+    map-side argmin, ONE shuffle on the cluster key for the self-join;
+    pair volume is Σ|cell|², the quantity cluster count controls at
+    100 TB (the paper's own scale design)."""
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.cached_trained_centroids(emb)
+    return dedup.semdedup_prune(emb, cents)
+
+
 def _register_dedup_oracles() -> None:
     from toy_vector_db_spark import oracles_dedup as O
     from toy_vector_db_spark.operators.dedup import span_dedup_sql
 
+    _ORACLES["semdedup_prune"] = O.semdedup_sql()
     _ORACLES["span_dedup_scrub"] = span_dedup_sql()
     _ORACLES["dedup_exact"] = O.dedup_exact_sql()
     _ORACLES["dedup_minhash_lsh"] = O.minhash_lsh_sql()
@@ -2928,10 +2950,13 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 9 queued the SEVEN new BQ2-family keys (created after the
 # round's 18 rotations were spent on hnsw_routed_build + the 17
 # oldest-row keys); round 10 rotated all seven in, so the new-key
-# overflow queue is EMPTY again — every oracled key has ≥1 driver row
-# (or a round-10 window slot) once CORRECTNESS_r10 lands. Stale-key
+# overflow queue would be EMPTY — every oracled key has ≥1 driver row
+# (or a round-10 window slot) once CORRECTNESS_r10 lands — except that
+# round 10 then created semdedup_prune (SemDeDup, the round's one new
+# operator) AFTER the 49-slot rotation was spent; it is oracled at
+# three SFs locally and rotates in with the round-11 cohort. Stale-key
 # refresh is tracked separately in _R11_ROTATION_QUEUE above.
-_POST_WINDOW_OVERFLOW: list[str] = []
+_POST_WINDOW_OVERFLOW: list[str] = ["semdedup_prune"]
 
 
 @register("streaming_vector_ingest")
