@@ -86,7 +86,10 @@ def test_hnsw_routed_delete_serve_quality(spark, sf_dir):
 def test_serve_keys_are_out_of_the_driver_window():
     """The serve keys are approximate (no oracle by nature) — they must
     never occupy one of the 50 driver-checked slots; the exhaustive
-    *_search proof keys keep those."""
+    *_search proof keys keep those, and since round 10 the single
+    oracled `serve_invariants` key hashes each twin's deterministic
+    invariants (shape, tombstone exclusion, recall floor) in ONE slot
+    (registry.q_serve_invariants, verdict r9 item 8)."""
     names = list(registry.queries())
     window = set(names[:50])
     for k in (
