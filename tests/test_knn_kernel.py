@@ -147,3 +147,57 @@ def test_sq_adc_kernel_equals_fold_form(spark, embeddings):
         for r in similarity._sq_pair_adc(deq, nq).collect()
     }
     assert fold == kern  # exact float equality, full pair set
+
+
+def test_pq_pair_adc_kernel_equals_lut_broadcast_form(spark, embeddings):
+    """Round 10: the base-side PQ ADC kernel (_pq_pair_adc — queries +
+    driver-built LUTs in the closure) must produce the SAME ad2 doubles
+    bit-for-bit as the broadcast-LUT form it replaced on the serving
+    path (_adc_lut_frame ⋈ codes + _adc_expr), on the FULL pair set and
+    with cell routing."""
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(embeddings)
+    base = base.select("vec_id", "embedding")
+    books = similarity.trained_pq_codebooks(base)
+    codes = similarity.pq_codes(base)
+    kern = {
+        (r["query_id"], r["vec_id"]): r["ad2"]
+        for r in similarity._pq_pair_adc(codes, qs, books).collect()
+    }
+    luts = similarity._adc_lut_frame(qs, books)
+    ref = {
+        (r["query_id"], r["vec_id"]): r["ad2"]
+        for r in codes.crossJoin(F.broadcast(luts))
+        .withColumn("ad2", similarity._adc_expr())
+        .select("query_id", "vec_id", "ad2")
+        .collect()
+    }
+    assert kern == ref  # exact float equality, full pair set
+
+    # cell routing: restrict each query to a deterministic subset of
+    # cells and assert the routed kernel emits exactly the pair subset,
+    # values unchanged
+    cc = similarity.cached_codes_cells(base)
+    cells = sorted(
+        r["centroid_id"]
+        for r in cc.select("centroid_id").distinct().collect()
+    )
+    qids = [r["query_id"] for r in qs.select("query_id").collect()]
+    routing = {
+        int(q): [cells[i % len(cells)], cells[(i + 1) % len(cells)]]
+        for i, q in enumerate(sorted(qids))
+    }
+    routed = {
+        (r["query_id"], r["vec_id"]): r["ad2"]
+        for r in similarity._pq_pair_adc(
+            cc, qs, books, cells_by_query=routing
+        ).collect()
+    }
+    cell_of = {r["vec_id"]: r["centroid_id"] for r in cc.collect()}
+    expect = {
+        (q, v): d
+        for (q, v), d in ref.items()
+        if cell_of[v] in routing[int(q)]
+    }
+    assert routed == expect
