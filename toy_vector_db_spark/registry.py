@@ -140,6 +140,14 @@ _PRIORITY = [
 # test_overflow_keys_are_oracled_and_queued): every registered key whose
 # last driver row is r5-r7 after the round-10 window lands. Rotating these
 # 29 in next round leaves no key's last driver row older than r8 at r11.
+# Window math for round 11: these 29 + semdedup_prune (the round-10
+# overflow) = 30 IN; the slots come from the round-10 freshness cohorts
+# (§2 parity, r3/r4 cohorts, token_batch_packing — all have prior
+# multi-round consecutive-green history, so one r10 refresh row retires
+# them, the r9-relational-cohort precedent). MUST KEEP for a second
+# consecutive green (first-ever driver rows in r10): the 7 BQ2 keys and
+# serve_invariants; hnsw_routed_build gets its second green in r10 and
+# can rotate out.
 _R11_ROTATION_QUEUE: list[str] = [
     # last driver row r5
     "source_mixture_sample", "streaming_sliding_counts",
