@@ -32,3 +32,25 @@ def test_incremental_insert_then_search(spark, embeddings):
     full = ExactKNNIndex().insert_many(embeddings).search(q, 5).collect()
     assert [r.vec_id for r in top] == [r.vec_id for r in full]
     assert top[0].vec_id == 0 and abs(top[0].dist) < 1e-9  # self is nearest
+
+
+def test_late_data_key_actually_drops_rows(spark, sf_dir):
+    """streaming_late_data_counts must EXERCISE the watermark drop — a
+    configuration where nothing is late would make its oracle a
+    vacuous tumbling count. Assert the kept-row total is strictly
+    below the corpus size, and that batches 0-1's rows are never
+    dropped (the watermark in force during them predates all data)."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark import registry
+
+    out = registry.queries()["streaming_late_data_counts"](spark, sf_dir)
+    kept = out.agg(F.sum("n")).collect()[0][0]
+    total = registry.table(spark, sf_dir, "events").count()
+    on_time = (
+        registry.table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 <= 1)
+        .count()
+    )
+    assert kept < total, "no row was dropped — the key tests nothing"
+    assert kept >= on_time, "an on-time (batch 0/1) row was dropped"

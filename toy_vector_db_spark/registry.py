@@ -140,8 +140,8 @@ _PRIORITY = [
 # test_overflow_keys_are_oracled_and_queued): every registered key whose
 # last driver row is r5-r7 after the round-10 window lands. Rotating these
 # 29 in next round leaves no key's last driver row older than r8 at r11.
-# Window math for round 11: these 29 + semdedup_prune (the round-10
-# overflow) = 30 IN; the slots come from the round-10 freshness cohorts
+# Window math for round 11: these 29 + the round-10 overflow
+# (semdedup_prune, streaming_late_data_counts) = 31 IN; the slots come from the round-10 freshness cohorts
 # (§2 parity, r3/r4 cohorts, token_batch_packing — all have prior
 # multi-round consecutive-green history, so one r10 refresh row retires
 # them, the r9-relational-cohort precedent). MUST KEEP for a second
@@ -2960,11 +2960,14 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest-row keys); round 10 rotated all seven in, so the new-key
 # overflow queue would be EMPTY — every oracled key has ≥1 driver row
 # (or a round-10 window slot) once CORRECTNESS_r10 lands — except that
-# round 10 then created semdedup_prune (SemDeDup, the round's one new
-# operator) AFTER the 49-slot rotation was spent; it is oracled at
-# three SFs locally and rotates in with the round-11 cohort. Stale-key
+# round 10 then created semdedup_prune (SemDeDup) and
+# streaming_late_data_counts (watermark late-drop semantics) AFTER the
+# 49-slot rotation was spent; both are oracled at three SFs locally and
+# rotate in with the round-11 cohort. Stale-key
 # refresh is tracked separately in _R11_ROTATION_QUEUE above.
-_POST_WINDOW_OVERFLOW: list[str] = ["semdedup_prune"]
+_POST_WINDOW_OVERFLOW: list[str] = [
+    "semdedup_prune", "streaming_late_data_counts",
+]
 
 
 @register("streaming_vector_ingest")
@@ -3802,6 +3805,46 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toy_vector_db_spark.streaming import windows
 
     return windows.streaming_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_late_data_counts",
+    f"""
+    WITH ev AS (SELECT event_id, ts, value FROM events),
+    m0 AS (SELECT max(ts) AS mx FROM ev WHERE event_id % 4 = 0),
+    m01 AS (SELECT max(ts) AS mx FROM ev WHERE event_id % 4 <= 1),
+    kept AS (
+      SELECT ts, value FROM ev
+      WHERE CASE
+        WHEN event_id % 4 = 2 THEN
+          date_trunc('hour', ts) + INTERVAL 1 HOUR
+            > (SELECT mx FROM m0) - INTERVAL 211 HOUR
+        WHEN event_id % 4 = 3 THEN
+          date_trunc('hour', ts) + INTERVAL 1 HOUR
+            > (SELECT mx FROM m01) - INTERVAL 211 HOUR
+        ELSE TRUE END)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+           count(*) AS n,
+           round(sum(value), {_R}) AS total_value
+    FROM kept GROUP BY 1
+    """,
+)
+def q_streaming_late_data_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA / watermark-drop semantics (round 10): events replayed
+    as four ordered micro-batches where batches 2-3 arrive after the
+    watermark has advanced past most of their (old) event times; the
+    stateful hourly aggregation drops exactly the rows whose window end
+    is at or below the in-force watermark. Deterministic under the
+    pinned batch order, so the drop rule is plain SQL: batch-2 rows
+    survive iff window_end > max(ts | slice 0) − 211 h, batch-3 rows iff
+    window_end > max(ts | slices 0-1) − 211 h (the late filter in batch
+    N uses the watermark committed after batch N−2 — measured, see
+    streaming/windows.py:streaming_late_data_counts). The single-batch
+    streaming keys can never exercise this contract — their watermark
+    never advances mid-stream."""
+    from toy_vector_db_spark.streaming import windows
+
+    return windows.streaming_late_data_counts(spark, sf_dir)
 
 
 @register(

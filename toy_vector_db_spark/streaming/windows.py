@@ -242,3 +242,103 @@ def streaming_session_windows(
             rnd(F.sum("sv"), ROUND).alias("total_value"),
         )
     )
+
+
+# -- late-data / watermark-drop semantics (round 10) -------------------------
+
+# Watermark delay for the late-data key: ~8.8 days against the fixtures'
+# 30-day event span, so the two late replay batches are split into a
+# dropped majority and a kept tail at every SF. An odd hour count keeps
+# the watermark off the whole-hour window grid (the max event times
+# carry microsecond entropy anyway, so a window-end == watermark tie is
+# unreachable on these fixtures).
+LATE_DELAY_HOURS = 211
+LATE_WINDOW_MINUTES = 60
+_LATE_SLICES = 4
+
+
+def _late_stream_input_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events into FOUR parquet files by ``event_id % 4`` with
+    ascending mtimes, so ``maxFilesPerTrigger=1`` replays them as four
+    ORDERED micro-batches. Slices 0-1 arrive 'on time'; slices 2-3 are
+    full replays of interleaved (old) event times — late arrivals once
+    the watermark has advanced past them."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(FIXTURE_DIR, "stream_events_late", tag)
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = os.path.join(d, ".staged")
+    if (
+        os.path.exists(os.path.join(d, f"b{_LATE_SLICES - 1}.parquet"))
+        and os.path.exists(staged)
+        and os.path.getmtime(staged) >= os.path.getmtime(src)
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(src)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    for i in range(_LATE_SLICES):
+        pdf = df.where(F.col("event_id") % _LATE_SLICES == i).toPandas()
+        path = os.path.join(d, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        # deterministic arrival order: the file source sorts by
+        # (modification time, path); pin both
+        os.utime(path, (1_000_000 + 100 * i, 1_000_000 + 100 * i))
+    with open(os.path.join(d, ".staged"), "w") as fh:
+        fh.write("ok")
+    return d
+
+
+def streaming_late_data_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA semantics through the streaming engine (round 10): four
+    ordered micro-batches; batches 2-3 replay old event times after the
+    watermark advanced, and the stateful aggregation DROPS their rows
+    whose hourly window end is at or below the watermark — the core
+    watermark contract single-batch drains can never exercise.
+
+    Determinism (what makes this oracle-able): with a file source the
+    batch contents and order are pinned, and Spark's late-row filter in
+    micro-batch N uses the watermark computed from batches ≤ N−2 — the
+    global watermark updates at the END of a batch from that batch's max
+    event time, so the value in force while batch N executes derives
+    from batch N−2's commit (measured empirically, with the boundary:
+    a row is dropped iff its window END ≤ watermark; end == watermark
+    drops). Hence: batch-2 rows filter against max(ts | slice 0) − delay
+    and batch-3 rows against max(ts | slices 0-1) − delay, which is
+    plain SQL over the same parquet. State eviction uses the CURRENT
+    batch's watermark — one batch AHEAD of the late filter — so any row
+    that passes the filter finds its window state intact and update-mode
+    counts accumulate monotonically per window; the final state per
+    window is therefore the emitted row with the maximum count.
+
+    Output: one row per surviving hourly window — kept-row count plus
+    the rounded kept-row value sum (max_by pairs the final sum with the
+    final count, counts strictly increase across a window's updates)."""
+    d = _late_stream_input_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        raw.withWatermark("ts", f"{LATE_DELAY_HOURS} hours")
+        .groupBy(F.window("ts", f"{LATE_WINDOW_MINUTES} minutes"))
+        .agg(F.count("*").alias("n_upd"), F.sum("value").alias("sv_upd"))
+    )
+    out = _drain_to_memory(agg, "update")
+    return out.groupBy(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start")
+    ).agg(
+        F.max("n_upd").alias("n"),
+        rnd(F.max_by("sv_upd", "n_upd"), ROUND).alias("total_value"),
+    )
