@@ -201,3 +201,83 @@ def test_pq_pair_adc_kernel_equals_lut_broadcast_form(spark, embeddings):
         if cell_of[v] in routing[int(q)]
     }
     assert routed == expect
+
+
+def test_emit_topk_bounded_emission_is_lossless(spark, embeddings):
+    """Round 10: pair_scores(emit_topk=k) keeps each query's per-batch
+    top-k under the window's exact (dist asc, id asc) order — a provable
+    superset of the global top-k. Stress MULTI-BATCH: with the base
+    split into 16 partitions (batches far smaller than the corpus), the
+    final top-k must equal the full-emission form row for row, and the
+    emitted pair count must be bounded, not |base|x|queries|."""
+    from toy_vector_db_spark.operators import knn as K
+
+    base, qs = _splits(embeddings)
+    base16 = base.repartition(16)
+    k = 10
+    capped = K.knn_exact_batch(base16, qs, k).collect()
+    full_pairs = K.pair_scores(base16, qs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    uncapped = (
+        full_pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    # bounded emission: at most batches*queries*k pairs leave the kernel
+    n_q = qs.count()
+    emitted = K.pair_scores(base16, qs, emit_topk=k).count()
+    assert emitted <= 16 * n_q * k
+    assert emitted < base.count() * n_q, "cap did not reduce emission"
+
+
+def test_emit_topk_routed_matches_unrouted_window(spark, embeddings):
+    """Routed + capped: knn_ivf's kernel path (cells_by_query AND
+    emit_topk) must equal the uncapped routed emission under the same
+    final window."""
+    from pyspark.sql import Window
+
+    from toy_vector_db_spark.operators import knn as K
+    from toy_vector_db_spark.operators import similarity
+
+    base, qs = _splits(embeddings)
+    base = base.select("vec_id", "embedding")
+    cents = similarity.cached_trained_centroids(base)
+    cv = similarity.cached_cell_vectors(base)
+    probes = similarity._ivf_probes(qs, cents, similarity.N_PROBE)
+    routing: dict[int, list] = {}
+    for r in probes.select("query_id", "centroid_id").collect():
+        routing.setdefault(int(r["query_id"]), []).append(
+            int(r["centroid_id"])
+        )
+    probed = sorted({c for cs in routing.values() for c in cs})
+    src = cv.where(F.col("centroid_id").isin(probed))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+
+    def topk(df):
+        return sorted(
+            map(
+                tuple,
+                df.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 10)
+                .select("query_id", "vec_id", "dist", "rank")
+                .collect(),
+            )
+        )
+
+    capped = topk(
+        K.pair_scores(
+            src.repartition(16), qs, cells_by_query=routing, emit_topk=10
+        )
+    )
+    full = topk(
+        K.pair_scores(src.repartition(16), qs, cells_by_query=routing)
+    )
+    assert capped == full

@@ -108,7 +108,8 @@ def knn_exact_batch(
     expression-fold form cost ~25 µs per pair; bit-identical values,
     parity-asserted in tests)."""
     scored = pair_scores(
-        base, queries, id_col, vec_col, query_id_col, query_vec_col
+        base, queries, id_col, vec_col, query_id_col, query_vec_col,
+        emit_topk=k,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
@@ -265,11 +266,27 @@ def pair_scores(
     cells_by_query: dict[int, list] | None = None,
     cell_col: str = "centroid_id",
     dual_metric: bool = False,
+    emit_topk: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, dist) for every (query × base-row) pair — the
     |base|×|queries| hot loop of exact batch search, argmin/argmax, and
     (with ``cells_by_query``) IVF cell-probed search, as a VECTORIZED
     Arrow kernel (round 6).
+
+    ``emit_topk`` (round 10 — the 100 TB emission fix): when the CALLER's
+    next step is a per-query (dist asc, id asc) top-k cut with NO
+    intervening row filter, the kernel emits only each query's top
+    ``emit_topk`` rows PER ARROW BATCH under that same order — a provable
+    superset of the global top-k (every batch keeps its k best, so the
+    true top-k can never be lost), with identical dist doubles. This
+    turns the kernel's output from |probed|×|queries| rows into
+    batches×queries×k rows: at the 200k-vector scale study the unbounded
+    ivf-probe emission was ~5M pair rows through Arrow + the partial
+    window — the dominant serving cost, and one that grows linearly with
+    the corpus while the answer stays k rows. NOT legal when a
+    post-kernel predicate (label pre-filter) runs before the cut —
+    those callers keep full emission. Incompatible with ``dual_metric``
+    (the evaluation pipeline consumes full pair sets).
 
     Why: the expression form's distance is an interpreted higher-order
     fold — Catalyst does not codegen lambda functions — measured at
@@ -312,6 +329,8 @@ def pair_scores(
     physical plan."""
     import pyarrow as pa
 
+    if emit_topk is not None and dual_metric:
+        raise ValueError("emit_topk is incompatible with dual_metric")
     if query_batch_count(queries) > QUERY_BATCH_MAX:
         if cells_by_query is not None:
             # the caller already holds a per-query routing dict, i.e. it
@@ -385,7 +404,22 @@ def pair_scores(
                 euc = np.sqrt(
                     np.maximum(vm2[:, None] + qm2[None, :] - 2.0 * acc, 0.0)
                 )
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and emit_topk is not None:
+                # per-batch per-query bounded emission: top-R under the
+                # SAME (dist asc, id asc) order the downstream window
+                # cuts by — np.lexsort's last key is primary
+                sel_rows, sel_qis = [], []
+                for qi_i in range(nq):
+                    order = np.lexsort((ids, dist[:, qi_i]))[:emit_topk]
+                    sel_rows.append(order)
+                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
+                ri = np.concatenate(sel_rows)
+                qi = np.concatenate(sel_qis)
+                out_q = qids[qi]
+                out_id = ids[ri]
+                out_d = dist[ri, qi]
+                out_e = None
+            elif cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, nq)
                 out_d = dist.ravel()
@@ -395,7 +429,23 @@ def pair_scores(
                 mask = np.empty((n, nq), dtype=bool)
                 for qi in range(nq):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                ri, qi = np.nonzero(mask)
+                if emit_topk is not None:
+                    sel_rows, sel_qis = [], []
+                    for qi_i in range(nq):
+                        rows = np.nonzero(mask[:, qi_i])[0]
+                        if len(rows) > emit_topk:
+                            sub = np.lexsort(
+                                (ids[rows], dist[rows, qi_i])
+                            )[:emit_topk]
+                            rows = rows[sub]
+                        sel_rows.append(rows)
+                        sel_qis.append(
+                            np.full(len(rows), qi_i, dtype=np.int64)
+                        )
+                    ri = np.concatenate(sel_rows)
+                    qi = np.concatenate(sel_qis)
+                else:
+                    ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = dist[ri, qi]

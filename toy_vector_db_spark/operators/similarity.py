@@ -724,6 +724,9 @@ def knn_ivf(
             queries.select(query_id_col, query_vec_col),
             id_col, vec_col, query_id_col, query_vec_col,
             cells_by_query=cells_by_query,
+            # the next step is the per-query top-k window with no
+            # intervening filter: bounded per-batch emission (round 10)
+            emit_topk=k,
         )
     w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(),
                                                  F.col(id_col).asc())
