@@ -310,13 +310,22 @@ def main() -> None:
     results = []
     for name, floor, fn, pf in families:
         fn().collect()  # untimed warmup: builds + plan analysis
-        t0 = time.perf_counter()
-        df = fn()
-        df.collect()
-        wall = round(time.perf_counter() - t0, 2)
-        # score the TIMED frame (same plan object) — rebuilding the
-        # pipeline a third time via fn() costs another full Spark job
-        # per family (~+50% wall in --cap mode) for identical values
+        # round 10: MIN-OF-2 timed samples — a single sample in a long
+        # multi-family session twice recorded 2-3x aged-JVM noise as a
+        # family's official wall (pq_rerank 20.3 s in-script vs 7.6 s
+        # clean-session); min-of-2 is the contention-robust estimator
+        # the bench harness already uses
+        walls = []
+        df = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn()
+            df.collect()
+            walls.append(time.perf_counter() - t0)
+        wall = round(min(walls), 2)
+        # score the last TIMED frame (same plan object) — rebuilding the
+        # pipeline again via fn() costs another full Spark job
+        # per family for identical values
         rec = recall(df)
         row = {
             "family": name,
