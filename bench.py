@@ -318,92 +318,73 @@ def main() -> None:
     # driver's 2 kB tail capture (round 6's full line outgrew it and the
     # round's headline total was recorded as "parsed": null). Round 8
     # (verdict r7 item 8): when the one-line form outgrows the budget,
-    # per-query medians are SPLIT across two tagged lines instead of
-    # dropped — the LAST parseable line always carries totals plus
-    # per-query numbers (contract-tested at headline count + 10).
-    # Round 10 (verdict r9 item 2): per-query MINS ride in the tail too,
-    # printed immediately before the median summary so the captured tail
-    # carries both estimators — min is the contention-robust one, and a
-    # key whose median is 2× its min flags a contended sample window,
-    # not a regression.
-    for line in min_summary_lines(timings_min):
-        print(line)
-    for line in summary_lines(timings, total, r1_total, sf_val):
+    # per-query numbers are SPLIT across tagged part lines — the LAST
+    # parseable line always carries totals plus per-query numbers
+    # (contract-tested at headline count + 10).
+    # Round 11 (verdict r10 item 6): both estimators now ride in ONE
+    # summary, "key": [median, min], with compact separators — the
+    # round-10 design printed the min summary as SEPARATE lines before
+    # the median summary, and the two together outgrew the 2 kB tail,
+    # clipping the head of the min record (BENCH_r10.json's truncated
+    # first line). Folding halves the key-name bytes; the paired line is
+    # 1774 B at the current 55 keys (measured), inside the tail.
+    for line in summary_lines(timings, timings_min, total, r1_total, sf_val):
         print(line)
     spark.stop()
 
 
-SUMMARY_BUDGET = 1800  # bytes per line; driver tail capture is 2 kB
-
-
-def min_summary_lines(timings_min: dict) -> list[str]:
-    """Compact per-query MIN summary (round 10, verdict r9 item 2),
-    printed BEFORE the median summary so the final parseable line stays
-    the totals+medians contract line. Chunked under the same budget as
-    summary_lines so no single line outgrows the tail capture."""
-    q2 = {k: round(v, 2) for k, v in timings_min.items()}
-    one = json.dumps({"metric": "headline_queries_min", "queries": q2})
-    if len(one) <= SUMMARY_BUDGET:
-        return [one]
-    overhead = len(
-        json.dumps(
-            {"metric": "headline_queries_min", "part": 99, "parts": 99,
-             "queries": {}}
-        )
-    )
-    chunks: list[dict] = [{}]
-    used = 0
-    for k, v in q2.items():
-        item = len(json.dumps({k: v})) + 2
-        if overhead + used + item > SUMMARY_BUDGET and chunks[-1]:
-            chunks.append({})
-            used = 0
-        chunks[-1][k] = v
-        used += item
-    return [
-        json.dumps(
-            {"metric": "headline_queries_min", "part": i + 1,
-             "parts": len(chunks), "queries": c}
-        )
-        for i, c in enumerate(chunks)
-    ]
+# Bytes per summary line; the driver tail capture is 2048 B, and the
+# whole summary (all lines + newlines) must fit inside it for both
+# estimators of every key to survive — contract-tested at the current
+# headline count with pessimistic 5-char values in
+# tests/test_bench_contract.py. 2000 leaves newline + slack.
+SUMMARY_BUDGET = 2000
 
 
 def summary_lines(
-    timings: dict, total: float, r1_total: float, sf_val
+    timings: dict, timings_min: dict, total: float, r1_total: float, sf_val
 ) -> list[str]:
-    """Compact JSON summary lines, every one within SUMMARY_BUDGET. One
-    line when it fits; otherwise the queries dict splits GREEDILY BY
-    SERIALIZED SIZE across part lines plus the FINAL totals line (which
-    keeps the last chunk), so the last parseable line of the bench
-    output always carries the totals AND per-query medians no matter
-    how the headline set grows (a half-by-count split re-breaks the
-    budget once the set roughly doubles; size-based chunks don't)."""
-    q2 = {k: round(v, 2) for k, v in timings.items()}
+    """Compact JSON summary lines, every one within SUMMARY_BUDGET.
+    Each query maps to a [median, min] pair (qfmt field names the order)
+    so BOTH estimators reach the driver tail in one record — min is the
+    contention-robust estimator; a key whose median is 2x its min flags
+    a contended sample window, not a regression. One line when it fits;
+    otherwise the queries dict splits GREEDILY BY SERIALIZED SIZE across
+    part lines plus the FINAL totals line (which keeps the last chunk),
+    so the last parseable line of the bench output always carries the
+    totals AND per-query numbers no matter how the headline set grows
+    (a half-by-count split re-breaks the budget once the set roughly
+    doubles; size-based chunks don't)."""
+    compact = {"separators": (",", ":")}
+    q2 = {
+        k: [round(v, 2), round(timings_min.get(k, v), 2)]
+        for k, v in timings.items()
+    }
     base = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "qfmt": "[median,min]",
         "r1_comparable_total": r1_total,
         "sf": sf_val,
     }
-    one = json.dumps({**base, "queries": q2})
+    one = json.dumps({**base, "queries": q2}, **compact)
     if len(one) <= SUMMARY_BUDGET:
         return [one]
-    # greedy chunks: each addition is ~len('"key": 9.99, ') bytes; the
-    # totals line carries the most overhead, so budget every chunk
-    # against the totals-line envelope — probed WITH the parts key and
-    # two-digit counters, so the measured envelope is never smaller
-    # than the real final line's (round-8 review: omitting "parts"
-    # under-counted by ~14 bytes, enough to breach the budget when the
-    # last chunk holds few very-long keys)
+    # greedy chunks: the totals line carries the most overhead, so
+    # budget every chunk against the totals-line envelope — probed WITH
+    # the parts key and two-digit counters, so the measured envelope is
+    # never smaller than the real final line's (round-8 review: omitting
+    # "parts" under-counted by ~14 bytes, enough to breach the budget
+    # when the last chunk holds few very-long keys)
     overhead = len(
-        json.dumps({**base, "part": 99, "parts": 99, "queries": {}})
+        json.dumps({**base, "part": 99, "parts": 99, "queries": {}},
+                   **compact)
     )
     chunks: list[dict] = [{}]
     used = 0
     for k, v in q2.items():
-        item = len(json.dumps({k: v})) + 2  # ", " separator slack
+        item = len(json.dumps({k: v}, **compact)) + 1  # "," separator
         if overhead + used + item > SUMMARY_BUDGET and chunks[-1]:
             chunks.append({})
             used = 0
@@ -412,14 +393,16 @@ def summary_lines(
     lines = [
         json.dumps(
             {"metric": "headline_queries_part", "part": i + 1,
-             "parts": len(chunks), "queries": c}
+             "parts": len(chunks), "qfmt": "[median,min]", "queries": c},
+            **compact,
         )
         for i, c in enumerate(chunks[:-1])
     ]
     lines.append(
         json.dumps(
             {**base, "part": len(chunks), "parts": len(chunks),
-             "queries": chunks[-1]}
+             "queries": chunks[-1]},
+            **compact,
         )
     )
     return lines

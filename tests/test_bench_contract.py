@@ -97,7 +97,7 @@ def test_bench_emits_trailing_summary_line():
     assert src.count('"headline_queries_total"') >= 2, (
         "bench.py must print the full record AND a trailing summary line"
     )
-    assert "1800" in src, "summary size guard missing"
+    assert "SUMMARY_BUDGET = 2000" in src, "summary size guard missing"
     ast.parse(src)  # stays valid python
     # build keys must run more than once now
     assert "runs = 3" in src and "runs = 1" not in src
@@ -105,31 +105,37 @@ def test_bench_emits_trailing_summary_line():
 
 def test_summary_lines_carry_queries_even_past_budget():
     """Round 8 (verdict r7 item 8): the LAST parseable bench line must
-    carry totals AND per-query medians no matter how the headline set
-    grows — pinned at the current headline count + 10 extra keys. When
-    the one-line form outgrows the budget, the split keeps every line
-    under SUMMARY_BUDGET and the union of the queries dicts complete."""
+    carry totals AND per-query numbers no matter how the headline set
+    grows. Round 11 (verdict r10 item 6): BOTH estimators ride in the
+    SAME line as "key": [median, min] pairs — the separate min summary
+    of round 10 pushed the combined tail past the driver's 2 kB capture
+    and the min record's head was clipped. Pinned at the current
+    headline count (single line) and +10/+40/+200 growth (split)."""
     import bench
 
     # current set: must stay a single line (driver parses exactly one)
     fake_now = {name: 99.99 for name in bench.HEADLINE}
-    lines = bench.summary_lines(fake_now, 9999.999, 9999.999, 0.1)
+    fake_min = {name: 88.88 for name in bench.HEADLINE}
+    lines = bench.summary_lines(fake_now, fake_min, 9999.999, 9999.999, 0.1)
     assert len(lines) == 1 and len(lines[0]) <= bench.SUMMARY_BUDGET
     parsed = json.loads(lines[0])
-    assert parsed["queries"] and parsed["value"] == 9999.999
+    assert parsed["value"] == 9999.999
+    assert parsed["qfmt"] == "[median,min]"
+    assert all(v == [99.99, 88.88] for v in parsed["queries"].values())
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
 
-    # current + 10, + 40, and + 200 future keys: per-query numbers must
+    # current + 10, + 40, and + 200 future keys: per-query pairs must
     # SURVIVE, split or not, with EVERY line within budget and the LAST
-    # line carrying totals + a non-empty queries dict. +40 forces the
-    # split branch (review finding: the first version's test stopped
-    # before the branch it claimed to cover); +200 would break a naive
-    # half-by-count split, pinning the size-based chunking.
+    # line carrying totals + a non-empty queries dict. +200 would break
+    # a naive half-by-count split, pinning the size-based chunking.
     forced_split = False
     for extra in (10, 40, 200):
-        fake_grown = dict(fake_now)
+        grown = dict(fake_now)
+        grown_min = dict(fake_min)
         for i in range(extra):
-            fake_grown[f"future_operator_with_long_name_{i:03d}"] = 99.99
-        lines = bench.summary_lines(fake_grown, 9999.999, 9999.999, 0.1)
+            grown[f"future_operator_with_long_name_{i:03d}"] = 99.99
+            grown_min[f"future_operator_with_long_name_{i:03d}"] = 88.88
+        lines = bench.summary_lines(grown, grown_min, 9999.999, 9999.999, 0.1)
         assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines), (
             f"+{extra}: line over budget: {max(map(len, lines))}B"
         )
@@ -139,7 +145,8 @@ def test_summary_lines_carry_queries_even_past_budget():
         union = {}
         for ln in lines:
             union.update(json.loads(ln)["queries"])
-        assert union == fake_grown, f"+{extra}: split dropped medians"
+        assert set(union) == set(grown), f"+{extra}: split dropped keys"
+        assert all(v == [99.99, 88.88] for v in union.values())
         forced_split |= len(lines) > 1
     assert forced_split, "no growth case exercised the split branch"
 
@@ -169,27 +176,22 @@ def test_bench_warns_when_build_key_owns_nothing():
     assert warn < timed, "ownership check must precede the timed loop"
 
 
-def test_min_summary_lines_carry_mins_within_budget():
-    """Round 10 (verdict r9 item 2): per-query mins must reach the
-    driver tail. Every min line stays within SUMMARY_BUDGET, the union
-    of chunks is complete, and main() prints them BEFORE the median
-    summary so the LAST parseable line remains the totals contract."""
+def test_summary_fits_driver_tail_at_current_headline_count():
+    """Round 11 (verdict r10 item 6): the WHOLE summary — every line
+    that must survive in the driver's 2 kB tail capture — has to fit in
+    2048 bytes at the current headline count, or the head gets clipped
+    exactly like BENCH_r10's min record. Chunking only protects the
+    LAST line; full both-estimator coverage needs the total to fit."""
     import bench
 
     fake = {name: 99.99 for name in bench.HEADLINE}
-    for extra in (0, 40, 200):
-        grown = dict(fake)
-        for i in range(extra):
-            grown[f"future_operator_with_long_name_{i:03d}"] = 99.99
-        lines = bench.min_summary_lines(grown)
-        assert all(len(ln) <= bench.SUMMARY_BUDGET for ln in lines)
-        union = {}
-        for ln in lines:
-            rec = json.loads(ln)
-            assert rec["metric"] == "headline_queries_min"
-            union.update(rec["queries"])
-        assert union == grown
+    fake_min = {name: 88.88 for name in bench.HEADLINE}
+    lines = bench.summary_lines(fake, fake_min, 9999.999, 9999.999, 0.1)
+    blob = "\n".join(lines) + "\n"
+    assert len(blob.encode()) <= 2048, (
+        f"summary is {len(blob)}B — outgrows the 2 kB driver tail; "
+        "shorten the encoding or trim the headline set"
+    )
+    # and there is no separate min summary left to race the budget
     src = (REPO / "bench.py").read_text()
-    assert src.index("for line in min_summary_lines(") < src.index(
-        "for line in summary_lines("
-    ), "min lines must print before the final totals line"
+    assert "min_summary_lines" not in src

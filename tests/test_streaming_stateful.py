@@ -54,3 +54,85 @@ def test_late_data_key_actually_drops_rows(spark, sf_dir):
     )
     assert kept < total, "no row was dropped — the key tests nothing"
     assert kept >= on_time, "an on-time (batch 0/1) row was dropped"
+
+
+def test_watermark_two_batch_lag_probe(spark, tmp_path):
+    """Runtime probe of the UNDOCUMENTED Spark scheduling detail the
+    streaming_late_data_counts oracle rests on (round 11, advice r10):
+    the late-row filter in micro-batch N uses the watermark computed
+    from batches <= N-2's data (the global watermark updates at the END
+    of a batch, so the value IN FORCE while batch N executes derives
+    from batch N-2's commit). A Spark upgrade that moves updateWatermark
+    (e.g. recomputing it at batch START from batch N-1's max event time)
+    would silently flip the late-data oracle red with an opaque driver
+    hash mismatch — this probe fails FIRST, with a named cause.
+
+    Discriminating construction (delay 1 s — Spark rejects a zero
+    delay; the second changes no drop boundary here — 10-minute
+    windows, minutes from an epoch-aligned origin):
+      batch 0: ts 1000            -> after commit, wm becomes 1000
+      batch 1: ts 2000, ts 500    -> N-2 model: wm in force is unset
+                                     (no batch -1), BOTH kept;
+                                     N-1 model would drop 500
+      batch 2: ts 1500, ts 900    -> N-2 model: wm in force = 1000
+                                     (batch 0's commit): window
+                                     [900,910) end <= 1000 dropped,
+                                     1500 kept; keeping 900 would mean
+                                     an N-3-or-older model
+    """
+    import pandas as pd
+    import os
+
+    from pyspark.sql import functions as F
+
+    origin = pd.Timestamp("2024-01-01 00:00:00")
+    slices = [
+        [1000],
+        [2000, 500],
+        [1500, 900],
+    ]
+    d = tmp_path / "wm_probe"
+    d.mkdir()
+    for i, minutes in enumerate(slices):
+        pdf = pd.DataFrame(
+            {"ts": [origin + pd.Timedelta(minutes=m) for m in minutes],
+             "v": [1] * len(minutes)}
+        )
+        p = str(d / f"b{i}.parquet")
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (1_000_000 + 100 * i, 1_000_000 + 100 * i))
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        # parquet reads back NTZ; session TZ is UTC so the cast is
+        # value-preserving (the registry.table events idiom)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        raw.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    from toy_vector_db_spark.streaming.windows import _drain_to_memory
+
+    out = _drain_to_memory(agg, "update")
+    got = {
+        int((r["window"]["start"] - origin).total_seconds() // 60)
+        for r in out.collect()
+    }
+    assert 500 in got, (
+        "batch 1's ts=500 row was DROPPED: the late filter saw batch 0's "
+        "watermark, i.e. Spark now applies an N-1 watermark model — "
+        "streaming_late_data_counts's oracle (windows.py) assumes N-2; "
+        "re-measure and update _late_oracle_sql for this Spark version"
+    )
+    assert 900 not in got, (
+        "batch 2's ts=900 row was KEPT: the late filter lags MORE than "
+        "two batches on this Spark version — "
+        "streaming_late_data_counts's oracle (windows.py) assumes N-2; "
+        "re-measure and update _late_oracle_sql for this Spark version"
+    )
+    assert {1000, 2000, 1500} <= got, "on-time rows must always survive"
