@@ -39,7 +39,17 @@ compressed compositions (IVF-PQ, IVF-SQ, IVF-BQ, BQ, routed HNSW).
     quantizer families at the same cap-engaged corpus (verdict r9
     item 7).
 
-Usage: python scripts/scale_evidence_sf1.py [--cap | --graphs | --graphs200k]
+  * ``--semdedup`` : SemDeDup at 200,000 vectors with a CORPUS-
+    PROPORTIONAL cluster count (round 11, verdict r10 item 5): the
+    sf0.1 registry key runs 16 cells over 1,900 rows (~119 rows/cell);
+    the paper's scale lever is growing the cluster count with the
+    corpus (it uses ~10^5 clusters) so rows/cell — and hence the pair
+    volume Σ|cell|² — stays density-constant. 200k × 16/1900 → 1,684
+    cells. Records the measured pair volume (asserted == Σ c·(c−1)
+    over the actual cell histogram), survivor count, and wall.
+
+Usage: python scripts/scale_evidence_sf1.py
+           [--cap | --graphs | --graphs200k | --semdedup]
 Prints one JSON line per family and a markdown table for SCALE.md.
 """
 
@@ -118,10 +128,100 @@ def make_corpus(spark, n_draw: int, cut: int):
     return base, qs, cut
 
 
+def semdedup_scale(spark, base, n_base: int) -> None:
+    """SemDeDup 200k evidence row (round 11, verdict r10 item 5): the
+    within-cluster pair join's volume is Σ|cell|² — the quantity the
+    cluster count controls. Train a corpus-proportional quantizer
+    (constant rows/cell vs the sf0.1 key), MEASURE the pair volume,
+    assert it equals Σ c·(c−1) over the actual cell histogram, and time
+    the full prune. eps stays at the shipped SEM_EPS: the filter runs on
+    the join OUTPUT, so the cost row is eps-independent."""
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators import dedup
+
+    # sf0.1 density: 16 cells / 1900 rows; hold rows/cell constant
+    n_cells = max(16, round(n_base * 16 / 1900))
+    t0 = time.perf_counter()
+    cents = similarity.cached_trained_centroids(base, n=n_cells)
+    train_sec = round(time.perf_counter() - t0, 2)
+
+    # the prune's own assignment (same argmin expression) — for the
+    # histogram and the pair-volume ground truth
+    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    base_m = base.select(
+        "vec_id", "embedding", V.magnitude(F.col("embedding")).alias("_mag")
+    )
+    c_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("embedding"), F.col("centroid_vec"))
+        / (F.col("_mag") * F.col("_c_mag")),
+    )
+    assigned = (
+        base_m.crossJoin(F.broadcast(cents_m))
+        .withColumn("d", F.lit(1.0) - c_sim)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m"))
+        .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
+    )
+    hist = [
+        r["c"]
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    expected_pairs = sum(c * (c - 1) for c in hist)
+    # measured pair volume: the prune's exact self-join predicate
+    e = assigned.alias("a").join(
+        assigned.alias("b"),
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    measured_pairs = e.count()
+    assert measured_pairs == expected_pairs, (
+        f"pair volume {measured_pairs} != Σ c(c-1) {expected_pairs}"
+    )
+
+    walls = []
+    survivors = None
+    for _ in range(3):  # first pass doubles as warmup
+        t0 = time.perf_counter()
+        survivors = dedup.semdedup_prune(base, cents).count()
+        walls.append(round(time.perf_counter() - t0, 2))
+    row = {
+        "family": "semdedup_prune",
+        "n_base": n_base,
+        "n_cells": len(hist),
+        "rows_per_cell_mean": round(n_base / len(hist), 1),
+        "cell_size_skew_max_over_mean": round(
+            max(hist) / (sum(hist) / len(hist)), 2
+        ),
+        "pair_volume": measured_pairs,
+        "pair_volume_matches_sum_sq": True,
+        "pairs_per_row": round(measured_pairs / n_base, 1),
+        "survivors": survivors,
+        "pruned": n_base - survivors,
+        "train_sec": train_sec,
+        "prune_sec_min": min(walls[1:]),
+        "prune_sec_all": walls,
+        "eps": dedup.SEM_EPS,
+    }
+    print(json.dumps(row), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv
     graphs200k_mode = "--graphs200k" in sys.argv
+    semdedup_mode = "--semdedup" in sys.argv
+    if semdedup_mode:
+        cut, n_draw = 200_000, 200_000 + N_QUERIES
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        base, _qs, n_base = make_corpus(spark, n_draw, cut)
+        semdedup_scale(spark, base, n_base)
+        return
     if graphs200k_mode:
         # round 10 (verdict r9 item 7): routed-build economics at the
         # cap-engaged 200k corpus, cells=64 — the deployment lever is

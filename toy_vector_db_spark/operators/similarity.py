@@ -1070,6 +1070,7 @@ def _pq_pair_adc(
     query_vec_col: str = "query_vec",
     cells_by_query: dict[int, list] | None = None,
     cell_col: str = "centroid_id",
+    emit_topk: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) PQ-ADC pairs as ONE base-side Arrow kernel
     (round 10, verdict r9 item 6 — the knn_ivfpq-vs-ivfsq serving gap):
@@ -1091,7 +1092,20 @@ def _pq_pair_adc(
     ``cells_by_query`` routes IVF probing inside the kernel (a code row
     is scored only against queries probing its cell). Callers guard
     with QUERY_BATCH_MAX before collecting (the pair_scores contract);
-    oversized batches stay on the broadcast-LUT distributed plan."""
+    oversized batches stay on the broadcast-LUT distributed plan.
+
+    ``emit_topk`` (round 11, verdict r10 item 1 — the pair_scores
+    emission bound ported to the ADC kernel): when the caller's next
+    step is a per-query (ad2 asc, id asc) top-R cut with NO intervening
+    row filter, the kernel emits only each query's top R rows PER ARROW
+    BATCH under that same order — a provable superset of the global
+    top-R (every batch keeps its R best per query, so no true top-R row
+    can be lost), with identical ad2 doubles. Turns the kernel's output
+    from |probed|×|queries| rows into batches×queries×R: the 200k study
+    showed unbounded pair emission is the dominant serving cost, linear
+    in the corpus while the answer stays k rows. NOT legal when a
+    post-kernel predicate (the ``labels`` IDSelector filter) runs
+    before the cut — those callers keep full emission."""
     import pyarrow as pa
 
     from toy_vector_db_spark.operators import knn as KNN
@@ -1142,7 +1156,21 @@ def _pq_pair_adc(
                 # lut lookup per (row, query), accumulated in m order
                 # from zeros — _adc_expr's 0.0 + lut0[c0] + ... fold
                 acc += luts[m][:, cm].T
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and emit_topk is not None:
+                # per-batch per-query bounded emission under the SAME
+                # (ad2 asc, id asc) order the downstream window cuts by
+                # (np.lexsort's last key is primary)
+                sel_rows, sel_qis = [], []
+                for qi_i in range(n_q):
+                    order = np.lexsort((ids, acc[:, qi_i]))[:emit_topk]
+                    sel_rows.append(order)
+                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
+                ri = np.concatenate(sel_rows)
+                qi = np.concatenate(sel_qis)
+                out_q = qids[qi]
+                out_id = ids[ri]
+                out_d = acc[ri, qi]
+            elif cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
@@ -1151,7 +1179,23 @@ def _pq_pair_adc(
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                ri, qi = np.nonzero(mask)
+                if emit_topk is not None:
+                    sel_rows, sel_qis = [], []
+                    for qi_i in range(n_q):
+                        rows = np.nonzero(mask[:, qi_i])[0]
+                        if len(rows) > emit_topk:
+                            sub = np.lexsort(
+                                (ids[rows], acc[rows, qi_i])
+                            )[:emit_topk]
+                            rows = rows[sub]
+                        sel_rows.append(rows)
+                        sel_qis.append(
+                            np.full(len(rows), qi_i, dtype=np.int64)
+                        )
+                    ri = np.concatenate(sel_rows)
+                    qi = np.concatenate(sel_qis)
+                else:
+                    ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = acc[ri, qi]
@@ -1237,9 +1281,12 @@ def knn_pq_adc(
     codes = pq_codes(base, id_col, vec_col)
     if KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX:
         # base-side kernel, queries + LUTs in the closure (round 10):
-        # no query-side Python stage, no LUT broadcast — bit-identical
+        # no query-side Python stage, no LUT broadcast — bit-identical.
+        # emit_topk: the next step is the per-query (ad2, id) top-k
+        # window with no intervening filter → per-batch bounded emission
         cand = _pq_pair_adc(
-            codes, queries, books, id_col, query_id_col, query_vec_col
+            codes, queries, books, id_col, query_id_col, query_vec_col,
+            emit_topk=k,
         )
     else:
         q_n = _adc_lut_frame(queries, books, query_id_col, query_vec_col)
@@ -1404,6 +1451,10 @@ def knn_ivfpq(
             codes_cells.where(F.col("centroid_id").isin(probed_cells)),
             queries, books, id_col, query_id_col, query_vec_col,
             cells_by_query=cells_by_query,
+            # bounded emission only when nothing filters between the
+            # kernel and the top-R window (the IDSelector label filter
+            # must see the FULL probed candidate set)
+            emit_topk=None if labels is not None else int(rerank_r),
         )
     else:
         # oversized batch: the distributed broadcast-LUT plan (never
@@ -1764,6 +1815,7 @@ def _sq_pair_adc(
     query_id_col: str = "query_id",
     cells_by_query: dict[int, list] | None = None,
     cell_col: str = "centroid_id",
+    emit_topk: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) for every (query × dequantized-base) pair
     — the SQ ADC hot loop as a vectorized Arrow kernel (the pair_scores
@@ -1791,7 +1843,15 @@ def _sq_pair_adc(
     shipping) — bit-identical values, different physical plan; with
     ``cells_by_query`` the caller already collected per-query routing,
     so an oversized batch is the CALLER's bug (knn_ivfsq guards before
-    building the dict — the pair_scores contract)."""
+    building the dict — the pair_scores contract).
+
+    ``emit_topk`` (round 11, verdict r10 item 1): per-Arrow-batch
+    per-query top-R emission under the downstream window's exact
+    (ad2 asc, id asc) order — a provable superset of the global top-R
+    with identical ad2 doubles; see _pq_pair_adc. Only legal when no
+    post-kernel predicate runs before the cut (unfiltered callers);
+    the oversized-batch Catalyst fallback ignores it (that plan's
+    window volume is bounded map-side by WindowGroupLimit)."""
     from toy_vector_db_spark.operators import knn
 
     if knn.query_batch_count(nq) > knn.QUERY_BATCH_MAX:
@@ -1843,7 +1903,20 @@ def _sq_pair_adc(
             for j in range(d):
                 t = D[:, j: j + 1] - Q[:, j][None, :]
                 acc += t * t
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and emit_topk is not None:
+                # per-batch per-query bounded emission under the SAME
+                # (ad2 asc, id asc) order the downstream window cuts by
+                sel_rows, sel_qis = [], []
+                for qi_i in range(n_q):
+                    order = np.lexsort((ids, acc[:, qi_i]))[:emit_topk]
+                    sel_rows.append(order)
+                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
+                ri = np.concatenate(sel_rows)
+                qi = np.concatenate(sel_qis)
+                out_q = qids[qi]
+                out_id = ids[ri]
+                out_d = acc[ri, qi]
+            elif cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
@@ -1852,7 +1925,23 @@ def _sq_pair_adc(
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                ri, qi = np.nonzero(mask)
+                if emit_topk is not None:
+                    sel_rows, sel_qis = [], []
+                    for qi_i in range(n_q):
+                        rows = np.nonzero(mask[:, qi_i])[0]
+                        if len(rows) > emit_topk:
+                            sub = np.lexsort(
+                                (ids[rows], acc[rows, qi_i])
+                            )[:emit_topk]
+                            rows = rows[sub]
+                        sel_rows.append(rows)
+                        sel_qis.append(
+                            np.full(len(rows), qi_i, dtype=np.int64)
+                        )
+                    ri = np.concatenate(sel_rows)
+                    qi = np.concatenate(sel_qis)
+                else:
+                    ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = acc[ri, qi]
@@ -1934,7 +2023,12 @@ def knn_sq_rerank(
     nq = queries.select(
         query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
     )
-    cand = _sq_pair_adc(deq, nq, id_col, query_id_col)
+    cand = _sq_pair_adc(
+        deq, nq, id_col, query_id_col,
+        # bounded per-batch emission when no label filter intervenes
+        # before the top-R window (round 11, verdict r10 item 1)
+        emit_topk=None if labels is not None else int(rerank_r),
+    )
     if labels is not None:
         cand = (
             cand.join(labels, id_col)
@@ -2151,6 +2245,9 @@ def knn_bq2_rerank(
         recon, queries,
         id_col=id_col, vec_col="recon",
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        # bounded per-batch emission when no label filter intervenes
+        # before the top-R window (round 11, verdict r10 item 1)
+        emit_topk=None if labels is not None else int(rerank_r),
     )
     if labels is not None:
         cand = (
@@ -2346,6 +2443,7 @@ def knn_ivfbq2(
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             cells_by_query=cells_by_query,
+            emit_topk=None if labels is not None else int(rerank_r),
         )
     if labels is not None:
         cand = (
@@ -2573,6 +2671,7 @@ def knn_ivfsq(
             id_col,
             query_id_col,
             cells_by_query=cells_by_query,
+            emit_topk=None if labels is not None else int(rerank_r),
         )
     if labels is not None:
         # pre-filter (IDSelector): label attach on the code side, query
