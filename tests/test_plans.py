@@ -397,3 +397,17 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
     assert seen.pop("pair") is None
     similarity.knn_pq_adc(base, qs, 10)
     assert seen.pop("pq") == 10
+
+
+def test_bq_hamming_partial_topk_before_exchange(plans):
+    """BQ (1-bit) needs no kernel-side emission bound: its Hamming scan
+    is pure Catalyst, and the rank<=R cut must compile to a map-side
+    WindowGroupLimit BELOW the query_id exchange — the JVM's own
+    partial top-R, bounding the shuffle exactly as knn._TopRAcc bounds
+    the Arrow kernels' emission (round 11)."""
+    import re
+
+    plan = plans("knn_bq_rerank")
+    assert re.search(
+        r"\+- Exchange [^\n]*\n[\s:]*\+- WindowGroupLimit", plan
+    ), "no map-side partial WindowGroupLimit under the query_id exchange"

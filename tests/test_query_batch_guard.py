@@ -264,3 +264,58 @@ def test_fallback_values_match_kernel_ivfsq(spark, embeddings, monkeypatch):
     fallback = similarity.knn_ivfsq(base, qs, 10).collect()
     assert sorted(map(tuple, kernel)) == sorted(map(tuple, fallback))
     knn._QUERY_COUNT_CACHE.clear()
+
+
+def test_count_guard_recounts_on_in_place_rewrite(spark, tmp_path):
+    """Round 11 (advice r10): the residual staleness hazard after the
+    growing-dir fix — an in-place rewrite that PRESERVES filenames
+    (compaction, an overwrite that reuses part-file names). Paths alone
+    can't distinguish the two states; the fingerprint now includes each
+    file's size and mtime, so the guard and the collected-batch cache
+    must both refresh."""
+    import os
+    import shutil
+
+    staging = str(tmp_path / "staging_rw")
+    spark.range(10).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("query_vec"),
+    ).coalesce(1).write.parquet(staging)
+    first = spark.read.parquet(staging)
+    assert knn.query_batch_count(first) == 10
+    assert len(knn._collected_queries(first, "query_id", "query_vec")) == 10
+
+    # rewrite IN PLACE with the same filenames: build the replacement
+    # elsewhere, then copy the new bytes over the old part files
+    alt = str(tmp_path / "staging_rw_alt")
+    spark.range(100, 125).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(3.0), F.lit(4.0)).alias("query_vec"),
+    ).coalesce(1).write.parquet(alt)
+    old_parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    new_parts = sorted(f for f in os.listdir(alt) if f.endswith(".parquet"))
+    assert len(old_parts) == len(new_parts) == 1
+    shutil.copyfile(
+        os.path.join(alt, new_parts[0]), os.path.join(staging, old_parts[0])
+    )
+    # drop the local-FS checksum sidecars: a real compaction job writes
+    # fresh .crc files; stale ones would fail the read before the cache
+    # is even consulted
+    for f in os.listdir(staging):
+        if f.endswith(".crc"):
+            os.remove(os.path.join(staging, f))
+
+    second = spark.read.parquet(staging)
+    # NOTE the snapshot is computed at GUARD time, so both frames now
+    # stat the same post-rewrite bytes — what distinguishes the states
+    # is the key STORED at the pre-rewrite count vs the key computed
+    # here; the behavioral asserts below are the actual contract
+    assert knn.query_batch_count(second) == 25, (
+        "guard served the stale pre-rewrite count"
+    )
+    got = knn._collected_queries(second, "query_id", "query_vec")
+    assert len(got) == 25 and got[0][1] == [3.0, 4.0], (
+        "cache served the stale pre-rewrite batch"
+    )

@@ -60,19 +60,22 @@ def test_overflow_keys_are_oracled_and_queued():
         assert k not in window, k
 
 
-def test_r11_rotation_queue_is_complete_and_consistent():
-    """Rotation-debt policy (verdict r9 item 4): _R11_ROTATION_QUEUE must
-    hold every registered key whose last driver-green row predates r8 and
-    that is not already refreshed by the round-10 window, so that rotating
-    the queue in at round 11 leaves no key's last driver row older than
-    r8. The last-green map is pinned from merged CORRECTNESS_r01-r09
-    (committed artifacts, stable)."""
+def test_freshness_policy_no_key_older_than_r8():
+    """Enforcing freshness policy (verdict r10 item 2): with the
+    round-11 window in place, every registered key's last driver-green
+    row must be r8 or newer — either it has a green row in merged
+    CORRECTNESS r01-r10 at r>=8, or it holds a round-11 window slot
+    (the first 50 of queries()). Exempt: the four bench-only *_serve
+    twins, whose deterministic invariants are driver-hashed via the
+    in-window serve_invariants key. _R12_ROTATION_QUEUE must be exactly
+    the keys this leaves at r8 (the next-oldest cohort), each
+    registered, each outside the window."""
     import glob
     import json
     import re
 
     hist: dict[str, int] = {}
-    files = sorted(glob.glob("CORRECTNESS_r0*.json"))
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
     if not files:  # running from a checkout without driver artifacts
         import pytest
 
@@ -84,13 +87,20 @@ def test_r11_rotation_queue_is_complete_and_consistent():
                 hist[k] = max(hist.get(k, 0), rnd_n)
     names = list(registry.queries())
     window = set(names[:50])
-    stale = {
-        k for k, r in hist.items() if r < 8 and k in names and k not in window
-    }
-    queued = set(registry._R11_ROTATION_QUEUE)
-    assert stale == queued, (
-        f"missing from queue: {sorted(stale - queued)}; "
-        f"queued but not stale: {sorted(queued - stale)}"
+    too_old = []
+    at_r8 = set()
+    for k in names:
+        if k in registry._SERVE_TWIN_EXEMPT or k in window:
+            continue
+        last = hist.get(k, 0)
+        if last < 8:
+            too_old.append((k, last))
+        elif last == 8:
+            at_r8.add(k)
+    assert not too_old, f"keys with last driver row before r8: {too_old}"
+    q12 = set(registry._R12_ROTATION_QUEUE)
+    assert at_r8 == q12, (
+        f"missing from r12 queue: {sorted(at_r8 - q12)}; "
+        f"queued but not r8-stale: {sorted(q12 - at_r8)}"
     )
-    # queue keys must remain registered and out-of-window until r11
-    assert not queued & window
+    assert not q12 & window

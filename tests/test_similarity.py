@@ -1502,3 +1502,26 @@ def test_filtered_paths_keep_full_emission(spark, embeddings):
     joined = got.join(labels, "vec_id").where(F.col("label") != "rare")
     assert joined.count() == 0, "filtered result leaked non-matching rows"
     assert got.count() > 0
+
+
+def test_adc_emission_is_per_partition_exact(spark, embeddings):
+    """Round 11: the emission bound accumulates across a partition's
+    Arrow batches (knn._TopRAcc), so the emitted set is EXACTLY each
+    query's per-partition top-R — Σ_p min(rows_p, R) rows per query,
+    independent of Arrow batch boundaries. The per-batch form could
+    never bind at the real rerank budget (R=16384 > the 10k Arrow batch
+    cap); this pins the per-partition semantics with a small R and a
+    2-partition base, where the exact count is computable."""
+    base, qs = _adc_splits(embeddings)
+    books = similarity.trained_pq_codebooks(base)
+    codes = similarity.pq_codes(base).repartition(2)
+    n_rows = codes.count()
+    n_q = qs.count()
+    r = 7
+    capped = similarity._pq_pair_adc(codes, qs, books, emit_topk=r)
+    # 2 partitions, each larger than r → exactly 2·r rows per query
+    assert capped.count() == 2 * r * n_q
+    # and still lossless under the downstream window
+    full = similarity._pq_pair_adc(codes, qs, books)
+    assert _window_topr(capped, "ad2", r) == _window_topr(full, "ad2", r)
+    assert n_rows > 2 * r  # the bound actually binds

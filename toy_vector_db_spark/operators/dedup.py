@@ -793,6 +793,18 @@ def semdedup_prune(
     greedy depends on scan order; this EXISTS form doesn't, and
     coincides with it on isolated duplicate pairs.
 
+    CHAIN-PRUNING CONSEQUENCE (advice r10, stated so downstream users
+    don't assume one-representative-per-ball semantics): on transitive
+    eps-chains the EXISTS rule can UNDER-KEEP relative to the paper's
+    greedy — a row may be pruned by a neighbor that is itself pruned.
+    With A>B>C by centroid distance, A~B and B~C but A!~C, the rule
+    prunes BOTH B (by A) and C (by B), while the greedy that drops B
+    first would re-keep C. Survivors are exactly the rows that are a
+    LOCAL maximum of atypicality within their eps-ball, not one
+    representative per connected eps-component; every pruned row still
+    has some surviving-or-pruned witness within eps, but not
+    necessarily a SURVIVING one.
+
     Scale shape: broadcast the 16-row centroid table, map-side-combined
     argmin assignment (one exchange row per vector — the ivf_assign
     plan), then ONE shuffle on the cluster key for the self-join; pair

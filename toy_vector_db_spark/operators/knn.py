@@ -27,6 +27,7 @@ truncates to k — O(n log n) single-threaded. Spark-first translation:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -202,12 +203,29 @@ _QUERY_COUNT_CACHE: dict[tuple, int] = {}
 def _input_snapshot(df: DataFrame) -> int:
     """Order-insensitive fingerprint of the files backing a DataFrame —
     empty (stable) for non-file-backed plans, where the semantic hash
-    alone remains the correct cache key."""
+    alone remains the correct cache key.
+
+    Round 11 (advice r10): the fingerprint includes each file's size and
+    mtime, not just its path — an in-place rewrite that PRESERVES
+    filenames (compaction, dynamic-partition overwrite) must also
+    invalidate the cached count/batch, or a pre-rewrite count could keep
+    the collect path past QUERY_BATCH_MAX. Stat-ing is driver-side
+    metadata (no Spark job); files Spark lists but the OS can't stat
+    (e.g. a remote scheme this local harness never uses) degrade to
+    path-only entries rather than erroring the serving path."""
     try:
         files = df.inputFiles()
     except Exception:  # non-file relations / analysis corner cases
         files = []
-    return hash(tuple(sorted(files)))
+    entries = []
+    for f in sorted(files):
+        p = f[7:] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            entries.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            entries.append((f, -1, -1))
+    return hash(tuple(entries))
 
 
 def query_batch_count(queries: DataFrame) -> int:
@@ -256,6 +274,75 @@ def _collected_queries(
     return _QUERY_BATCH_CACHE[key]
 
 
+class _TopRAcc:
+    """Per-query running top-R across the Arrow batches of ONE partition
+    (round 11, upgrading the round-10 per-batch cut). The per-BATCH cut
+    binds only when a single batch holds more than R rows — and Arrow
+    batches are capped at spark.sql.execution.arrow.maxRecordsPerBatch
+    (10k), so for the R=16384 rerank families it was structurally a
+    no-op. Accumulating across the whole partition bounds emission at
+    min(partition rows, R) per query — partitions×nq×R at scale, where
+    a production code partition holds millions of rows (128 MB of
+    9-byte PQ rows ≈ 14M), vs corpus×nq unbounded.
+
+    Intermediate cuts amortize to O(1) sorts per row: a query's buffer
+    is cut back to R only once it exceeds max(2R, R+8192) rows, plus a
+    final cut at emission — so the emitted set is EXACTLY the
+    partition's per-query top-R under (score asc, id asc), independent
+    of batch boundaries and merge schedule (top-R of (top-R of prefix)
+    ∪ suffix ≡ top-R of the whole), hence deterministic and a provable
+    superset of the global top-R. Scores are never modified — the
+    downstream window sees identical doubles."""
+
+    def __init__(self, n_q: int, r: int):
+        self.r = r
+        self.thresh = max(2 * r, r + 8192)
+        self._ids: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+        self._sc: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+        self._len = [0] * n_q
+
+    def add(self, qi: int, ids: np.ndarray, sc: np.ndarray) -> None:
+        if len(ids) == 0:
+            return
+        self._ids[qi].append(ids)
+        self._sc[qi].append(sc)
+        self._len[qi] += len(ids)
+        if self._len[qi] > self.thresh:
+            self._cut(qi)
+
+    def _cut(self, qi: int) -> None:
+        ci = np.concatenate(self._ids[qi])
+        cs = np.concatenate(self._sc[qi])
+        if len(ci) > self.r:
+            order = np.lexsort((ci, cs))[: self.r]
+            ci, cs = ci[order], cs[order]
+        self._ids[qi] = [ci]
+        self._sc[qi] = [cs]
+        self._len[qi] = len(ci)
+
+    def emit(self, qids: np.ndarray):
+        """(out_q, out_id, out_score) for the whole partition — each
+        query's exact top-R (or everything, if the partition holds
+        fewer than R rows for it)."""
+        n_q = len(qids)
+        for qi in range(n_q):
+            if self._len[qi]:
+                self._cut(qi)
+        out_q = np.concatenate(
+            [np.full(self._len[qi], qids[qi], dtype=np.int64)
+             for qi in range(n_q)]
+        ) if n_q else np.empty(0, dtype=np.int64)
+        out_id = np.concatenate(
+            [self._ids[qi][0] if self._len[qi]
+             else np.empty(0, dtype=np.int64) for qi in range(n_q)]
+        ) if n_q else np.empty(0, dtype=np.int64)
+        out_d = np.concatenate(
+            [self._sc[qi][0] if self._len[qi]
+             else np.empty(0, dtype=np.float64) for qi in range(n_q)]
+        ) if n_q else np.empty(0, dtype=np.float64)
+        return out_q, out_id.astype(np.int64, copy=False), out_d
+
+
 def pair_scores(
     base: DataFrame,
     queries: DataFrame,
@@ -273,20 +360,22 @@ def pair_scores(
     (with ``cells_by_query``) IVF cell-probed search, as a VECTORIZED
     Arrow kernel (round 6).
 
-    ``emit_topk`` (round 10 — the 100 TB emission fix): when the CALLER's
-    next step is a per-query (dist asc, id asc) top-k cut with NO
-    intervening row filter, the kernel emits only each query's top
-    ``emit_topk`` rows PER ARROW BATCH under that same order — a provable
-    superset of the global top-k (every batch keeps its k best, so the
-    true top-k can never be lost), with identical dist doubles. This
+    ``emit_topk`` (round 10, upgraded to per-PARTITION accumulation in
+    round 11 — the 100 TB emission fix): when the CALLER's next step is
+    a per-query (dist asc, id asc) top-k cut with NO intervening row
+    filter, the kernel emits only each query's top ``emit_topk`` rows
+    PER PARTITION under that same order (``_TopRAcc`` folds the
+    partition's Arrow batches into one bounded RecordBatch) — a provable
+    superset of the global top-k (every partition keeps its k best, so
+    the true top-k can never be lost), with identical dist doubles. This
     turns the kernel's output from |probed|×|queries| rows into
-    batches×queries×k rows: at the 200k-vector scale study the unbounded
-    ivf-probe emission was ~5M pair rows through Arrow + the partial
-    window — the dominant serving cost, and one that grows linearly with
-    the corpus while the answer stays k rows. NOT legal when a
-    post-kernel predicate (label pre-filter) runs before the cut —
-    those callers keep full emission. Incompatible with ``dual_metric``
-    (the evaluation pipeline consumes full pair sets).
+    partitions×queries×k rows: at the 200k-vector scale study the
+    unbounded ivf-probe emission was ~5M pair rows through Arrow + the
+    partial window — the dominant serving cost, and one that grows
+    linearly with the corpus while the answer stays k rows. NOT legal
+    when a post-kernel predicate (label pre-filter) runs before the
+    cut — those callers keep full emission. Incompatible with
+    ``dual_metric`` (the evaluation pipeline consumes full pair sets).
 
     Why: the expression form's distance is an interpreted higher-order
     fold — Catalyst does not codegen lambda functions — measured at
@@ -381,6 +470,10 @@ def pair_scores(
     src = base.select(*cols)
 
     def _score(batches):
+        # per-PARTITION top-R accumulation (round 11): one emitted
+        # RecordBatch per partition of ≤ nq×R rows, instead of per-batch
+        # cuts that a 10k Arrow batch never triggers at R=16384
+        topr = _TopRAcc(nq, emit_topk) if emit_topk is not None else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -404,22 +497,19 @@ def pair_scores(
                 euc = np.sqrt(
                     np.maximum(vm2[:, None] + qm2[None, :] - 2.0 * acc, 0.0)
                 )
-            if cell_mask_lists is None and emit_topk is not None:
-                # per-batch per-query bounded emission: top-R under the
-                # SAME (dist asc, id asc) order the downstream window
-                # cuts by — np.lexsort's last key is primary
-                sel_rows, sel_qis = [], []
-                for qi_i in range(nq):
-                    order = np.lexsort((ids, dist[:, qi_i]))[:emit_topk]
-                    sel_rows.append(order)
-                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
-                ri = np.concatenate(sel_rows)
-                qi = np.concatenate(sel_qis)
-                out_q = qids[qi]
-                out_id = ids[ri]
-                out_d = dist[ri, qi]
-                out_e = None
-            elif cell_mask_lists is None:
+            if topr is not None:
+                if cell_mask_lists is None:
+                    for qi_i in range(nq):
+                        topr.add(qi_i, ids, dist[:, qi_i])
+                else:
+                    cells = batch.column(cell_col).to_numpy()
+                    for qi_i in range(nq):
+                        rows = np.nonzero(
+                            np.isin(cells, cell_mask_lists[qi_i])
+                        )[0]
+                        topr.add(qi_i, ids[rows], dist[rows, qi_i])
+                continue
+            if cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, nq)
                 out_d = dist.ravel()
@@ -429,23 +519,7 @@ def pair_scores(
                 mask = np.empty((n, nq), dtype=bool)
                 for qi in range(nq):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                if emit_topk is not None:
-                    sel_rows, sel_qis = [], []
-                    for qi_i in range(nq):
-                        rows = np.nonzero(mask[:, qi_i])[0]
-                        if len(rows) > emit_topk:
-                            sub = np.lexsort(
-                                (ids[rows], dist[rows, qi_i])
-                            )[:emit_topk]
-                            rows = rows[sub]
-                        sel_rows.append(rows)
-                        sel_qis.append(
-                            np.full(len(rows), qi_i, dtype=np.int64)
-                        )
-                    ri = np.concatenate(sel_rows)
-                    qi = np.concatenate(sel_qis)
-                else:
-                    ri, qi = np.nonzero(mask)
+                ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = dist[ri, qi]
@@ -457,6 +531,12 @@ def pair_scores(
                 arrays.append(pa.array(out_e))
                 names.append("euc_dist")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
+        if topr is not None:
+            out_q, out_id, out_d = topr.emit(qids)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q), pa.array(out_id), pa.array(out_d)],
+                names=[query_id_col, id_col, "dist"],
+            )
 
     if dual_metric:
         schema = (

@@ -1097,15 +1097,20 @@ def _pq_pair_adc(
     ``emit_topk`` (round 11, verdict r10 item 1 — the pair_scores
     emission bound ported to the ADC kernel): when the caller's next
     step is a per-query (ad2 asc, id asc) top-R cut with NO intervening
-    row filter, the kernel emits only each query's top R rows PER ARROW
-    BATCH under that same order — a provable superset of the global
-    top-R (every batch keeps its R best per query, so no true top-R row
-    can be lost), with identical ad2 doubles. Turns the kernel's output
-    from |probed|×|queries| rows into batches×queries×R: the 200k study
-    showed unbounded pair emission is the dominant serving cost, linear
-    in the corpus while the answer stays k rows. NOT legal when a
-    post-kernel predicate (the ``labels`` IDSelector filter) runs
-    before the cut — those callers keep full emission."""
+    row filter, the kernel emits only each query's top R rows PER
+    PARTITION under that same order (knn._TopRAcc accumulates across
+    the partition's Arrow batches — a per-BATCH cut would never bind at
+    R=16384 under 10k-row Arrow batches) — a provable superset of the
+    global top-R (every partition keeps its R best per query, so no
+    true top-R row can be lost), with identical ad2 doubles. Turns the
+    kernel's output from |probed|×|queries| rows into
+    partitions×queries×R: a 128 MB production partition of 9-byte PQ
+    rows holds ~14M codes, so the per-partition bound is ~900× at
+    R=16384 — the 200k study showed unbounded pair emission is the
+    dominant serving cost, linear in the corpus while the answer stays
+    k rows. NOT legal when a post-kernel predicate (the ``labels``
+    IDSelector filter) runs before the cut — those callers keep full
+    emission."""
     import pyarrow as pa
 
     from toy_vector_db_spark.operators import knn as KNN
@@ -1145,6 +1150,11 @@ def _pq_pair_adc(
     src = codes.select(*cols)
 
     def _score(batches):
+        # per-PARTITION top-R accumulation (round 11 — see knn._TopRAcc:
+        # the per-batch cut never binds at R=16384 under 10k Arrow
+        # batches; the partition-level cut bounds emission at
+        # partitions×nq×R regardless of partition size)
+        topr = KNN._TopRAcc(n_q, emit_topk) if emit_topk is not None else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -1156,21 +1166,19 @@ def _pq_pair_adc(
                 # lut lookup per (row, query), accumulated in m order
                 # from zeros — _adc_expr's 0.0 + lut0[c0] + ... fold
                 acc += luts[m][:, cm].T
-            if cell_mask_lists is None and emit_topk is not None:
-                # per-batch per-query bounded emission under the SAME
-                # (ad2 asc, id asc) order the downstream window cuts by
-                # (np.lexsort's last key is primary)
-                sel_rows, sel_qis = [], []
-                for qi_i in range(n_q):
-                    order = np.lexsort((ids, acc[:, qi_i]))[:emit_topk]
-                    sel_rows.append(order)
-                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
-                ri = np.concatenate(sel_rows)
-                qi = np.concatenate(sel_qis)
-                out_q = qids[qi]
-                out_id = ids[ri]
-                out_d = acc[ri, qi]
-            elif cell_mask_lists is None:
+            if topr is not None:
+                if cell_mask_lists is None:
+                    for qi_i in range(n_q):
+                        topr.add(qi_i, ids, acc[:, qi_i])
+                else:
+                    cells = batch.column(cell_col).to_numpy()
+                    for qi_i in range(n_q):
+                        rows = np.nonzero(
+                            np.isin(cells, cell_mask_lists[qi_i])
+                        )[0]
+                        topr.add(qi_i, ids[rows], acc[rows, qi_i])
+                continue
+            if cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
@@ -1179,23 +1187,7 @@ def _pq_pair_adc(
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                if emit_topk is not None:
-                    sel_rows, sel_qis = [], []
-                    for qi_i in range(n_q):
-                        rows = np.nonzero(mask[:, qi_i])[0]
-                        if len(rows) > emit_topk:
-                            sub = np.lexsort(
-                                (ids[rows], acc[rows, qi_i])
-                            )[:emit_topk]
-                            rows = rows[sub]
-                        sel_rows.append(rows)
-                        sel_qis.append(
-                            np.full(len(rows), qi_i, dtype=np.int64)
-                        )
-                    ri = np.concatenate(sel_rows)
-                    qi = np.concatenate(sel_qis)
-                else:
-                    ri, qi = np.nonzero(mask)
+                ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = acc[ri, qi]
@@ -1205,6 +1197,12 @@ def _pq_pair_adc(
                     pa.array(out_id.astype(np.int64)),
                     pa.array(out_d),
                 ],
+                names=[query_id_col, id_col, "ad2"],
+            )
+        if topr is not None:
+            out_q, out_id, out_d = topr.emit(qids)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q), pa.array(out_id), pa.array(out_d)],
                 names=[query_id_col, id_col, "ad2"],
             )
 
@@ -1845,9 +1843,10 @@ def _sq_pair_adc(
     so an oversized batch is the CALLER's bug (knn_ivfsq guards before
     building the dict — the pair_scores contract).
 
-    ``emit_topk`` (round 11, verdict r10 item 1): per-Arrow-batch
+    ``emit_topk`` (round 11, verdict r10 item 1): per-PARTITION
     per-query top-R emission under the downstream window's exact
-    (ad2 asc, id asc) order — a provable superset of the global top-R
+    (ad2 asc, id asc) order, accumulated across the partition's Arrow
+    batches by knn._TopRAcc — a provable superset of the global top-R
     with identical ad2 doubles; see _pq_pair_adc. Only legal when no
     post-kernel predicate runs before the cut (unfiltered callers);
     the oversized-batch Catalyst fallback ignores it (that plan's
@@ -1893,6 +1892,8 @@ def _sq_pair_adc(
     src = deq.select(*cols)
 
     def _score(batches):
+        # per-PARTITION top-R accumulation (round 11 — see knn._TopRAcc)
+        topr = knn._TopRAcc(n_q, emit_topk) if emit_topk is not None else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -1903,20 +1904,19 @@ def _sq_pair_adc(
             for j in range(d):
                 t = D[:, j: j + 1] - Q[:, j][None, :]
                 acc += t * t
-            if cell_mask_lists is None and emit_topk is not None:
-                # per-batch per-query bounded emission under the SAME
-                # (ad2 asc, id asc) order the downstream window cuts by
-                sel_rows, sel_qis = [], []
-                for qi_i in range(n_q):
-                    order = np.lexsort((ids, acc[:, qi_i]))[:emit_topk]
-                    sel_rows.append(order)
-                    sel_qis.append(np.full(len(order), qi_i, dtype=np.int64))
-                ri = np.concatenate(sel_rows)
-                qi = np.concatenate(sel_qis)
-                out_q = qids[qi]
-                out_id = ids[ri]
-                out_d = acc[ri, qi]
-            elif cell_mask_lists is None:
+            if topr is not None:
+                if cell_mask_lists is None:
+                    for qi_i in range(n_q):
+                        topr.add(qi_i, ids, acc[:, qi_i])
+                else:
+                    cells = batch.column(cell_col).to_numpy()
+                    for qi_i in range(n_q):
+                        rows = np.nonzero(
+                            np.isin(cells, cell_mask_lists[qi_i])
+                        )[0]
+                        topr.add(qi_i, ids[rows], acc[rows, qi_i])
+                continue
+            if cell_mask_lists is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
@@ -1925,26 +1925,16 @@ def _sq_pair_adc(
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
                     mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
-                if emit_topk is not None:
-                    sel_rows, sel_qis = [], []
-                    for qi_i in range(n_q):
-                        rows = np.nonzero(mask[:, qi_i])[0]
-                        if len(rows) > emit_topk:
-                            sub = np.lexsort(
-                                (ids[rows], acc[rows, qi_i])
-                            )[:emit_topk]
-                            rows = rows[sub]
-                        sel_rows.append(rows)
-                        sel_qis.append(
-                            np.full(len(rows), qi_i, dtype=np.int64)
-                        )
-                    ri = np.concatenate(sel_rows)
-                    qi = np.concatenate(sel_qis)
-                else:
-                    ri, qi = np.nonzero(mask)
+                ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
                 out_d = acc[ri, qi]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q), pa.array(out_id), pa.array(out_d)],
+                names=[query_id_col, id_col, "ad2"],
+            )
+        if topr is not None:
+            out_q, out_id, out_d = topr.emit(qids)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_q), pa.array(out_id), pa.array(out_d)],
                 names=[query_id_col, id_col, "ad2"],

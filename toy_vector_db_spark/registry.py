@@ -74,100 +74,92 @@ def register(name: str, oracle: str | None = None):
 # fully oracle-tested locally (tests/test_registry_oracles.py covers every
 # registered oracle) and run in `bench.py --all`.
 _PRIORITY = [
-    # ============ ROUND-10 ROTATION (verdict r9 items 1, 4, 8) ============
-    # IN (49 of 50 — the largest churn yet, burning down rotation debt per
-    # verdict item 4):
-    #   * the SURVEY §2 parity cohort (14 keys, all last driver-green r7,
-    #     queued since the round-9 note): scan_ndjson, split_dataset,
-    #     first_sentence, vec_magnitude/dot/cosine_sim/cosine_dist/
-    #     euclidean_dist, knn_exact_single, argmin_dist, argmax_dist,
-    #     result_intersection, eval_recall, eval_precision;
-    #   * the 7 BQ2-family keys (verdict item 1: the only oracled keys
-    #     with NO driver row ever — created round 9 after the rotation
-    #     budget was spent, queued in _POST_WINDOW_OVERFLOW);
-    #   * serve_invariants (NEW round 10, verdict item 8: one hashed
-    #     boolean row per *_serve twin so the serving config gets driver
-    #     rows without burning four slots);
-    #   * the full round-3-stale cohort (14 keys) and round-4-stale
-    #     cohort (12 keys) plus the oldest round-5 key
-    #     (token_batch_packing) — freshness strictly by last-row age.
-    # KEPT (1): hnsw_routed_build — first driver row was r9; stays for
-    # the conventional second consecutive green.
-    # OUT (49): everything else in the r9 window — every rotated-out key
-    # has >=2 consecutive driver-green rounds (the 17 relational
-    # freshness one-shots were r1+r9 by design; the SQ / IVF-SQ / IVF-BQ
-    # / mm_* / HNSW-lifecycle keys were green r8+r9; knn_exact_batch,
-    # hnsw_build, knn_hnsw, hnsw_recall_gate were green r1..r9-ish) and
-    # stays fully oracle-tested locally at three SFs
-    # (tests/test_registry_oracles.py) and benched in bench.py.
-    # The remaining stale keys (last rows r5-r7) are queued for round 11
-    # in _R11_ROTATION_QUEUE below (policy-tested) so that after
-    # CORRECTNESS_r11 no registered key's last driver row predates r8.
-    # Rotation history r4-r9 lives in git (this comment block, commits
-    # 0e1e14b and earlier); merged CORRECTNESS_r01-r09 is the coverage
-    # record.
+    # ============ ROUND-11 ROTATION (verdict r10 items 2 and 7) ===========
+    # IN (50):
+    #   * the full _R11_ROTATION_QUEUE as written down last round and
+    #     policy-tested: the 29 keys whose last driver row was r5-r7
+    #     (knn_ivfpq and ivfpq_partitioned_search pinned FIRST — verdict
+    #     item 7: both were rewritten-adjacent in round 10 via
+    #     _pq_pair_adc and must re-hash), plus the round-10 overflow
+    #     pair (semdedup_prune, streaming_late_data_counts — first
+    #     driver rows ever).
+    #   * KEPT (8): the 7 BQ2 keys + serve_invariants — first driver
+    #     rows were r10; conventional second consecutive green.
+    #   * REWRITTEN-PATH REFRESHES (11): every key whose serving path
+    #     changed THIS round and whose last row predates it — the
+    #     emit_topk emission bound (knn_pq_adc r10, knn_pq_rerank r8,
+    #     knn_ivf r8 — its emit_topk landed r10 with no row since,
+    #     knn_sq_rerank r9, knn_ivfsq r9, and the ivfpq lifecycle trio
+    #     ivfpq_upsert/delete/compact_search r8 which serve through the
+    #     capped kernels) and the CSR _reconstruct rewrite
+    #     (knn_hnsw_routed r8, knn_hnsw_exhaustive r8,
+    #     hnsw_delete_search r8 — all three serve through
+    #     _prebuilt_search). A serving-path rewrite without a fresh
+    #     driver hash row is the one freshness gap that can hide a real
+    #     regression (verdict r10 item 7's principle, applied to this
+    #     round's own rewrites).
+    # OUT (49 of the r10 window): every rotated-out key has >=2
+    # consecutive driver-green rounds (the S/V/E/H/X parity cohort and
+    # the r3/r4-stale cohorts were green r7+r10; hnsw_routed_build got
+    # its second green r10) and stays fully oracle-tested locally at
+    # three SFs (tests/test_registry_oracles.py) and benched in
+    # bench.py. Keys rewritten this round that had an r9/r10 green and
+    # did NOT get a slot (sq/bq2 lifecycle, filtered variants — their
+    # emit path passes None, values bit-identity-tested): covered by
+    # the full 152-key local oracle loop run green this round.
+    # After CORRECTNESS_r11 no registered key's last driver row predates
+    # r8 (the enforcing policy test in tests/test_registry_oracles.py);
+    # the next-oldest cohort (10 keys at r8) is _R12_ROTATION_QUEUE.
     # ======================================================================
-    # -- SURVEY §2 reference parity (S1-S3, V1-V6, E3, H1/H2, X1-X3) --
-    "scan_ndjson", "split_dataset", "first_sentence",
-    "vec_magnitude", "vec_dot", "vec_cosine_sim", "vec_cosine_dist",
-    "vec_euclidean_dist",
-    "knn_exact_single", "argmin_dist", "argmax_dist",
-    "result_intersection", "eval_recall", "eval_precision",
-    # -- BQ2 2-bit quantizer family: first driver rows --
-    "bq2_codes", "knn_bq2_rerank", "knn_ivfbq2", "knn_ivfbq2_filtered",
-    "bq2_upsert_search", "bq2_delete_search", "streaming_bq2_ingest",
-    # -- NEW round 10: serving-config invariants (verdict item 8) --
-    "serve_invariants",
-    # -- second consecutive green --
-    "hnsw_routed_build",
-    # -- round-3-stale cohort (dedup / similarity / text / multimodal) --
-    "semantic_search", "dedup_exact", "simhash_near_pairs",
-    "ngram_jaccard_topk", "embedding_near_dups", "ivf_assign",
-    "lsh_buckets", "text_langid", "text_token_stats", "doc_fingerprint",
-    "curation_filter", "mm_feature_extract", "knn_pq_adc",
-    "mm_frame_sample",
-    # -- round-4-stale cohort --
-    "dedup_minhash_lsh", "simhash_signatures", "text_quality",
-    "mm_payload_metadata", "streaming_tumbling_counts",
-    "streaming_session_windows", "dup_clusters",
-    "stratified_quality_filter", "bm25_topk",
-    "streaming_stateful_user_stats", "chunk_documents", "pii_scrub",
-    # -- oldest round-5 key --
-    "token_batch_packing",
-]
-
-# Round-11 rotation queue (verdict r9 item 4, policy-tested beside
-# test_overflow_keys_are_oracled_and_queued): every registered key whose
-# last driver row is r5-r7 after the round-10 window lands. Rotating these
-# 29 in next round leaves no key's last driver row older than r8 at r11.
-# Window math for round 11: these 29 + the round-10 overflow
-# (semdedup_prune, streaming_late_data_counts) = 31 IN; the slots come from the round-10 freshness cohorts
-# (§2 parity, r3/r4 cohorts, token_batch_packing — all have prior
-# multi-round consecutive-green history, so one r10 refresh row retires
-# them, the r9-relational-cohort precedent). MUST KEEP for a second
-# consecutive green (first-ever driver rows in r10): the 7 BQ2 keys and
-# serve_invariants; hnsw_routed_build gets its second green in r10 and
-# can rotate out.
-_R11_ROTATION_QUEUE: list[str] = [
-    # last driver row r5
+    # -- r5-r7 stale queue, serving-rewrite pair first (item 7) --
+    "knn_ivfpq", "ivfpq_partitioned_search",
     "source_mixture_sample", "streaming_sliding_counts",
     "csv_sink_roundtrip", "events_json_stats",
     "running_total_by_supplier", "order_price_percentiles",
     "customers_without_orders", "order_priority_pivot",
     "top_customer_set_difference",
-    # last driver row r6
     "embedding_near_dups_lsh", "streaming_dedup_counts",
     "span_dedup_scrub", "mm_decode_image_stats", "vocab_topk",
     "training_shard_assign",
-    # last driver row r7
-    "knn_ivfpq", "ivfpq_partitioned_search", "knn_hnsw_routed_exhaustive",
+    "knn_hnsw_routed_exhaustive",
     "decontaminate_ngram", "decontaminate_eval_fixture",
     "doc_repetition_stats", "model_quality_inference",
     "knn_exact_filtered", "knn_range_search", "hybrid_rrf_topk",
     "contamination_report", "doc_embedding_pool",
     "streaming_vector_ingest", "sketch_event_stats_exact",
+    # -- round-10 overflow: first driver rows --
+    "semdedup_prune", "streaming_late_data_counts",
+    # -- second consecutive green (first rows r10) --
+    "bq2_codes", "knn_bq2_rerank", "knn_ivfbq2", "knn_ivfbq2_filtered",
+    "bq2_upsert_search", "bq2_delete_search", "streaming_bq2_ingest",
+    "serve_invariants",
+    # -- rewritten-path refreshes (emit_topk + CSR _reconstruct) --
+    "knn_pq_adc", "knn_pq_rerank", "knn_ivf", "knn_sq_rerank",
+    "knn_ivfsq", "ivfpq_upsert_search", "ivfpq_delete_search",
+    "ivfpq_compact_search", "knn_hnsw_routed", "knn_hnsw_exhaustive",
+    "hnsw_delete_search",
 ]
 
+# Round-12 rotation queue: the next-oldest cohort — every registered key
+# whose last driver row is r8 after the round-11 window lands (the
+# enforcing policy test pins this list against merged CORRECTNESS
+# r01-r10 + the r11 window). 10 keys; the r12 window has 40 free slots
+# after keeping whatever r11 first-rows need second greens.
+_R12_ROTATION_QUEUE: list[str] = [
+    "bq_codes", "decontaminate_embedding", "hnsw_upsert_search",
+    "hybrid_rrf_ivfpq", "ivf_train", "ivfpq_build", "knn_bq_rerank",
+    "pq_codes", "pq_train", "sketch_event_stats",
+]
+
+# Bench-only serve twins: registered (bench.py resolves headline keys
+# through the registry) but deliberately never windowed — their
+# deterministic invariants are driver-hashed via serve_invariants, and
+# their recall floors live in tests/test_serve_keys.py. The freshness
+# policy test exempts exactly these four.
+_SERVE_TWIN_EXEMPT: set[str] = {
+    "hnsw_upsert_serve", "hnsw_delete_serve",
+    "hnsw_routed_upsert_serve", "hnsw_routed_delete_serve",
+}
 
 def _ordered(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
@@ -2955,19 +2947,13 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands. Rotate-out picks and history live in the _PRIORITY comments;
 # rotated-out keys stay fully oracle-tested locally
 # (tests/test_registry_oracles.py covers every registered oracle).
-# Round 9 queued the SEVEN new BQ2-family keys (created after the
-# round's 18 rotations were spent on hnsw_routed_build + the 17
-# oldest-row keys); round 10 rotated all seven in, so the new-key
-# overflow queue would be EMPTY — every oracled key has ≥1 driver row
-# (or a round-10 window slot) once CORRECTNESS_r10 lands — except that
-# round 10 then created semdedup_prune (SemDeDup) and
-# streaming_late_data_counts (watermark late-drop semantics) AFTER the
-# 49-slot rotation was spent; both are oracled at three SFs locally and
-# rotate in with the round-11 cohort. Stale-key
-# refresh is tracked separately in _R11_ROTATION_QUEUE above.
-_POST_WINDOW_OVERFLOW: list[str] = [
-    "semdedup_prune", "streaming_late_data_counts",
-]
+# Round 10 created semdedup_prune (SemDeDup) and
+# streaming_late_data_counts (watermark late-drop semantics) after that
+# round's rotation budget was spent; BOTH HOLD ROUND-11 WINDOW SLOTS
+# (first driver rows) — this queue is for keys created mid-round after
+# the window is frozen, and is now empty. Stale-key refresh is tracked
+# separately in _R12_ROTATION_QUEUE above.
+_POST_WINDOW_OVERFLOW: list[str] = []
 
 
 @register("streaming_vector_ingest")
