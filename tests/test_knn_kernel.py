@@ -281,3 +281,47 @@ def test_emit_topk_routed_matches_unrouted_window(spark, embeddings):
         K.pair_scores(src.repartition(16), qs, cells_by_query=routing)
     )
     assert capped == full
+
+
+def test_topr_acc_is_batch_schedule_invariant():
+    """knn._TopRAcc (round 11): the emitted per-query top-R set must be
+    EXACTLY the partition's top-R under (score asc, id asc), no matter
+    how the partition's rows are split into Arrow batches or when the
+    amortized intermediate cuts fire — top-R of (top-R of prefix) ∪
+    suffix ≡ top-R of the whole."""
+    import numpy as np
+
+    from toy_vector_db_spark.operators import knn as K
+
+    rng = np.random.default_rng(7)
+    n, n_q, r = 5000, 3, 17
+    ids = rng.permutation(n).astype(np.int64)
+    scores = rng.integers(0, 50, size=(n, n_q)).astype(np.float64)
+
+    def run(split_points, thresh=None):
+        acc = K._TopRAcc(n_q, r)
+        if thresh is not None:
+            acc.thresh = thresh  # force frequent intermediate cuts
+        prev = 0
+        for cut in list(split_points) + [n]:
+            for qi in range(n_q):
+                acc.add(qi, ids[prev:cut], scores[prev:cut, qi])
+            prev = cut
+        out_q, out_id, out_d = acc.emit(np.arange(n_q, dtype=np.int64))
+        return sorted(zip(out_q.tolist(), out_id.tolist(), out_d.tolist()))
+
+    # ground truth: exact top-R per query under (score asc, id asc)
+    want = []
+    for qi in range(n_q):
+        order = np.lexsort((ids, scores[:, qi]))[:r]
+        want += [(qi, int(ids[i]), float(scores[i, qi])) for i in order]
+    want = sorted(want)
+
+    one_batch = run([])
+    many_small = run(range(100, n, 100))
+    uneven = run([1, 2, 4000, 4001])
+    forced_cuts = run(range(500, n, 500), thresh=r + 1)
+    assert one_batch == want
+    assert many_small == want
+    assert uneven == want
+    assert forced_cuts == want

@@ -110,7 +110,7 @@ class LocalHNSW:
 
     # -- distance helpers ---------------------------------------------------
     def _dist(self, q: np.ndarray, ids) -> np.ndarray:
-        ids = np.asarray(list(ids), dtype=np.int64)
+        ids = np.asarray(ids, dtype=np.int64)
         return _cosine_dist_matrix(q, self.vectors[ids], self.norms[ids])
 
     # -- Algorithm 2 (H7): beam search within one layer ----------------------
@@ -123,10 +123,21 @@ class LocalHNSW:
                 return indices[indptr[c]: indptr[c + 1]]
         else:
             adj = self.neighbors[lc]
+            _EMPTY = np.empty(0, dtype=np.int64)
 
             def _nbrs_of(c):
-                return adj.get(c, ())
-        visited = set(eps)
+                lst = adj.get(c)
+                return (
+                    _EMPTY if lst is None
+                    else np.asarray(lst, dtype=np.int64)
+                )
+        # visited as a bitmap, neighbor filtering vectorized (round 11:
+        # the per-node set-membership listcomp was the serving beam's
+        # hottest line). Order within a neighbor list is preserved, so
+        # the push sequence — hence every heap state and tie outcome —
+        # is identical to the set-based form.
+        visited = np.zeros(len(self.vectors), dtype=bool)
+        visited[eps] = True
         d0 = self._dist(q, eps)
         # candidates: min-heap by dist; results: max-heap (negated)
         cand = [(d, e) for d, e in zip(d0.tolist(), eps)]
@@ -138,12 +149,15 @@ class LocalHNSW:
             df_worst = -res[0][0]
             if dc > df_worst:  # early termination (src/hnsw.rs:192-197)
                 break
-            nbrs = [e for e in _nbrs_of(c) if e not in visited]
-            if not nbrs:
+            nbrs_all = _nbrs_of(c)
+            if len(nbrs_all) == 0:
                 continue
-            visited.update(nbrs)
+            nbrs = nbrs_all[~visited[nbrs_all]]
+            if len(nbrs) == 0:
+                continue
+            visited[nbrs] = True
             dn = self._dist(q, nbrs)
-            for d, e in zip(dn.tolist(), nbrs):
+            for d, e in zip(dn.tolist(), nbrs.tolist()):
                 if len(res) < ef or d < -res[0][0]:
                     heapq.heappush(cand, (d, e))
                     heapq.heappush(res, (-d, e))
