@@ -292,3 +292,26 @@ def test_semdedup_kernel_assign_parity(spark, embeddings):
     out = dedup.semdedup_prune(embeddings, cents)
     assert out.count() <= embeddings.count()
     assert out.where(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_semdedup_prune_kernel_parity(spark, embeddings, monkeypatch):
+    """Round 11: above SEM_KERNEL_MIN_CELLS the whole prune — pairwise
+    clamped cosine, EXISTS dominance, survivor emission, rounding —
+    runs cell-locally in one applyInPandas kernel. Its survivor rows
+    must equal the Catalyst self-join form EXACTLY (ids, cells, and
+    rounded cent_dist doubles) at an engaged cell count."""
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    n_cells = dedup.SEM_KERNEL_MIN_CELLS + 16
+    cents = similarity.cached_trained_centroids(embeddings, n=n_cells)
+    kernel = sorted(
+        map(tuple, dedup.semdedup_prune(embeddings, cents).collect())
+    )
+    # force the Catalyst self-join path at the same cell count
+    monkeypatch.setattr(dedup, "SEM_KERNEL_MIN_CELLS", 10**9)
+    catalyst = sorted(
+        map(tuple, dedup.semdedup_prune(embeddings, cents).collect())
+    )
+    assert kernel == catalyst and len(kernel) > 0
+    # the prune leg must be engaged, not vacuous
+    assert len(kernel) < embeddings.count()

@@ -82,3 +82,15 @@ def _find_round(s: str, idx: int = 0) -> tuple[int, int] | None:
         if not (prev.isalnum() or prev == "_"):
             return j, j + len("round(") - 1
         idx = j + 1
+
+
+def PY_ROUND(x: float, n: int) -> float:
+    """Kernel/driver-side twin of ``rnd()``: floor(x·10ⁿ + 0.5)/10ⁿ in
+    plain IEEE double arithmetic. math.floor of a double and Spark's
+    FLOOR produce the same integral value, and the final divide is the
+    same double op on the same operands — bit-identical for the
+    magnitudes this engine rounds (|x·10ⁿ| ≪ 2⁵³)."""
+    import math
+
+    s = 10 ** n
+    return math.floor(x * s + 0.5) / s

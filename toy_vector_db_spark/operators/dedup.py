@@ -842,6 +842,67 @@ def _semdedup_assign_kernel(
     return src.mapInArrow(_assign, schema=schema)
 
 
+def _semdedup_prune_kernel(
+    e: DataFrame,
+    eps: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cell-local SemDeDup prune (round 11): the EXISTS keep rule is
+    computed inside ONE applyInPandas call per cluster — pairwise
+    clamped cosine, dominance mask, survivor emission — so the Σ|cell|²
+    pair volume never materializes as rows. BIT-IDENTICAL to the
+    Catalyst self-join form: pair sims reproduce the expression's fold
+    (row magnitudes x·x in j order then sqrt — the same _mag doubles
+    base_m computes, recomputed rather than trusted across the Arrow
+    boundary; dots accumulate v_j·w_j in j order from zeros via the
+    per-dimension loop, NO BLAS matmul, whose blocked/FMA accumulation
+    would drift last bits; one multiply then one divide; clamp via
+    np.maximum), dominance compares the exact unrounded _cd doubles the
+    assignment produced, and the emitted cent_dist applies the same
+    rnd() at emission. Input ``e`` is the (id, vec, _mag, centroid_id,
+    _cd) frame; one shuffle on the cluster key, survivors out."""
+    import pandas as pd
+
+    from toy_vector_db_spark.functions.rounding import PY_ROUND
+
+    def _prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cds = pdf["_cd"].to_numpy(dtype=np.float64)
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n, d = X.shape
+        mag = np.zeros(n)
+        for j in range(d):
+            mag += X[:, j] * X[:, j]
+        mag = np.sqrt(mag)
+        acc = np.zeros((n, n))
+        for j in range(d):
+            acc += X[:, j: j + 1] * X[:, j][None, :]
+        sims = acc / (mag[:, None] * mag[None, :])
+        near = np.maximum(sims, 0.0) > eps
+        # dominance[a, b]: a prunes b — a is farther from the centroid,
+        # ties to the smaller id; diagonal excluded by id inequality
+        dom = (cds[:, None] > cds[None, :]) | (
+            (cds[:, None] == cds[None, :]) & (ids[:, None] < ids[None, :])
+        )
+        pruned = (near & dom).any(axis=0)
+        keep = ~pruned
+        return pd.DataFrame({
+            id_col: ids[keep],
+            "centroid_id": pdf["centroid_id"].to_numpy(dtype=np.int64)[
+                keep
+            ],
+            "cent_dist": [PY_ROUND(float(x), ROUND) for x in cds[keep]],
+        })
+
+    return e.groupBy("centroid_id").applyInPandas(
+        _prune,
+        schema=f"{id_col} long, centroid_id long, cent_dist double",
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     cents: DataFrame,
@@ -932,6 +993,14 @@ def semdedup_prune(
             )
         )
     e = base_m.join(assigned, id_col)
+    if len(cents_rows) > SEM_KERNEL_MIN_CELLS:
+        # cell-local prune kernel: the EXISTS rule only ever compares
+        # rows of ONE cell, so the Σ|cell|² pair volume never leaves the
+        # cell's applyInPandas call — the 35M interpreted pair folds of
+        # the 200k study become in-kernel numpy (SCALE.md). Same one
+        # shuffle (the cluster key), bit-identical survivors
+        # (parity-tested at an engaged cell count).
+        return _semdedup_prune_kernel(e, float(eps), id_col, vec_col)
     a, b = e.alias("a"), e.alias("b")
     pair_sim = F.greatest(
         F.lit(0.0),
