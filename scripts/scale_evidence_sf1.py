@@ -145,24 +145,24 @@ def semdedup_scale(spark, base, n_base: int) -> None:
     cents = similarity.cached_trained_centroids(base, n=n_cells)
     train_sec = round(time.perf_counter() - t0, 2)
 
-    # the prune's own assignment (same argmin expression) — for the
-    # histogram and the pair-volume ground truth
-    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    # the prune's own SHIPPED assignment path (above the kernel
+    # threshold at this cell count) — for the histogram and the
+    # pair-volume ground truth; re-implementing the expression here
+    # would measure a different assignment than the prune uses if the
+    # operator's path ever changes (review r11)
     base_m = base.select(
         "vec_id", "embedding", V.magnitude(F.col("embedding")).alias("_mag")
     )
-    c_sim = F.greatest(
-        F.lit(0.0),
-        V.dot(F.col("embedding"), F.col("centroid_vec"))
-        / (F.col("_mag") * F.col("_c_mag")),
+    cents_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+    assert len(cents_rows) > dedup.SEM_KERNEL_MIN_CELLS, (
+        "the scale row must exercise the kernel path the 200k prune uses"
     )
-    assigned = (
-        base_m.crossJoin(F.broadcast(cents_m))
-        .withColumn("d", F.lit(1.0) - c_sim)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m"))
-        .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
-    )
+    assigned = dedup._semdedup_assign_kernel(
+        base_m, cents_rows, "vec_id", "embedding"
+    ).select("vec_id", "centroid_id")
     hist = [
         r["c"]
         for r in assigned.groupBy("centroid_id")

@@ -92,6 +92,12 @@ def test_freshness_policy_no_key_older_than_r8():
     for k in names:
         if k in registry._SERVE_TWIN_EXEMPT or k in window:
             continue
+        if k in registry._POST_WINDOW_OVERFLOW:
+            # keys created mid-round AFTER the window froze: no row yet
+            # by design — the overflow queue exists precisely for them
+            # (they must rotate in next round, which this test then
+            # enforces once they leave the queue)
+            continue
         last = hist.get(k, 0)
         if last < 8:
             too_old.append((k, last))

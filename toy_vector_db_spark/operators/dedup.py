@@ -866,6 +866,14 @@ def _semdedup_prune_kernel(
 
     from toy_vector_db_spark.functions.rounding import PY_ROUND
 
+    # row-block size for the pairwise pass: memory per block is
+    # O(B·|cell|) instead of O(|cell|²) — a duplicate-heavy corpus
+    # (SemDeDup's actual target) can concentrate its mass in one
+    # cluster, and a dense 100k² float64 matrix would OOM the task
+    # (review r11). Blocking rows changes no per-pair arithmetic: each
+    # (a, b) still folds X[a,j]·X[b,j] in j order from zero.
+    B = 4096
+
     def _prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         cds = pdf["_cd"].to_numpy(dtype=np.float64)
@@ -877,17 +885,22 @@ def _semdedup_prune_kernel(
         for j in range(d):
             mag += X[:, j] * X[:, j]
         mag = np.sqrt(mag)
-        acc = np.zeros((n, n))
-        for j in range(d):
-            acc += X[:, j: j + 1] * X[:, j][None, :]
-        sims = acc / (mag[:, None] * mag[None, :])
-        near = np.maximum(sims, 0.0) > eps
-        # dominance[a, b]: a prunes b — a is farther from the centroid,
-        # ties to the smaller id; diagonal excluded by id inequality
-        dom = (cds[:, None] > cds[None, :]) | (
-            (cds[:, None] == cds[None, :]) & (ids[:, None] < ids[None, :])
-        )
-        pruned = (near & dom).any(axis=0)
+        pruned = np.zeros(n, dtype=bool)
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            acc = np.zeros((s1 - s0, n))
+            for j in range(d):
+                acc += X[s0:s1, j: j + 1] * X[:, j][None, :]
+            sims = acc / (mag[s0:s1, None] * mag[None, :])
+            near = np.maximum(sims, 0.0) > eps
+            # dominance[a, b]: a prunes b — a is farther from the
+            # centroid, ties to the smaller id; diagonal excluded by
+            # the id inequality
+            dom = (cds[s0:s1, None] > cds[None, :]) | (
+                (cds[s0:s1, None] == cds[None, :])
+                & (ids[s0:s1, None] < ids[None, :])
+            )
+            pruned |= (near & dom).any(axis=0)
         keep = ~pruned
         return pd.DataFrame({
             id_col: ids[keep],
@@ -957,16 +970,23 @@ def semdedup_prune(
     base_m = embeddings.select(
         id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_mag")
     )
-    cents_rows = [
-        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
-        for r in cents.orderBy("centroid_id").collect()
-    ]
-    if len(cents_rows) > SEM_KERNEL_MIN_CELLS:
+    # branch on a LIMIT-bounded count, not a full collect: the fixture
+    # path must stay lazy apart from this bounded scalar (review r11 —
+    # collecting centroid vectors the Catalyst plan never uses forced
+    # k-means training at plan-construction time)
+    use_kernel = (
+        cents.limit(SEM_KERNEL_MIN_CELLS + 1).count() > SEM_KERNEL_MIN_CELLS
+    )
+    if use_kernel:
         # corpus-proportional cluster counts (the paper's scale lever)
         # make the n_rows×n_cells interpreted crossJoin the dominant
         # wall (measured at 200k/1,684 cells, SCALE.md); the Arrow
         # argmin kernel emits ONE row per vector and is bit-identical
         # (parity-tested at an engaged cell count)
+        cents_rows = [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+            for r in cents.orderBy("centroid_id").collect()
+        ]
         assigned = _semdedup_assign_kernel(
             base_m, cents_rows, id_col, vec_col
         )
@@ -993,7 +1013,7 @@ def semdedup_prune(
             )
         )
     e = base_m.join(assigned, id_col)
-    if len(cents_rows) > SEM_KERNEL_MIN_CELLS:
+    if use_kernel:
         # cell-local prune kernel: the EXISTS rule only ever compares
         # rows of ONE cell, so the Σ|cell|² pair volume never leaves the
         # cell's applyInPandas call — the 35M interpreted pair folds of

@@ -105,6 +105,12 @@ class LocalHNSW:
         # numpy pairs; when a layer's entry is non-None it SHADOWS the
         # dict for lookups. Build/insert keep the mutable dicts.
         self.csr: list[tuple[np.ndarray, np.ndarray] | None] = [None] * L
+        # reusable visited bitmap for search_layer: allocated once per
+        # index and reset via an undo list of touched entries, so each
+        # beam costs O(beam) reset work, not O(|shard|) zeroing per
+        # call (review r11 — a fresh np.zeros per call is quadratic in
+        # shard size over a build)
+        self._visited = np.zeros(len(self.vectors), dtype=bool)
         self.ep: int | None = None
         self.top_layer = 0
 
@@ -131,38 +137,47 @@ class LocalHNSW:
                     _EMPTY if lst is None
                     else np.asarray(lst, dtype=np.int64)
                 )
-        # visited as a bitmap, neighbor filtering vectorized (round 11:
-        # the per-node set-membership listcomp was the serving beam's
-        # hottest line). Order within a neighbor list is preserved, so
-        # the push sequence — hence every heap state and tie outcome —
-        # is identical to the set-based form.
-        visited = np.zeros(len(self.vectors), dtype=bool)
-        visited[eps] = True
+        # visited as a reusable bitmap, neighbor filtering vectorized
+        # (round 11: the per-node set-membership listcomp was the
+        # serving beam's hottest line). Order within a neighbor list is
+        # preserved, so the push sequence — hence every heap state and
+        # tie outcome — is identical to the set-based form. The bitmap
+        # is shared across calls and reset via the touched list below,
+        # keeping reset cost O(beam), not O(|shard|) per call.
+        visited = self._visited
+        eps_arr = np.asarray(eps, dtype=np.int64)
+        visited[eps_arr] = True
+        touched = [eps_arr]
         d0 = self._dist(q, eps)
         # candidates: min-heap by dist; results: max-heap (negated)
         cand = [(d, e) for d, e in zip(d0.tolist(), eps)]
         heapq.heapify(cand)
         res = [(-d, e) for d, e in cand]
         heapq.heapify(res)
-        while cand:
-            dc, c = heapq.heappop(cand)
-            df_worst = -res[0][0]
-            if dc > df_worst:  # early termination (src/hnsw.rs:192-197)
-                break
-            nbrs_all = _nbrs_of(c)
-            if len(nbrs_all) == 0:
-                continue
-            nbrs = nbrs_all[~visited[nbrs_all]]
-            if len(nbrs) == 0:
-                continue
-            visited[nbrs] = True
-            dn = self._dist(q, nbrs)
-            for d, e in zip(dn.tolist(), nbrs.tolist()):
-                if len(res) < ef or d < -res[0][0]:
-                    heapq.heappush(cand, (d, e))
-                    heapq.heappush(res, (-d, e))
-                    if len(res) > ef:  # bounded-beam eviction (:225-229)
-                        heapq.heappop(res)
+        try:
+            while cand:
+                dc, c = heapq.heappop(cand)
+                df_worst = -res[0][0]
+                if dc > df_worst:  # early termination (src/hnsw.rs:192-197)
+                    break
+                nbrs_all = _nbrs_of(c)
+                if len(nbrs_all) == 0:
+                    continue
+                nbrs = nbrs_all[~visited[nbrs_all]]
+                if len(nbrs) == 0:
+                    continue
+                visited[nbrs] = True
+                touched.append(nbrs)
+                dn = self._dist(q, nbrs)
+                for d, e in zip(dn.tolist(), nbrs.tolist()):
+                    if len(res) < ef or d < -res[0][0]:
+                        heapq.heappush(cand, (d, e))
+                        heapq.heappush(res, (-d, e))
+                        if len(res) > ef:  # bounded-beam eviction (:225-229)
+                            heapq.heappop(res)
+        finally:
+            for t in touched:
+                visited[t] = False
         return sorted((-nd, e) for nd, e in res)
 
     # -- Algorithm 3 (H8): simple neighbor selection -------------------------
@@ -308,9 +323,26 @@ def _reconstruct(
     order = np.lexsort((pos, src, lay))
     lay, src, dst = lay[order], src[order], dst[order]
     # ids is sorted ascending (callers sort by id before stacking), so
-    # searchsorted is the global→local map
+    # searchsorted is the global→local map. GUARD the round-trip: the
+    # dict form failed loudly (KeyError) on an edge endpoint missing
+    # from the shard's vectors — a mismatched artifact pair, e.g.
+    # post-compaction cells with pre-compaction edges — where a bare
+    # searchsorted would silently walk a scrambled graph (review r11)
     loc_src = np.searchsorted(ids, src)
     loc_dst = np.searchsorted(ids, dst)
+    if len(src):
+        loc_src_c = np.minimum(loc_src, n - 1)
+        loc_dst_c = np.minimum(loc_dst, n - 1)
+        if not (
+            np.array_equal(ids[loc_src_c], src)
+            and np.array_equal(ids[loc_dst_c], dst)
+        ):
+            raise ValueError(
+                "hnsw._reconstruct: edge list references ids absent from "
+                "this shard's vectors — the cells and edges frames are "
+                "not from the same index build/compaction"
+            )
+        loc_src, loc_dst = loc_src_c, loc_dst_c
     for lc in range(L):
         m = lay == lc
         if not m.any():

@@ -213,13 +213,23 @@ def _input_snapshot(df: DataFrame) -> int:
     metadata (no Spark job); files Spark lists but the OS can't stat
     (e.g. a remote scheme this local harness never uses) degrade to
     path-only entries rather than erroring the serving path."""
+    from urllib.parse import unquote, urlparse
+
     try:
         files = df.inputFiles()
     except Exception:  # non-file relations / analysis corner cases
         files = []
     entries = []
     for f in sorted(files):
-        p = f[7:] if f.startswith("file:") else f
+        # inputFiles() renders Hadoop Paths as URIs — seen as both
+        # file:///p and file:/p, with special characters percent-
+        # encoded; urlparse+unquote handles every form (a hardcoded
+        # prefix strip mis-parsed file:/p and encoded paths, silently
+        # degrading the fingerprint to path-only — review r11)
+        if f.startswith("file:"):
+            p = unquote(urlparse(f).path)
+        else:
+            p = f
         try:
             st = os.stat(p)
             entries.append((f, st.st_size, st.st_mtime_ns))
@@ -304,6 +314,15 @@ class _TopRAcc:
     def add(self, qi: int, ids: np.ndarray, sc: np.ndarray) -> None:
         if len(ids) == 0:
             return
+        # detach views: a dist[:, qi] column slice pins the whole
+        # (rows × nq) batch matrix (and an Arrow-backed ids array pins
+        # its RecordBatch) until the next cut — copying keeps peak
+        # memory at the ≤thresh buffers plus ONE in-flight batch
+        # (review r11)
+        if ids.base is not None:
+            ids = ids.copy()
+        if sc.base is not None:
+            sc = sc.copy()
         self._ids[qi].append(ids)
         self._sc[qi].append(sc)
         self._len[qi] += len(ids)
