@@ -140,3 +140,37 @@ def test_local_hnsw_exactish_on_small_set():
     sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
     want = list(np.argsort(1.0 - np.maximum(sims, 0.0), kind="stable")[:5])
     assert got == [int(w) for w in want]
+
+
+def test_packed_index_guards_mismatched_artifacts(spark, embeddings, split):
+    """Round 11: serving cogroups each shard's vectors with its CSR-
+    PACKED edge row; a packed row from a DIFFERENT build (stale cache,
+    post-compaction cells with pre-compaction pack) must raise the
+    consistency handshake, not silently walk local indices into the
+    wrong rows."""
+    import pytest
+
+    base, qs = split
+    parted, edges = hnsw.cached_index(base, "#pack_guard", 4)
+    # a packed frame built against a DIFFERENT vector set (one row
+    # dropped) — fingerprints cannot match
+    parted_minus = parted.where(F.col("vec_id") != 0)
+    bad_packed = hnsw.pack_index(parted_minus, 
+        edges.where(F.col("src") != 0).where(F.col("dst") != 0))
+    routed = hnsw._replicate_queries(
+        qs, parted.select("part").distinct(), "query_id", "query_vec"
+    )
+    # bypass the cache to force the mismatched pair together
+    import toy_vector_db_spark.operators.hnsw as H
+    key_sentinel = object()
+    orig = H.cached_packed_index
+    try:
+        H.cached_packed_index = lambda p, e, id_col="vec_id": bad_packed
+        with pytest.raises(Exception, match="packed index does not match"):
+            H._prebuilt_search(
+                parted, edges, routed, 5, 100,
+                "vec_id", "embedding", "query_id", "query_vec",
+            ).collect()
+    finally:
+        H.cached_packed_index = orig
+    assert key_sentinel is not None

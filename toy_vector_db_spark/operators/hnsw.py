@@ -308,6 +308,18 @@ def _reconstruct(
     and tie-breaks are bit-identical to the dict-backed graph (asserted
     in tests/test_hnsw.py). The mutable-dict reconstruction lives on only
     in _upsert_parted._ingest, whose append path must insert afterward."""
+    idx = _graph_shell(ids, vecs)
+    for lc, csr in enumerate(_csr_from_edges(ids, edge_pdf)):
+        if csr is not None:
+            idx.csr[lc] = csr
+    return idx
+
+
+def _graph_shell(ids: np.ndarray, vecs: np.ndarray) -> LocalHNSW:
+    """A LocalHNSW with levels/entry-point replayed from the
+    deterministic per-id hash (insert's running-max rule over id order)
+    but NO adjacency yet — the shared first half of every
+    reconstruction path."""
     idx = LocalHNSW(vecs)
     levels = [deterministic_level(int(i)) for i in ids]
     top, ep = -1, None
@@ -315,6 +327,19 @@ def _reconstruct(
         if lvl > top:
             top, ep = lvl, i
     idx.top_layer, idx.ep = top, ep
+    return idx
+
+
+def _csr_from_edges(
+    ids: np.ndarray, edge_pdf: pd.DataFrame
+) -> list[tuple[np.ndarray, np.ndarray] | None]:
+    """Per-layer (indptr, indices) CSR adjacency from a shard's stored
+    edge rows — all-numpy (lexsort + searchsorted + bincount/cumsum);
+    neighbor order is (layer, src, pos), exactly the order the dict
+    form appended in. GUARDS the global→local round-trip: an edge
+    endpoint absent from ``ids`` (a mismatched cells/edges artifact
+    pair, e.g. post-compaction cells with pre-compaction edges) raises
+    instead of silently walking a scrambled graph (review r11)."""
     n = len(ids)
     lay = edge_pdf["layer"].to_numpy(dtype=np.int64)
     src = edge_pdf["src"].to_numpy(dtype=np.int64)
@@ -322,12 +347,6 @@ def _reconstruct(
     dst = edge_pdf["dst"].to_numpy(dtype=np.int64)
     order = np.lexsort((pos, src, lay))
     lay, src, dst = lay[order], src[order], dst[order]
-    # ids is sorted ascending (callers sort by id before stacking), so
-    # searchsorted is the global→local map. GUARD the round-trip: the
-    # dict form failed loudly (KeyError) on an edge endpoint missing
-    # from the shard's vectors — a mismatched artifact pair, e.g.
-    # post-compaction cells with pre-compaction edges — where a bare
-    # searchsorted would silently walk a scrambled graph (review r11)
     loc_src = np.searchsorted(ids, src)
     loc_dst = np.searchsorted(ids, dst)
     if len(src):
@@ -338,22 +357,37 @@ def _reconstruct(
             and np.array_equal(ids[loc_dst_c], dst)
         ):
             raise ValueError(
-                "hnsw._reconstruct: edge list references ids absent from "
-                "this shard's vectors — the cells and edges frames are "
-                "not from the same index build/compaction"
+                "hnsw edge list references ids absent from this shard's "
+                "vectors — the cells and edges frames are not from the "
+                "same index build/compaction"
             )
         loc_src, loc_dst = loc_src_c, loc_dst_c
+    out: list[tuple[np.ndarray, np.ndarray] | None] = []
     for lc in range(L):
         m = lay == lc
         if not m.any():
-            # leave layer lc dict-backed (empty) — nodes without edges
-            # read as neighborless either way
+            # no edges at this layer — nodes read as neighborless
+            out.append(None)
             continue
         counts = np.bincount(loc_src[m], minlength=n)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
-        idx.csr[lc] = (indptr, loc_dst[m])
-    return idx
+        out.append((indptr, loc_dst[m]))
+    return out
+
+
+def _ids_fingerprint(ids: np.ndarray) -> bytes:
+    """Process-stable fingerprint of a shard's sorted id array — the
+    consistency handshake between a packed edge row and the vector
+    shard it was packed against (sha1, not Python hash(), so executors
+    and sessions agree). Returned as RAW BYTES and carried in a BINARY
+    column: a nullable LONG column in the tagged aux union converts to
+    float64 in pandas and silently rounds values above 2^53."""
+    import hashlib
+
+    return hashlib.sha1(
+        np.ascontiguousarray(ids, dtype=np.int64).tobytes()
+    ).digest()[:8]
 
 
 # Per-session prebuilt-index cache: (applicationId, key, P) → persisted
@@ -415,6 +449,81 @@ def _replicate_queries(
     )
 
 
+# (appId, parted hash, edges hash, id_col) → persisted PACKED index
+# frame. Packing runs ONE cogroup pass over (ids, edges) per distinct
+# artifact pair per session; every query batch after that ships ~one
+# row per shard instead of one row per edge.
+_PACKED_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+_PACK_SCHEMA = (
+    "part int, n long, ids_fp binary, "
+    + ", ".join(f"l{kk}_indptr binary, l{kk}_indices binary"
+                for kk in range(L))
+)
+
+
+def pack_index(
+    parted: DataFrame,
+    edges: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """CSR-PACK the per-shard edge lists (round 11, the second half of
+    verdict r10 item 3): one row per shard carrying each layer's
+    (indptr, indices) arrays as BINARY columns, plus the shard's row
+    count and an id-array fingerprint. The row-per-edge frame is the
+    build/lifecycle format (unions, touched-shard passthrough,
+    partitioned writes); this is the SERVING format — the aux side of
+    the search cogroup drops from |edges| rows re-shipped, re-shuffled,
+    and pandas-converted per query batch to ~one row per shard,
+    reconstructed via zero-copy np.frombuffer in the kernel. The
+    global→local mapping (and its mismatched-artifact guard) runs once
+    here, at pack time; the serve kernel re-checks consistency against
+    the fingerprint before trusting the local indices."""
+
+    def _pack(vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["part", "n", "ids_fp"] + [
+            f"l{kk}_{w}" for kk in range(L) for w in ("indptr", "indices")
+        ]
+        if vec_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        ids = np.sort(vec_pdf[id_col].to_numpy(dtype=np.int64))
+        csrs = _csr_from_edges(
+            ids, edge_pdf[["layer", "src", "pos", "dst"]].astype("int64")
+        )
+        row = {
+            "part": int(vec_pdf["part"].iloc[0]),
+            "n": len(ids),
+            "ids_fp": _ids_fingerprint(ids),
+        }
+        for kk, csr in enumerate(csrs):
+            row[f"l{kk}_indptr"] = b"" if csr is None else csr[0].tobytes()
+            row[f"l{kk}_indices"] = b"" if csr is None else csr[1].tobytes()
+        return pd.DataFrame([row], columns=cols)
+
+    return (
+        parted.select("part", id_col)
+        .groupBy("part")
+        .cogroup(edges.groupBy("part"))
+        .applyInPandas(_pack, schema=_PACK_SCHEMA)
+    )
+
+
+def cached_packed_index(
+    parted: DataFrame, edges: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    key = (
+        parted.sparkSession.sparkContext.applicationId,
+        parted.semanticHash(),
+        edges.semanticHash(),
+        id_col,
+    )
+    if key not in _PACKED_EDGE_CACHE:
+        p = pack_index(parted, edges, id_col).persist()
+        p.count()
+        _PACKED_EDGE_CACHE[key] = p
+    return _PACKED_EDGE_CACHE[key]
+
+
 def _prebuilt_search(
     parted: DataFrame,
     edges: DataFrame,
@@ -428,26 +537,38 @@ def _prebuilt_search(
     emit: int | None = None,
 ) -> DataFrame:
     """Shared search core over a PREBUILT index: cogroup each shard's
-    vectors with its stored edge list AND the queries routed to it,
-    reconstruct the graph (no insert cost), beam-search every query,
-    global exact rerank.
+    vectors with its CSR-PACKED edge row AND the queries routed to it,
+    rebuild the graph via np.frombuffer (no insert cost, no per-edge
+    work, no per-edge shipping), beam-search every query, global exact
+    rerank.
 
     ``routed_queries`` is any distributed (part, query_id, query_vec)
     frame — full fan-out for hash shards, nprobe cells for IVF routing.
-    Cogroup takes exactly two sides, so the edge list and the routed query
-    set ride in ONE tagged auxiliary frame (edge rows carry null query
-    columns and vice versa) — nothing is collected to the driver."""
+    Cogroup takes exactly two sides, so the packed edge row and the
+    routed query set ride in ONE tagged auxiliary frame (packed rows
+    carry null query columns and vice versa) — nothing is collected to
+    the driver. The row-per-edge ``edges`` frame is packed once per
+    (parted, edges) pair per session (cached_packed_index); round 10
+    shipped and dict-reconstructed all |edges| rows on EVERY query
+    batch, measured as the dominant routed-serving term at 200k."""
+    packed = cached_packed_index(parted, edges, id_col)
+    null_bin = [
+        F.lit(None).cast("binary").alias(f"l{kk}_{w}")
+        for kk in range(L)
+        for w in ("indptr", "indices")
+    ]
     q_tagged = routed_queries.select(
         "part",
-        F.lit(None).cast("int").alias("layer"),
-        F.lit(None).cast("long").alias("src"),
-        F.lit(None).cast("int").alias("pos"),
-        F.lit(None).cast("long").alias("dst"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("binary").alias("ids_fp"),
+        *null_bin,
         F.col(query_id_col).alias("qid"),
         F.col(query_vec_col).cast("array<double>").alias("qvec"),
     )
-    aux = edges.select(
-        "part", "layer", "src", "pos", "dst",
+    aux = packed.select(
+        "part", "n", "ids_fp",
+        *[F.col(f"l{kk}_{w}") for kk in range(L)
+          for w in ("indptr", "indices")],
         F.lit(None).cast("long").alias("qid"),
         F.lit(None).cast("array<double>").alias("qvec"),
     ).unionByName(q_tagged)
@@ -463,16 +584,32 @@ def _prebuilt_search(
         q_pdf = aux_pdf[aux_pdf["qid"].notna()]
         if q_pdf.empty:
             return empty
-        # null query columns make the int edge columns arrive as float —
-        # restore int64 after splitting the tagged frame
-        edge_pdf = (
-            aux_pdf[aux_pdf["src"].notna()][["layer", "src", "pos", "dst"]]
-            .astype("int64")
-        )
         vec_pdf = vec_pdf.sort_values(id_col, ignore_index=True)
         ids = vec_pdf[id_col].to_numpy()
         vecs = np.stack(vec_pdf[vec_col].to_numpy())
-        idx = _reconstruct(ids, vecs, edge_pdf)
+        idx = _graph_shell(ids, vecs)
+        p_pdf = aux_pdf[aux_pdf["ids_fp"].notna()]
+        if not p_pdf.empty:
+            prow = p_pdf.iloc[0]
+            # consistency handshake: the packed row must describe THESE
+            # vectors (same count, same sorted-id fingerprint) — a
+            # stale/mismatched packed artifact raises instead of
+            # silently walking local indices into the wrong rows
+            if int(prow["n"]) != len(ids) or bytes(
+                prow["ids_fp"]
+            ) != _ids_fingerprint(ids):
+                raise ValueError(
+                    "hnsw packed index does not match this shard's "
+                    "vectors — cells and packed edges are not from the "
+                    "same build/compaction"
+                )
+            for kk in range(L):
+                bp, bi = prow[f"l{kk}_indptr"], prow[f"l{kk}_indices"]
+                if bp:
+                    idx.csr[kk] = (
+                        np.frombuffer(bp, dtype=np.int64),
+                        np.frombuffer(bi, dtype=np.int64),
+                    )
         n_local = len(ids)
         m_emit = k if emit is None else emit
         out_q, out_id, out_d = [], [], []
