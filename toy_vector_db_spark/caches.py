@@ -51,6 +51,7 @@ def _cache_dicts() -> list[dict]:
         similarity._BQ_CELLS_CACHE,
         dedup._PAIRS_CACHE,
         hnsw._INDEX_CACHE,
+        hnsw._PACKED_EDGE_CACHE,
         knn._QUERY_BATCH_CACHE,
         knn._QUERY_COUNT_CACHE,
         ingest._INGEST_CACHE,
