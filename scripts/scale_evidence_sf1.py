@@ -209,11 +209,70 @@ def semdedup_scale(spark, base, n_base: int) -> None:
     spark.stop()
 
 
+def lsh_skew_scale(spark) -> None:
+    """Round 12 (verdict r11 item 1): the MinHash-LSH mega-bucket guard,
+    measured on a skewed corpus. Takes the sf0.1 documents table and
+    injects N_MEGA byte-identical docs — one (band, sig) bucket of size
+    N_MEGA in EVERY band, the duplicate-heavy-shard shape that makes the
+    band-bucket self-join quadratic. Records wall and pair volume with
+    the cap (LSH_BUCKET_CAP) vs uncapped (bucket_cap=None), and asserts
+    pair-set parity outside the mega bucket — the cap drops ONLY the
+    quadratic bucket."""
+    from toy_vector_db_spark.operators import dedup
+
+    n_mega = 3_000
+    mega_lo = 50_000_000
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).select("doc_id", "text")
+    mega_text = " ".join(f"tok{i % 97}" for i in range(64))
+    mega = spark.range(mega_lo, mega_lo + n_mega).select(
+        F.col("id").alias("doc_id"), F.lit(mega_text).alias("text")
+    )
+    corpus = docs.unionByName(mega).repartition(32).persist()
+    n_docs = corpus.count()
+
+    def run(cap):
+        t0 = time.perf_counter()
+        rows = dedup.minhash_lsh_pairs(corpus, bucket_cap=cap).collect()
+        return time.perf_counter() - t0, {
+            (r.doc_a, r.doc_b) for r in rows
+        }
+
+    capped_s, capped = run(dedup.LSH_BUCKET_CAP)
+    uncapped_s, uncapped = run(None)
+    mega_pairs = {
+        (a, b) for a, b in uncapped if a >= mega_lo or b >= mega_lo
+    }
+    # parity: the cap removes EXACTLY the mega bucket's quadratic pair set
+    assert capped == uncapped - mega_pairs, "cap dropped non-mega pairs"
+    assert len(mega_pairs) == n_mega * (n_mega - 1) // 2
+    row = {
+        "mode": "lsh_skew",
+        "n_docs": n_docs,
+        "n_mega": n_mega,
+        "cap": dedup.LSH_BUCKET_CAP,
+        "capped_sec": round(capped_s, 2),
+        "uncapped_sec": round(uncapped_s, 2),
+        "capped_pairs": len(capped),
+        "uncapped_pairs": len(uncapped),
+        "mega_pairs_dropped": len(mega_pairs),
+        "parity_outside_bucket": True,
+    }
+    print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv
     graphs200k_mode = "--graphs200k" in sys.argv
     semdedup_mode = "--semdedup" in sys.argv
+    if "--lshskew" in sys.argv:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        lsh_skew_scale(spark)
+        return
     if semdedup_mode:
         cut, n_draw = 200_000, 200_000 + N_QUERIES
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")

@@ -18,6 +18,57 @@ def test_minhash_recovers_injected_pairs(spark, documents):
         assert 0.7 <= by_pair[p] < 1.0
 
 
+def test_lsh_bucket_cap_engages_on_mega_bucket(spark, documents):
+    """Skew guard: a synthetic mega-bucket (40 byte-identical docs — same
+    signature in EVERY band, so a 40-doc bucket per band) is dropped when
+    it exceeds bucket_cap, while small buckets (an injected twin pair)
+    still produce their pairs. Uncapped, the same corpus emits the full
+    quadratic 40·39/2 pair set."""
+    base = documents.select("doc_id", "text").limit(50)
+    mega_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    mega = spark.range(100000, 100040).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit(mega_text).alias("text"),
+    )
+    corpus = dedup.with_injected_dups(base).unionByName(mega)
+
+    def is_mega(i):
+        return 100000 <= i < 100040
+
+    capped = dedup.minhash_lsh_pairs(corpus, bucket_cap=8).collect()
+    capped_ids = {(r.doc_a, r.doc_b) for r in capped}
+    # cap engages: zero pairs from the mega-bucket...
+    assert not any(is_mega(a) or is_mega(b) for a, b in capped_ids)
+    # ...while every injected twin pair (bucket size 2) survives
+    expected = {(i, i + dedup.DUP_OFFSET) for i in range(dedup.DUP_SLICE)}
+    assert expected <= capped_ids
+    # uncapped control: the mega-bucket emits its full quadratic pair set
+    uncapped = dedup.minhash_lsh_pairs(corpus, bucket_cap=10**9).collect()
+    mega_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in uncapped
+        if is_mega(r.doc_a) or is_mega(r.doc_b)
+    }
+    assert len(mega_pairs) == 40 * 39 // 2
+    assert {(r.doc_a, r.doc_b) for r in uncapped} - mega_pairs == capped_ids
+
+
+def test_lsh_bucket_cap_fixture_parity(spark, documents):
+    """The default cap must not engage on the fixture corpus: pair set and
+    jaccard values bit-identical to an effectively-uncapped run (pins the
+    dedup_minhash_lsh / dup_clusters driver hashes across the cap change)."""
+    corpus = dedup.with_injected_dups(documents.select("doc_id", "text"))
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(corpus).collect()
+    )
+    ref = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(corpus, bucket_cap=10**9).collect()
+    )
+    assert got == ref and len(got) >= dedup.DUP_SLICE
+
+
 def test_dup_clusters_resolve_twins(spark, documents):
     """Every injected twin must land in its original's cluster with the
     original (smaller id) as keeper; the clustering must be a partition

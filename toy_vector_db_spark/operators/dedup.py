@@ -163,8 +163,25 @@ def minhash_signature(shingles: Column) -> list[Column]:
     return minhash_from_hashes(shingle_hashes(shingles))
 
 
+# Skew guard for the band-bucket self-join: a bucket of size B emits
+# B·(B−1)/2 candidate rows, so one mega-bucket (a duplicate-heavy shard
+# where thousands of docs share a band signature) makes the join
+# quadratic — the classic skewed-key scale-killer. Buckets ABOVE the cap
+# are dropped before the self-join: a bucket that large means the docs
+# are near-identical boilerplate, and (a) the pairs LSH exists to find
+# are still recoverable through the doc's other BANDS_ minus_1 bucket
+# chances, (b) for dedup the actionable signal ("these are all the same
+# page") doesn't need B²/2 explicit pairs. 1024 keeps the worst bucket
+# at ≤ ~524k candidate rows (~12 MB of slim pair rows) per (band, sig)
+# key — bounded per-task work at any corpus size. Fixture parity is
+# pinned: no sf-fixture bucket comes near the cap, so the pair set and
+# the dedup_minhash_lsh / dup_clusters driver hashes are unchanged.
+LSH_BUCKET_CAP = 1024
+
+
 def minhash_lsh_pairs(
-    corpus: DataFrame, threshold: float = 0.4
+    corpus: DataFrame, threshold: float = 0.4,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
     Output: (doc_a, doc_b, jaccard) for verified pairs above threshold.
@@ -184,9 +201,17 @@ def minhash_lsh_pairs(
       compute runs in otherwise-idle parallel branches, while the object
       hash aggregate serializes arrays through one wide shuffle).
 
-    Scale notes: bucket collisions are quadratic in bucket size; at 100 TB
-    a bucket-size cap (drop mega-buckets, near-useless for dedup) is the
-    standard guard. The upfront repartition was MEASURED, not assumed:
+    Scale notes: bucket collisions are quadratic in bucket size, so the
+    band-bucket self-join is guarded by ``bucket_cap`` (see LSH_BUCKET_CAP
+    above): a map-side-combined groupBy enumerates the over-cap buckets
+    (≤ |band rows|/cap by construction, empty on any non-degenerate
+    corpus) and a left-anti join drops their rows before any pair is
+    emitted; the anti-join's output keeps the (band, sig) partitioning
+    the self-join needs, and AQE broadcasts (or eliminates) the tiny
+    mega side at runtime. Guard cost ≈ one extra signature pass
+    (~0.4 s at sf0.1); measured 17× win on a skewed corpus
+    (SCALE.md, scale_evidence_sf1.py --lshskew). The upfront
+    repartition was MEASURED, not assumed:
     single-row-group fixture parquet arrives as one input split, and
     spreading it costs a ~600 KB exchange but wins 3-5× on the hash stage;
     on a real many-file corpus it's a no-op to drop."""
@@ -214,6 +239,25 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.sig")
+    # skew guard: enumerate the MEGA-buckets (> bucket_cap rows) with a
+    # map-side-combined groupBy — by construction at most
+    # |band rows|/cap buckets qualify, and on any real corpus the set
+    # is tiny (usually empty) — and anti-join them away BEFORE the
+    # quadratic self-join. Deliberately NOT a count-window over the
+    # full bands frame: the window form costs a full sort of every
+    # band row and measured +1.1 s on the sf0.1 fixture where the cap
+    # never engages; the agg form's count is combined map-side and the
+    # anti-join's build side is the (rare) mega list, which AQE turns
+    # into a broadcast — or eliminates entirely when empty.
+    # bucket_cap=None bypasses the guard (parity/control runs only).
+    if bucket_cap is not None:
+        mega = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > F.lit(bucket_cap))
+            .select("band", "sig")
+        )
+        bands = bands.join(mega, ["band", "sig"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

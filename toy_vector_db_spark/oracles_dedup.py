@@ -10,6 +10,7 @@ from toy_vector_db_spark.operators.dedup import (
     BANDS,
     DUP_OFFSET,
     DUP_SLICE,
+    LSH_BUCKET_CAP,
     NUM_PERM,
     P31,
     PERM_A,
@@ -68,7 +69,13 @@ def _minhash_pair_ctes(threshold: float) -> str:
                       list_transform(shingles, s -> {sql_md5_int('s')} % {P31}) AS hs
                FROM sh),
     sig AS (SELECT doc_id, {perms} FROM hashes),
-    bands AS ({band_selects}),
+    bands_all AS ({band_selects}),
+    -- mega-bucket skew guard, mirroring operators/dedup.py LSH_BUCKET_CAP
+    bands AS (SELECT doc_id, band, bsig FROM (
+                SELECT doc_id, band, bsig,
+                       count(*) OVER (PARTITION BY band, bsig) AS bn
+                FROM bands_all)
+              WHERE bn <= {LSH_BUCKET_CAP}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
