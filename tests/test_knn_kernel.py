@@ -236,6 +236,27 @@ def test_emit_topk_bounded_emission_is_lossless(spark, embeddings):
     assert emitted < base.count() * n_q, "cap did not reduce emission"
 
 
+def test_emit_topk_memory_budget_gate(spark, embeddings, monkeypatch):
+    """Round 12 (r11 advice): _TopRAcc buffers up to
+    nq × max(2R, R+8192) × 16 B per task — at QUERY_BATCH_MAX queries
+    and the R=16384 rerank budget that is ~50 GB, so the kernels gate
+    the accumulator on EMIT_TOPK_BUDGET_BYTES and fall back to full
+    STREAMING emission when it would not fit (values identical; memory
+    bounded by one Arrow batch instead of the buffer)."""
+    from toy_vector_db_spark.operators import knn as K
+
+    base, qs = _splits(embeddings)
+    base16 = base.repartition(16)
+    k = 10
+    n_q = qs.count()
+    assert K.pair_scores(base16, qs, emit_topk=k).count() <= 16 * n_q * k
+    monkeypatch.setattr(K, "EMIT_TOPK_BUDGET_BYTES", 0)
+    # gate engages → the cap is dropped, full pair emission streams out
+    assert K.pair_scores(base16, qs, emit_topk=k).count() == (
+        base.count() * n_q
+    )
+
+
 def test_emit_topk_routed_matches_unrouted_window(spark, embeddings):
     """Routed + capped: knn_ivf's kernel path (cells_by_query AND
     emit_topk) must equal the uncapped routed emission under the same

@@ -168,6 +168,40 @@ def test_lsh_buckets_base_path_shuffle_free(plans):
     assert "rangepartitioning" not in plan
 
 
+def test_lsh_bucket_cap_guard_plan(spark, sf_dir):
+    """The mega-bucket guard must be the CHEAP form: a map-side-combined
+    partial count enumerating over-cap buckets + a left-anti join whose
+    output keeps the (band, sig) partitioning the self-join needs — NOT
+    a count-window over every band row (full sort, measured +1.1 s at
+    sf0.1). Pinned in the sort-merge regime (broadcast off, the 100 TB
+    shape): no Window node, anti-joins present, and the guard adds at
+    most the two mega-agg exchange pairs."""
+    from toy_vector_db_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = dedup.with_injected_dups(docs.select("doc_id", "text"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        capped = explain.formatted_plan(dedup.minhash_lsh_pairs(corpus))
+        uncapped = explain.formatted_plan(
+            dedup.minhash_lsh_pairs(corpus, bucket_cap=None)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Window" not in capped
+    assert "LeftAnti" in capped and "LeftAnti" not in uncapped
+    # partial (map-side) count for the bucket sizes
+    assert "partial_count" in capped or "count(1)" in capped
+    assert (
+        explain.count_exchanges(capped)
+        <= explain.count_exchanges(uncapped) + 4
+    )
+
+
 def test_bm25_take_ordered(plans):
     # per-row scoring over inlined corpus stats; top-k compiles to
     # per-partition heaps, not a global sort
@@ -331,12 +365,14 @@ def test_every_mm_key_is_one_python_stage(plans):
 
 
 def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
-    """Round 11 (verdict r10 item 1) wiring guard: every UNFILTERED
-    quantizer serving pipeline must hand its top-R budget to the pair
-    kernel as emit_topk (per-Arrow-batch bounded emission — the 200k
-    study's dominant linear-in-corpus serving term), and every FILTERED
-    call must pass None (the IDSelector predicate runs post-kernel and
-    must see the full candidate set)."""
+    """Round 11 (verdict r10 item 1) wiring guard, tightened in round 12
+    (verdict r11 item 2): EVERY quantizer serving pipeline — filtered
+    included — must hand its top-R budget to the pair kernel as
+    emit_topk (per-partition bounded emission — the 200k study's
+    dominant linear-in-corpus serving term). Filtered calls must
+    additionally route the label predicate INTO the kernel
+    (qlabel_by_query + label_col), which is what makes the bound legal
+    there."""
     from pyspark.sql import functions as F
 
     from toy_vector_db_spark import registry
@@ -361,7 +397,10 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
 
     def spy(fn, name):
         def wrapped(*a, **kw):
-            seen[name] = kw.get("emit_topk", "MISSING")
+            seen[name] = (
+                kw.get("emit_topk", "MISSING"),
+                kw.get("qlabel_by_query") is not None,
+            )
             return fn(*a, **kw)
 
         return wrapped
@@ -378,25 +417,33 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
 
     r = similarity._rerank_budget(base, 10)
     similarity.knn_ivfpq(base, qs, 10)
-    assert seen.pop("pq") == r
+    assert seen.pop("pq") == (r, False)
     similarity.knn_ivfpq(base, qs, 10, labels=labels, query_labels=qlabels)
-    assert seen.pop("pq") is None
+    assert seen.pop("pq") == (r, True)
     similarity.knn_ivfsq(base, qs, 10)
-    assert seen.pop("sq") == r
+    assert seen.pop("sq") == (r, False)
     similarity.knn_ivfsq(base, qs, 10, labels=labels, query_labels=qlabels)
-    assert seen.pop("sq") is None
+    assert seen.pop("sq") == (r, True)
     similarity.knn_sq_rerank(base, qs, 10)
-    assert seen.pop("sq") == r
+    assert seen.pop("sq") == (r, False)
+    similarity.knn_sq_rerank(
+        base, qs, 10, labels=labels, query_labels=qlabels
+    )
+    assert seen.pop("sq") == (r, True)
     similarity.knn_bq2_rerank(base, qs, 10)
-    assert seen.pop("pair") == r
+    assert seen.pop("pair") == (r, False)
+    similarity.knn_bq2_rerank(
+        base, qs, 10, labels=labels, query_labels=qlabels
+    )
+    assert seen.pop("pair") == (r, True)
     similarity.knn_ivfbq2(base, qs, 10)
-    assert seen.pop("pair") == r
+    assert seen.pop("pair") == (r, False)
     similarity.knn_ivfbq2(
         base, qs, 10, labels=labels, query_labels=qlabels
     )
-    assert seen.pop("pair") is None
+    assert seen.pop("pair") == (r, True)
     similarity.knn_pq_adc(base, qs, 10)
-    assert seen.pop("pq") == 10
+    assert seen.pop("pq") == (10, False)
 
 
 def test_bq_hamming_partial_topk_before_exchange(plans):

@@ -625,6 +625,49 @@ def test_ivfpq_filtered_recall_and_predicate(spark, embeddings):
     assert rec >= (0.95 if small else 0.85), f"filtered IVF-PQ recall = {rec}"
 
 
+def test_filtered_kernel_postfilter_bit_identity(
+    spark, embeddings, monkeypatch
+):
+    """Round 12 (verdict r11 item 2): the IDSelector label predicate
+    moved INSIDE the pair kernels (label attached to the codes frame,
+    per-query qlabels in the closure) so the per-partition emission
+    bound engages on filtered paths too. Every filtered family must be
+    BIT-IDENTICAL between the in-kernel form (default) and the Catalyst
+    post-filter form — forced here via the oversized-batch guard
+    (QUERY_BATCH_MAX=0 routes every caller onto the distributed
+    post-filter plan, whose parity with the kernels is long-pinned)."""
+    n = embeddings.count()
+    cut = split_count(n, 0.95)
+    base = embeddings.where(F.col("vec_id") < cut)
+    qs_all = embeddings.where(F.col("vec_id") >= cut)
+    qs = qs_all.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bvec = base.select("vec_id", "embedding")
+    labels = base.select("vec_id", "label")
+    qlabels = qs_all.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    kw = dict(labels=labels, query_labels=qlabels)
+    calls = {
+        "ivfpq": lambda: similarity.knn_ivfpq(bvec, qs, 10, **kw),
+        "ivfsq": lambda: similarity.knn_ivfsq(bvec, qs, 10, **kw),
+        "sq": lambda: similarity.knn_sq_rerank(bvec, qs, 10, **kw),
+        "bq2": lambda: similarity.knn_bq2_rerank(bvec, qs, 10, **kw),
+        "ivfbq2": lambda: similarity.knn_ivfbq2(bvec, qs, 10, **kw),
+    }
+    in_kernel = {
+        name: sorted(map(tuple, fn().collect()))
+        for name, fn in calls.items()
+    }
+    monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 0)
+    for name, fn in calls.items():
+        post = sorted(map(tuple, fn().collect()))
+        assert post == in_kernel[name], f"{name}: kernel ≠ post-filter"
+        assert len(post) > 0, name
+
+
 def test_ivfpq_filter_composes_with_tombstones(spark, embeddings):
     """The filtered-ANN predicate and the tombstone anti-join are both
     row predicates on the same compressed scan — the docstrings claim

@@ -286,40 +286,18 @@ def _edges_from_parted(
     )
 
 
-def _reconstruct(
-    ids: np.ndarray, vecs: np.ndarray, edge_pdf: pd.DataFrame
-) -> LocalHNSW:
-    """Rebuild a shard's LocalHNSW from its stored edge list, READ-ONLY,
-    as per-layer CSR adjacency (round 11, verdict r10 item 3). Levels are
-    re-derived from the deterministic per-id hash (isolated high-layer nodes
-    emit no edges, so levels can't come from the edge list); the entry point
-    replays insert's running-max rule: first id (in insertion = id order)
-    reaching the shard's max level.
-
-    The old form looped Python-side over EVERY edge (dict setdefault +
-    append per row) — O(edges) interpreter work per (cell × query-batch)
-    cogroup call, measured as the dominant routed-serving term at 200k
-    vectors (nprobe=8 cost the same as nprobe=64 because reconstruction,
-    not beam search, owned the wall). This form is all-numpy: one lexsort
-    over (layer, src, pos), searchsorted global→local id mapping, and a
-    bincount/cumsum CSR per layer — neighbor ORDER is identical (pos
-    order within each src, the order the dict form appended in), and
-    search_layer reads the CSR directly, so beam traversal, distances,
-    and tie-breaks are bit-identical to the dict-backed graph (asserted
-    in tests/test_hnsw.py). The mutable-dict reconstruction lives on only
-    in _upsert_parted._ingest, whose append path must insert afterward."""
-    idx = _graph_shell(ids, vecs)
-    for lc, csr in enumerate(_csr_from_edges(ids, edge_pdf)):
-        if csr is not None:
-            idx.csr[lc] = csr
-    return idx
-
-
 def _graph_shell(ids: np.ndarray, vecs: np.ndarray) -> LocalHNSW:
     """A LocalHNSW with levels/entry-point replayed from the
     deterministic per-id hash (insert's running-max rule over id order)
     but NO adjacency yet — the shared first half of every
-    reconstruction path."""
+    reconstruction path (serving rebuilds adjacency from packed CSR rows
+    in _prebuilt_search; _upsert_parted._ingest keeps a mutable dict
+    graph because its append path must insert afterward). Levels are
+    RE-DERIVED from the hash, never from the edge list: isolated
+    high-layer nodes emit no edges. Reconstruction parity with the
+    insert-built graph — neighbor order, beam traversal, distances,
+    tie-breaks — is asserted in tests/test_hnsw.py; see _csr_from_edges
+    for the order guarantees."""
     idx = LocalHNSW(vecs)
     levels = [deterministic_level(int(i)) for i in ids]
     top, ep = -1, None
@@ -422,10 +400,13 @@ def cached_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
+    from toy_vector_db_spark.operators import knn
+
     key = (
         base.sparkSession.sparkContext.applicationId,
         cache_key,
         num_partitions,
+        knn._input_snapshot(base),
     )
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = hnsw_index(base, num_partitions, id_col, vec_col)
@@ -511,10 +492,19 @@ def pack_index(
 def cached_packed_index(
     parted: DataFrame, edges: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
+    # key includes the input-file snapshots (round 12, r11 advice): a
+    # file-backed frame rewritten in place keeps its semantic hash, and
+    # a stale packed graph would either serve silently (ids unchanged)
+    # or raise persistently on the ids_fp handshake until eviction —
+    # the same staleness fix knn's query caches got in round 10
+    from toy_vector_db_spark.operators import knn
+
     key = (
         parted.sparkSession.sparkContext.applicationId,
         parted.semanticHash(),
         edges.semanticHash(),
+        knn._input_snapshot(parted),
+        knn._input_snapshot(edges),
         id_col,
     )
     if key not in _PACKED_EDGE_CACHE:
@@ -921,11 +911,14 @@ def cached_routed_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    from toy_vector_db_spark.operators import knn
+
     key = (
         base.sparkSession.sparkContext.applicationId,
         "routed",
         cache_key,
         n_centroids,
+        knn._input_snapshot(base),
     )
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = routed_index(base, n_centroids, id_col, vec_col)
@@ -1088,12 +1081,16 @@ def cached_routed_compact(
     semantic hashes of BOTH inputs — a cache_key-only key would hand a
     second caller with a different tombstone set the first caller's
     compacted index (deleted rows resurfacing with no error)."""
+    from toy_vector_db_spark.operators import knn
+
     key = (
         cells.sparkSession.sparkContext.applicationId,
         "routed_compact",
         cache_key,
         cells.semanticHash(),
         tombstones.semanticHash(),
+        knn._input_snapshot(cells),
+        knn._input_snapshot(tombstones),
     )
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = routed_compact(cells, tombstones)
@@ -1208,11 +1205,14 @@ def cached_labeled_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
+    from toy_vector_db_spark.operators import knn
+
     key = (
         base.sparkSession.sparkContext.applicationId,
         "labeled",
         cache_key,
         label_col,
+        knn._input_snapshot(base),
     )
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = labeled_index(base, label_col, id_col, vec_col)

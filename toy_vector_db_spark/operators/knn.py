@@ -184,6 +184,42 @@ def _scored_product(
 # shape, never the values.
 QUERY_BATCH_MAX = 100_000
 
+# _TopRAcc's worst-case per-task buffer is nq × max(2R, R+8192) rows ×
+# 16 B (int64 id + float64 score). At QUERY_BATCH_MAX queries and the
+# R=16384 rerank budget that is ~50 GB — far past any sane task heap —
+# so the kernels gate the accumulator on this budget (round 12, r11
+# advice) and fall back to full STREAMING emission when it would not
+# fit: more shuffle rows, but per-task memory bounded by one Arrow
+# batch instead of the buffer, and values identical either way. 256 MiB
+# covers every shipped serving shape (250 queries × R=16384 ≈ 131 MB)
+# with headroom, while 32 concurrent tasks stay ≤ 8 GiB total.
+EMIT_TOPK_BUDGET_BYTES = 256 << 20
+
+
+def emit_topk_within_budget(n_q: int, r: int) -> bool:
+    return n_q * max(2 * r, r + 8192) * 16 <= EMIT_TOPK_BUDGET_BYTES
+
+
+def _row_mask(qi, n, cells, cell_mask_lists, lab, qlabels):
+    """Boolean mask of the batch rows query ``qi`` may score — IVF cell
+    routing ∧ in-kernel label equality (round 12, verdict r11 item 2) —
+    or None meaning 'all rows'. A query absent from the qlabel dict
+    (None entry) matches nothing: inner-join semantics, identical to
+    the Catalyst post-filter form the kernels replaced."""
+    m = None
+    if cell_mask_lists is not None:
+        m = np.isin(cells, cell_mask_lists[qi])
+    if lab is not None:
+        q = qlabels[qi]
+        lm = (
+            np.zeros(n, dtype=bool)
+            if q is None
+            else np.asarray(lab == q, dtype=bool)
+        )
+        m = lm if m is None else (m & lm)
+    return m
+
+
 # (appId, queries plan hash, input-file snapshot) → UPPER-BOUNDED row
 # count backing the guard: one scalar count job per distinct query frame
 # per session (the _rerank_budget cached-count idiom). Round-8 (advice
@@ -373,6 +409,8 @@ def pair_scores(
     cell_col: str = "centroid_id",
     dual_metric: bool = False,
     emit_topk: int | None = None,
+    label_col: str | None = None,
+    qlabel_by_query: dict | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, dist) for every (query × base-row) pair — the
     |base|×|queries| hot loop of exact batch search, argmin/argmax, and
@@ -429,24 +467,41 @@ def pair_scores(
     ``euc_dist`` next to ``cos_dist``: one dot pass, two metrics, same
     expression tree as the Catalyst/oracle form op for op.
 
+    ``label_col``/``qlabel_by_query`` (round 12, verdict r11 item 2 —
+    the filtered families' IDSelector moved IN-kernel): the caller
+    attaches the stored label attribute to the base frame (named by
+    ``label_col``) and hands the per-query labels as a dict; rows are
+    scored for a query only where label == the query's qlabel, exactly
+    the inner-join + equality the Catalyst post-filter applied AFTER
+    full emission — which is what makes ``emit_topk`` legal on filtered
+    paths (bit-identity asserted in tests/test_similarity.py).
+
     GUARD (round 7): the kernel ships the query batch driver-side and
     into task closures, which is only sane for a bounded serving batch.
     Above QUERY_BATCH_MAX query rows this falls back to the
     pure-Catalyst ``_scored_product`` form (no driver collect, no
     broadcast of the oversized side) — bit-identical values, different
-    physical plan."""
+    physical plan. ``emit_topk`` is additionally dropped (falling back
+    to streaming full emission, values unchanged) when the _TopRAcc
+    buffer would exceed EMIT_TOPK_BUDGET_BYTES."""
     import pyarrow as pa
 
     if emit_topk is not None and dual_metric:
         raise ValueError("emit_topk is incompatible with dual_metric")
+    if (label_col is None) != (qlabel_by_query is None):
+        raise ValueError(
+            "label_col and qlabel_by_query must be passed together"
+        )
     if query_batch_count(queries) > QUERY_BATCH_MAX:
-        if cells_by_query is not None:
-            # the caller already holds a per-query routing dict, i.e. it
-            # collected the oversized frame itself — that's the caller's
-            # bug; knn_ivf guards before building the dict
+        if cells_by_query is not None or qlabel_by_query is not None:
+            # the caller already holds a per-query routing/label dict,
+            # i.e. it collected the oversized frame itself — that's the
+            # caller's bug; knn_ivf and the filtered families guard
+            # before building the dicts
             raise ValueError(
-                "cells_by_query routing requires a bounded query batch "
-                f"(> {QUERY_BATCH_MAX} rows); use the probe-join form"
+                "cells_by_query/qlabel_by_query routing requires a "
+                f"bounded query batch (> {QUERY_BATCH_MAX} rows); use "
+                "the join form"
             )
         scored = _scored_product(
             base, queries, id_col, vec_col, query_id_col, query_vec_col,
@@ -476,16 +531,25 @@ def pair_scores(
     Q = np.array([q[1] for q in qrows], dtype=np.float64)  # (nq, d)
     qmags = np.array([_py_magnitude(q[1]) for q in qrows])
     nq = len(qids)
+    if emit_topk is not None and not emit_topk_within_budget(nq, emit_topk):
+        emit_topk = None  # buffer would not fit: stream full emission
     cell_mask_lists = None
     if cells_by_query is not None:
         cell_mask_lists = [
             np.array(sorted(cells_by_query.get(int(qid), [])), dtype=np.int64)
             for qid in qids
         ]
+    qlabels = (
+        None
+        if qlabel_by_query is None
+        else [qlabel_by_query.get(int(qid)) for qid in qids]
+    )
 
     cols = [id_col, F.col(vec_col).cast("array<double>").alias("_vd")]
     if cells_by_query is not None:
         cols.append(cell_col)
+    if label_col is not None:
+        cols.append(label_col)
     src = base.select(*cols)
 
     def _score(batches):
@@ -516,28 +580,38 @@ def pair_scores(
                 euc = np.sqrt(
                     np.maximum(vm2[:, None] + qm2[None, :] - 2.0 * acc, 0.0)
                 )
+            cells = (
+                batch.column(cell_col).to_numpy()
+                if cell_mask_lists is not None
+                else None
+            )
+            lab = (
+                batch.column(label_col).to_numpy(zero_copy_only=False)
+                if label_col is not None
+                else None
+            )
             if topr is not None:
-                if cell_mask_lists is None:
-                    for qi_i in range(nq):
+                for qi_i in range(nq):
+                    m = _row_mask(
+                        qi_i, n, cells, cell_mask_lists, lab, qlabels
+                    )
+                    if m is None:
                         topr.add(qi_i, ids, dist[:, qi_i])
-                else:
-                    cells = batch.column(cell_col).to_numpy()
-                    for qi_i in range(nq):
-                        rows = np.nonzero(
-                            np.isin(cells, cell_mask_lists[qi_i])
-                        )[0]
+                    else:
+                        rows = np.nonzero(m)[0]
                         topr.add(qi_i, ids[rows], dist[rows, qi_i])
                 continue
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and lab is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, nq)
                 out_d = dist.ravel()
                 out_e = euc.ravel() if dual_metric else None
             else:
-                cells = batch.column(cell_col).to_numpy()
                 mask = np.empty((n, nq), dtype=bool)
                 for qi in range(nq):
-                    mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
+                    mask[:, qi] = _row_mask(
+                        qi, n, cells, cell_mask_lists, lab, qlabels
+                    )
                 ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]

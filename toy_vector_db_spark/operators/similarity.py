@@ -1061,6 +1061,22 @@ def _adc_expr() -> "F.Column":
     return approx
 
 
+def _collected_qlabels(
+    query_labels: DataFrame, query_id_col: str
+) -> dict:
+    """Per-query label dict for the kernels' in-kernel IDSelector
+    routing (round 12, verdict r11 item 2) — collected under the same
+    QUERY_BATCH_MAX contract as the query batch itself (callers guard
+    with query_batch_count before building routing dicts). The label
+    column is whichever column is not the query id (the
+    ``query_labels (query_id, qlabel)`` contract)."""
+    lc = [c for c in query_labels.columns if c != query_id_col][0]
+    return {
+        int(r[0]): r[1]
+        for r in query_labels.select(query_id_col, lc).collect()
+    }
+
+
 def _pq_pair_adc(
     codes: DataFrame,
     queries: DataFrame,
@@ -1071,6 +1087,8 @@ def _pq_pair_adc(
     cells_by_query: dict[int, list] | None = None,
     cell_col: str = "centroid_id",
     emit_topk: int | None = None,
+    label_col: str | None = None,
+    qlabel_by_query: dict | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) PQ-ADC pairs as ONE base-side Arrow kernel
     (round 10, verdict r9 item 6 — the knn_ivfpq-vs-ivfsq serving gap):
@@ -1108,13 +1126,27 @@ def _pq_pair_adc(
     rows holds ~14M codes, so the per-partition bound is ~900× at
     R=16384 — the 200k study showed unbounded pair emission is the
     dominant serving cost, linear in the corpus while the answer stays
-    k rows. NOT legal when a post-kernel predicate (the ``labels``
-    IDSelector filter) runs before the cut — those callers keep full
-    emission."""
+    k rows.
+
+    ``label_col``/``qlabel_by_query`` (round 12, verdict r11 item 2):
+    the IDSelector label predicate applied IN-kernel — label attached
+    to the codes frame by the caller, per-query qlabels in the closure,
+    equality folded into each query's row mask exactly like cell
+    routing — which is what makes ``emit_topk`` legal on the filtered
+    paths (the round-11 exemption emitted |probed|×|queries| rows there).
+    Bit-identical to the Catalyst post-filter form (inner-join + label
+    equality before the top-R window), asserted in
+    tests/test_similarity.py. ``emit_topk`` is dropped (streaming full
+    emission, values unchanged) when the _TopRAcc buffer would exceed
+    knn.EMIT_TOPK_BUDGET_BYTES."""
     import pyarrow as pa
 
     from toy_vector_db_spark.operators import knn as KNN
 
+    if (label_col is None) != (qlabel_by_query is None):
+        raise ValueError(
+            "label_col and qlabel_by_query must be passed together"
+        )
     qrows = KNN._collected_queries(queries, query_id_col, query_vec_col)
     schema = f"{query_id_col} long, {id_col} long, ad2 double"
     if not qrows:
@@ -1136,6 +1168,10 @@ def _pq_pair_adc(
         vm = nv[:, m * sub: (m + 1) * sub]
         diff = vm[:, None, :] - b_arr[m][None, :, :]
         luts.append(np.cumsum(diff * diff, axis=2)[:, :, -1])  # (n_q, K)
+    if emit_topk is not None and not KNN.emit_topk_within_budget(
+        n_q, emit_topk
+    ):
+        emit_topk = None  # buffer would not fit: stream full emission
     cell_mask_lists = (
         None
         if cells_by_query is None
@@ -1144,9 +1180,16 @@ def _pq_pair_adc(
             for qid in qids
         ]
     )
+    qlabels = (
+        None
+        if qlabel_by_query is None
+        else [qlabel_by_query.get(int(qid)) for qid in qids]
+    )
     cols = [id_col] + [f"c{m}" for m in range(m_)]
     if cells_by_query is not None:
         cols.append(cell_col)
+    if label_col is not None:
+        cols.append(label_col)
     src = codes.select(*cols)
 
     def _score(batches):
@@ -1166,27 +1209,37 @@ def _pq_pair_adc(
                 # lut lookup per (row, query), accumulated in m order
                 # from zeros — _adc_expr's 0.0 + lut0[c0] + ... fold
                 acc += luts[m][:, cm].T
+            cells = (
+                batch.column(cell_col).to_numpy()
+                if cell_mask_lists is not None
+                else None
+            )
+            lab = (
+                batch.column(label_col).to_numpy(zero_copy_only=False)
+                if label_col is not None
+                else None
+            )
             if topr is not None:
-                if cell_mask_lists is None:
-                    for qi_i in range(n_q):
+                for qi_i in range(n_q):
+                    m = KNN._row_mask(
+                        qi_i, n, cells, cell_mask_lists, lab, qlabels
+                    )
+                    if m is None:
                         topr.add(qi_i, ids, acc[:, qi_i])
-                else:
-                    cells = batch.column(cell_col).to_numpy()
-                    for qi_i in range(n_q):
-                        rows = np.nonzero(
-                            np.isin(cells, cell_mask_lists[qi_i])
-                        )[0]
+                    else:
+                        rows = np.nonzero(m)[0]
                         topr.add(qi_i, ids[rows], acc[rows, qi_i])
                 continue
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and lab is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
             else:
-                cells = batch.column(cell_col).to_numpy()
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
-                    mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
+                    mask[:, qi] = KNN._row_mask(
+                        qi, n, cells, cell_mask_lists, lab, qlabels
+                    )
                 ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
@@ -1281,7 +1334,7 @@ def knn_pq_adc(
         # base-side kernel, queries + LUTs in the closure (round 10):
         # no query-side Python stage, no LUT broadcast — bit-identical.
         # emit_topk: the next step is the per-query (ad2, id) top-k
-        # window with no intervening filter → per-batch bounded emission
+        # window → per-PARTITION bounded emission via knn._TopRAcc
         cand = _pq_pair_adc(
             codes, queries, books, id_col, query_id_col, query_vec_col,
             emit_topk=k,
@@ -1445,15 +1498,26 @@ def knn_ivfpq(
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
+        src = codes_cells.where(F.col("centroid_id").isin(probed_cells))
+        label_name, qlab = None, None
+        if labels is not None:
+            # in-kernel IDSelector (round 12, verdict r11 item 2): the
+            # label rides the codes frame (a stored attribute written
+            # with the codes at 100 TB — this join is the build-time
+            # attach) and the per-query qlabels ride the closure, so
+            # the predicate applies INSIDE the kernel and bounded
+            # emission is legal on the filtered path too
+            label_name = [c for c in labels.columns if c != id_col][0]
+            src = src.join(labels, id_col)
+            qlab = _collected_qlabels(query_labels, query_id_col)
         cand = _pq_pair_adc(
-            codes_cells.where(F.col("centroid_id").isin(probed_cells)),
-            queries, books, id_col, query_id_col, query_vec_col,
+            src, queries, books, id_col, query_id_col, query_vec_col,
             cells_by_query=cells_by_query,
-            # bounded emission only when nothing filters between the
-            # kernel and the top-R window (the IDSelector label filter
-            # must see the FULL probed candidate set)
-            emit_topk=None if labels is not None else int(rerank_r),
+            label_col=label_name,
+            qlabel_by_query=qlab,
+            emit_topk=int(rerank_r),
         )
+        post_filter = False
     else:
         # oversized batch: the distributed broadcast-LUT plan (never
         # collects). LUT arrays built directly ON the probes frame
@@ -1467,10 +1531,13 @@ def knn_ivfpq(
         cand = codes_cells.join(
             F.broadcast(probe_luts), "centroid_id"
         ).withColumn("ad2", _adc_expr())
-    if labels is not None:
-        # pre-filter (IDSelector): label attach on the code side (a
-        # stored attribute at 100 TB), query label via broadcast join,
-        # equality applied before the ADC top-R window
+        post_filter = True
+    if labels is not None and post_filter:
+        # oversized-batch plan only — pre-filter (IDSelector): label
+        # attach on the code side (a stored attribute at 100 TB), query
+        # label via broadcast join, equality applied before the ADC
+        # top-R window; the bounded kernel path applies the same
+        # predicate in-kernel instead
         cand = (
             cand.join(labels, id_col)
             .join(F.broadcast(query_labels), query_id_col)
@@ -1814,6 +1881,8 @@ def _sq_pair_adc(
     cells_by_query: dict[int, list] | None = None,
     cell_col: str = "centroid_id",
     emit_topk: int | None = None,
+    label_col: str | None = None,
+    qlabel_by_query: dict | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) for every (query × dequantized-base) pair
     — the SQ ADC hot loop as a vectorized Arrow kernel (the pair_scores
@@ -1847,17 +1916,28 @@ def _sq_pair_adc(
     per-query top-R emission under the downstream window's exact
     (ad2 asc, id asc) order, accumulated across the partition's Arrow
     batches by knn._TopRAcc — a provable superset of the global top-R
-    with identical ad2 doubles; see _pq_pair_adc. Only legal when no
-    post-kernel predicate runs before the cut (unfiltered callers);
-    the oversized-batch Catalyst fallback ignores it (that plan's
-    window volume is bounded map-side by WindowGroupLimit)."""
+    with identical ad2 doubles; see _pq_pair_adc. The oversized-batch
+    Catalyst fallback ignores it (that plan's window volume is bounded
+    map-side by WindowGroupLimit), and the kernel drops it (streaming
+    full emission, values unchanged) when the _TopRAcc buffer would
+    exceed knn.EMIT_TOPK_BUDGET_BYTES.
+
+    ``label_col``/``qlabel_by_query`` (round 12, verdict r11 item 2):
+    the IDSelector label predicate applied IN-kernel, folded into each
+    query's row mask like cell routing — makes ``emit_topk`` legal on
+    the filtered paths; see _pq_pair_adc."""
     from toy_vector_db_spark.operators import knn
 
+    if (label_col is None) != (qlabel_by_query is None):
+        raise ValueError(
+            "label_col and qlabel_by_query must be passed together"
+        )
     if knn.query_batch_count(nq) > knn.QUERY_BATCH_MAX:
-        if cells_by_query is not None:
+        if cells_by_query is not None or qlabel_by_query is not None:
             raise ValueError(
-                "cells_by_query routing requires a bounded query batch "
-                f"(> {knn.QUERY_BATCH_MAX} rows); use the probe-join form"
+                "cells_by_query/qlabel_by_query routing requires a "
+                f"bounded query batch (> {knn.QUERY_BATCH_MAX} rows); "
+                "use the join form"
             )
         return deq.crossJoin(nq).select(
             # cast to the kernel's Arrow schema so the two guard paths
@@ -1878,6 +1958,10 @@ def _sq_pair_adc(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     n_q = len(qrows)
+    if emit_topk is not None and not knn.emit_topk_within_budget(
+        n_q, emit_topk
+    ):
+        emit_topk = None  # buffer would not fit: stream full emission
     cell_mask_lists = (
         None
         if cells_by_query is None
@@ -1886,9 +1970,16 @@ def _sq_pair_adc(
             for qid in qids
         ]
     )
+    qlabels = (
+        None
+        if qlabel_by_query is None
+        else [qlabel_by_query.get(int(qid)) for qid in qids]
+    )
     cols = [id_col, "deq"]
     if cells_by_query is not None:
         cols.append(cell_col)
+    if label_col is not None:
+        cols.append(label_col)
     src = deq.select(*cols)
 
     def _score(batches):
@@ -1904,27 +1995,37 @@ def _sq_pair_adc(
             for j in range(d):
                 t = D[:, j: j + 1] - Q[:, j][None, :]
                 acc += t * t
+            cells = (
+                batch.column(cell_col).to_numpy()
+                if cell_mask_lists is not None
+                else None
+            )
+            lab = (
+                batch.column(label_col).to_numpy(zero_copy_only=False)
+                if label_col is not None
+                else None
+            )
             if topr is not None:
-                if cell_mask_lists is None:
-                    for qi_i in range(n_q):
+                for qi_i in range(n_q):
+                    m = knn._row_mask(
+                        qi_i, n, cells, cell_mask_lists, lab, qlabels
+                    )
+                    if m is None:
                         topr.add(qi_i, ids, acc[:, qi_i])
-                else:
-                    cells = batch.column(cell_col).to_numpy()
-                    for qi_i in range(n_q):
-                        rows = np.nonzero(
-                            np.isin(cells, cell_mask_lists[qi_i])
-                        )[0]
+                    else:
+                        rows = np.nonzero(m)[0]
                         topr.add(qi_i, ids[rows], acc[rows, qi_i])
                 continue
-            if cell_mask_lists is None:
+            if cell_mask_lists is None and lab is None:
                 out_q = np.tile(qids, n)
                 out_id = np.repeat(ids, n_q)
                 out_d = acc.ravel()
             else:
-                cells = batch.column(cell_col).to_numpy()
                 mask = np.empty((n, n_q), dtype=bool)
                 for qi in range(n_q):
-                    mask[:, qi] = np.isin(cells, cell_mask_lists[qi])
+                    mask[:, qi] = knn._row_mask(
+                        qi, n, cells, cell_mask_lists, lab, qlabels
+                    )
                 ri, qi = np.nonzero(mask)
                 out_q = qids[qi]
                 out_id = ids[ri]
@@ -2013,13 +2114,34 @@ def knn_sq_rerank(
     nq = queries.select(
         query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
     )
-    cand = _sq_pair_adc(
-        deq, nq, id_col, query_id_col,
-        # bounded per-batch emission when no label filter intervenes
-        # before the top-R window (round 11, verdict r10 item 1)
-        emit_topk=None if labels is not None else int(rerank_r),
+    from toy_vector_db_spark.operators import knn as KNN
+
+    # in-kernel IDSelector when the batch is bounded (round 12, verdict
+    # r11 item 2): label attached to the dequantized codes frame,
+    # per-query qlabels in the closure → bounded emission stays legal
+    # on the filtered path; oversized batches keep the Catalyst
+    # post-filter plan
+    in_kernel = (
+        labels is not None
+        and KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX
     )
-    if labels is not None:
+    src, label_name, qlab = deq, None, None
+    if in_kernel:
+        label_name = [c for c in labels.columns if c != id_col][0]
+        src = deq.join(labels, id_col)
+        qlab = _collected_qlabels(query_labels, query_id_col)
+    cand = _sq_pair_adc(
+        src, nq, id_col, query_id_col,
+        label_col=label_name,
+        qlabel_by_query=qlab,
+        # per-PARTITION bounded emission (knn._TopRAcc); only the
+        # oversized-batch post-filter plan must see full emission
+        emit_topk=(
+            None if (labels is not None and not in_kernel)
+            else int(rerank_r)
+        ),
+    )
+    if labels is not None and not in_kernel:
         cand = (
             cand.join(labels, id_col)
             .join(F.broadcast(query_labels), query_id_col)
@@ -2231,15 +2353,32 @@ def knn_bq2_rerank(
     recon = codes.crossJoin(F.broadcast(bounds)).select(
         id_col, _bq2_recon(F.col("codes"), F.col("mx")).alias("recon")
     )
+    # in-kernel IDSelector when the batch is bounded (round 12, verdict
+    # r11 item 2) — the knn_sq_rerank shape; oversized batches keep the
+    # Catalyst post-filter plan
+    in_kernel = (
+        labels is not None
+        and KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX
+    )
+    src, label_name, qlab = recon, None, None
+    if in_kernel:
+        label_name = [c for c in labels.columns if c != id_col][0]
+        src = recon.join(labels, id_col)
+        qlab = _collected_qlabels(query_labels, query_id_col)
     cand = KNN.pair_scores(
-        recon, queries,
+        src, queries,
         id_col=id_col, vec_col="recon",
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-        # bounded per-batch emission when no label filter intervenes
-        # before the top-R window (round 11, verdict r10 item 1)
-        emit_topk=None if labels is not None else int(rerank_r),
+        label_col=label_name,
+        qlabel_by_query=qlab,
+        # per-PARTITION bounded emission (knn._TopRAcc); only the
+        # oversized-batch post-filter plan must see full emission
+        emit_topk=(
+            None if (labels is not None and not in_kernel)
+            else int(rerank_r)
+        ),
     )
-    if labels is not None:
+    if labels is not None and not in_kernel:
         cand = (
             cand.join(labels, id_col)
             .join(F.broadcast(query_labels), query_id_col)
@@ -2418,6 +2557,7 @@ def knn_ivfbq2(
                 ).alias("dist"),
             )
         )
+        post_filter = True
     else:
         cells_by_query: dict[int, list] = {}
         for r in probes.select(query_id_col, "centroid_id").collect():
@@ -2425,17 +2565,29 @@ def knn_ivfbq2(
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
+        src = recon.where(F.col("centroid_id").isin(probed_cells))
+        label_name, qlab = None, None
+        if labels is not None:
+            # in-kernel IDSelector (round 12, verdict r11 item 2) —
+            # the knn_ivfpq shape: label attached to the probed codes
+            # frame, per-query qlabels in the closure
+            label_name = [c for c in labels.columns if c != id_col][0]
+            src = src.join(labels, id_col)
+            qlab = _collected_qlabels(query_labels, query_id_col)
         cand = KNN.pair_scores(
-            recon.where(F.col("centroid_id").isin(probed_cells)),
+            src,
             queries,
             id_col=id_col,
             vec_col="recon",
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             cells_by_query=cells_by_query,
-            emit_topk=None if labels is not None else int(rerank_r),
+            label_col=label_name,
+            qlabel_by_query=qlab,
+            emit_topk=int(rerank_r),
         )
-    if labels is not None:
+        post_filter = False
+    if labels is not None and post_filter:
         cand = (
             cand.join(labels, id_col)
             .join(F.broadcast(query_labels), query_id_col)
@@ -2648,6 +2800,7 @@ def knn_ivfsq(
                 _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
             )
         )
+        post_filter = True
     else:
         cells_by_query: dict[int, list] = {}
         for r in probes.select(query_id_col, "centroid_id").collect():
@@ -2655,17 +2808,29 @@ def knn_ivfsq(
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
+        src = deq.where(F.col("centroid_id").isin(probed_cells))
+        label_name, qlab = None, None
+        if labels is not None:
+            # in-kernel IDSelector (round 12, verdict r11 item 2) —
+            # the knn_ivfpq shape
+            label_name = [c for c in labels.columns if c != id_col][0]
+            src = src.join(labels, id_col)
+            qlab = _collected_qlabels(query_labels, query_id_col)
         cand = _sq_pair_adc(
-            deq.where(F.col("centroid_id").isin(probed_cells)),
+            src,
             nq,
             id_col,
             query_id_col,
             cells_by_query=cells_by_query,
-            emit_topk=None if labels is not None else int(rerank_r),
+            label_col=label_name,
+            qlabel_by_query=qlab,
+            emit_topk=int(rerank_r),
         )
-    if labels is not None:
-        # pre-filter (IDSelector): label attach on the code side, query
-        # label via broadcast join, equality before the ADC top-R window
+        post_filter = False
+    if labels is not None and post_filter:
+        # oversized-batch plan only — pre-filter (IDSelector): label
+        # attach on the code side, query label via broadcast join,
+        # equality before the ADC top-R window
         cand = (
             cand.join(labels, id_col)
             .join(F.broadcast(query_labels), query_id_col)
