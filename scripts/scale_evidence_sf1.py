@@ -319,9 +319,128 @@ def build_1m_scale() -> None:
     }), flush=True)
 
 
+def semdedup_10k_cells(spark, base, n_base: int) -> None:
+    """Round 12 (verdict r11 item 5): the SemDeDup ASSIGNMENT at the
+    paper's cell regime — 200k rows × 10,000 cells — recording the
+    centroid payload bytes and the wall with the payload in a
+    SparkContext.broadcast (the shipped path past
+    SEM_CENTROID_BROADCAST_MIN_BYTES) vs forced into the task closure
+    (the pre-round-12 path). Centroids are the first 10k corpus vectors
+    (the trainer's own init rule — k-means training is bounded by
+    TRAIN_SAMPLE=4096, so a 10k-cell quantizer is synthetic by
+    construction here; assignment cost is independent of centroid
+    provenance). Output parity between the two paths is asserted
+    row-count-exact here and bit-exact in tests/test_dedup.py."""
+    from toy_vector_db_spark.operators import dedup
+
+    n_cells = 10_000
+    cvecs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in base.select("vec_id", "embedding")
+        .where(F.col("vec_id") < n_cells)
+        .collect()
+    ]
+    assert len(cvecs) == n_cells
+    cids = np.array([c[0] for c in cvecs], dtype=np.int64)
+    C = np.array([c[1] for c in cvecs], dtype=np.float64)
+    payload_bytes = cids.nbytes + C.nbytes + C.shape[0] * 8  # + cmag
+    base_m = base.select("vec_id", "embedding")
+
+    def run():
+        t0 = time.perf_counter()
+        n = dedup._semdedup_assign_kernel(
+            base_m, cvecs, "vec_id", "embedding"
+        ).count()
+        assert n == n_base
+        return round(time.perf_counter() - t0, 2)
+
+    run()  # warmup
+    bcast_walls = [run() for _ in range(2)]
+    saved = dedup.SEM_CENTROID_BROADCAST_MIN_BYTES
+    try:
+        dedup.SEM_CENTROID_BROADCAST_MIN_BYTES = 10**12  # force closure
+        closure_walls = [run() for _ in range(2)]
+    finally:
+        dedup.SEM_CENTROID_BROADCAST_MIN_BYTES = saved
+    print(json.dumps({
+        "mode": "semdedup_assign_10k_cells",
+        "n_base": n_base,
+        "n_cells": n_cells,
+        "payload_mb": round(payload_bytes / 2**20, 2),
+        "broadcast_engaged": payload_bytes
+        >= dedup.SEM_CENTROID_BROADCAST_MIN_BYTES,
+        "assign_sec_broadcast": min(bcast_walls),
+        "assign_sec_closure": min(closure_walls),
+    }), flush=True)
+    spark.stop()
+
+
+def mm_skew_scale(spark) -> None:
+    """Round 12 (verdict r11 item 7): codec tail latency on a payload-
+    size-SKEWED corpus, count-round-robin `_spread` vs the size-classed
+    spread. The kernel is the JPEG round-trip (mm_decode_jpeg_stats's
+    kernel — encode + marker-walk decode + IDCT per payload, the most
+    per-byte-expensive codec here). The corpus stacks mega payloads so
+    a task's bytes — not its row count — set the stage wall."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators import multimodal as mm
+
+    par = spark.sparkContext.defaultParallelism
+    # half as many megas as tasks, each ~400k pixels (~2 s of JPEG
+    # round-trip): the count round robin places them by position —
+    # birthday collisions stack ≥2 in one task with high probability,
+    # doubling the stage tail; the size-classed spread places exactly
+    # one per task (pinned in tests/test_mm_spread.py)
+    n_mega = max(2, par // 2)
+    mega_chars = 9 * 44_000
+    rows = [
+        (i, ("mega doc " * 44_000) if i < n_mega else "tiny doc words")
+        for i in range(par * 30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).persist()
+    docs.count()
+
+    def run(size_col):
+        t0 = time.perf_counter()
+        n = mm.decode_jpeg_stats(docs, size_col=size_col).count()
+        assert n == par * 30
+        return round(time.perf_counter() - t0, 2)
+
+    run(None)  # warmup (workers, codec JIT-ish paths)
+    count_walls = [run(None) for _ in range(3)]
+    sized_walls = [run("payload") for _ in range(3)]
+    print(json.dumps({
+        "mode": "mm_jpeg_skew",
+        "n_docs": par * 30,
+        "n_mega": n_mega,
+        "mega_chars": mega_chars,
+        "count_spread_sec": count_walls,
+        "size_spread_sec": sized_walls,
+        "count_spread_min": min(count_walls),
+        "size_spread_min": min(sized_walls),
+    }), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if "--build1m" in sys.argv:
         build_1m_scale()
+        return
+    if "--mmskew" in sys.argv:
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        mm_skew_scale(spark)
+        return
+    if "--semdedup10k" in sys.argv:
+        cut, n_draw = 200_000, 200_000 + N_QUERIES
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        base, _qs, n_base = make_corpus(spark, n_draw, cut)
+        semdedup_10k_cells(spark, base, n_base)
         return
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv

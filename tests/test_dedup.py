@@ -345,6 +345,37 @@ def test_semdedup_kernel_assign_parity(spark, embeddings):
     assert out.where(F.col("centroid_id").isNull()).count() == 0
 
 
+def test_semdedup_centroid_broadcast_parity(spark, embeddings, monkeypatch):
+    """Round 12 (verdict r11 item 5): past
+    SEM_CENTROID_BROADCAST_MIN_BYTES the assignment kernel ships the
+    centroid matrix via SparkContext.broadcast instead of the task
+    closure (the paper's ~10^5-cell regime would put a multi-ten-MB
+    matrix in every task closure). The broadcast path must be
+    bit-identical to the closure path — forced here by zeroing the
+    threshold."""
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    n_cells = dedup.SEM_KERNEL_MIN_CELLS + 16
+    cents = similarity.cached_trained_centroids(embeddings, n=n_cells)
+    base_m = embeddings.select("vec_id", "embedding")
+    cents_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+
+    def assign():
+        return {
+            int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+            for r in dedup._semdedup_assign_kernel(
+                base_m, cents_rows, "vec_id", "embedding"
+            ).collect()
+        }
+
+    closure = assign()
+    monkeypatch.setattr(dedup, "SEM_CENTROID_BROADCAST_MIN_BYTES", 0)
+    assert assign() == closure  # exact float equality — bit parity
+
+
 def test_semdedup_prune_kernel_parity(spark, embeddings, monkeypatch):
     """Round 11: above SEM_KERNEL_MIN_CELLS the whole prune — pairwise
     clamped cosine, EXISTS dominance, survivor emission, rounding —

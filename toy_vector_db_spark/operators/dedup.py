@@ -823,6 +823,18 @@ SEM_EPS = 0.45
 # switch.
 SEM_KERNEL_MIN_CELLS = 64
 
+# Centroid-payload size above which the assignment kernel ships the
+# matrix via SparkContext.broadcast instead of the task closure
+# (round 12, verdict r11 item 5): task closures are serialized and
+# shipped PER TASK, so at the paper's ~10^5-cell regime a
+# 10^5×64-double matrix (~50 MB) would ride every one of the scan's
+# tasks; a torrent broadcast ships once per executor. Below the
+# threshold the closure is cheaper (no broadcast bookkeeping) and is
+# what the fixture sizes use. Values are identical either way — the
+# kernel maths never changes, only where the bytes travel
+# (parity-tested in tests/test_dedup.py).
+SEM_CENTROID_BROADCAST_MIN_BYTES = 4 << 20
+
 
 def _semdedup_assign_kernel(
     base_m: DataFrame,
@@ -838,9 +850,12 @@ def _semdedup_assign_kernel(
     sqrt, dots fold v_j·c_j in j order from 0.0, sim = dot one-multiply-
     one-divide, clamp via np.maximum, d = 1.0 − clamped; np.argmin's
     first-min tie-break over centroid rows sorted by ascending id IS the
-    (d, centroid_id) struct-min order. Centroids ride the closure
-    (bounded by the training-sample size, the cached_trained_centroids
-    contract)."""
+    (d, centroid_id) struct-min order. Centroids ride the closure when
+    small (bounded by the training-sample size, the
+    cached_trained_centroids contract) and a SparkContext.broadcast
+    once past SEM_CENTROID_BROADCAST_MIN_BYTES — the paper's
+    ~10^5-cell regime would otherwise ship a multi-ten-MB matrix in
+    EVERY task's serialized closure (round 12, verdict r11 item 5)."""
     import pyarrow as pa
 
     from toy_vector_db_spark.functions.arrowkit import list_col_to_matrix
@@ -852,12 +867,21 @@ def _semdedup_assign_kernel(
     for j in range(dim):
         cmag += C[:, j] * C[:, j]
     cmag = np.sqrt(cmag)
+    payload = (cids, C, cmag)
+    handle = None
+    if C.nbytes + cids.nbytes + cmag.nbytes >= (
+        SEM_CENTROID_BROADCAST_MIN_BYTES
+    ):
+        handle = base_m.sparkSession.sparkContext.broadcast(payload)
+        payload = None  # keep the big arrays OUT of the task closure
     src = base_m.select(
         id_col, F.col(vec_col).cast("array<double>").alias("_vd")
     )
     schema = f"{id_col} long, centroid_id long, _cd double"
 
     def _assign(batches):
+        cids, C, cmag = handle.value if handle is not None else payload
+        k_ = len(cids)
         for batch in batches:
             if batch.num_rows == 0:
                 continue

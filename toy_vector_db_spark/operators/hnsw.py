@@ -513,9 +513,7 @@ def pack_index(
     )
 
 
-def cached_packed_index(
-    parted: DataFrame, edges: DataFrame, id_col: str = "vec_id"
-) -> DataFrame:
+def _packed_key(parted: DataFrame, edges: DataFrame, id_col: str) -> tuple:
     # key includes the input-file snapshots (round 12, r11 advice): a
     # file-backed frame rewritten in place keeps its semantic hash, and
     # a stale packed graph would either serve silently (ids unchanged)
@@ -523,7 +521,7 @@ def cached_packed_index(
     # the same staleness fix knn's query caches got in round 10
     from toy_vector_db_spark.operators import knn
 
-    key = (
+    return (
         parted.sparkSession.sparkContext.applicationId,
         parted.semanticHash(),
         edges.semanticHash(),
@@ -531,11 +529,58 @@ def cached_packed_index(
         knn._input_snapshot(edges),
         id_col,
     )
+
+
+def cached_packed_index(
+    parted: DataFrame, edges: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    key = _packed_key(parted, edges, id_col)
     if key not in _PACKED_EDGE_CACHE:
         p = pack_index(parted, edges, id_col).persist()
         p.count()
         _PACKED_EDGE_CACHE[key] = p
     return _PACKED_EDGE_CACHE[key]
+
+
+def _incremental_pack(
+    old_parted: DataFrame,
+    old_edges: DataFrame,
+    new_parted: DataFrame,
+    new_edges: DataFrame,
+    touched: list[int],
+    id_col: str = "vec_id",
+) -> None:
+    """Pre-populate the packed-serving artifact for an UPSERTED
+    (parted, edges) pair from the base pair's packed rows (round 12,
+    verdict r11 item 6): untouched shards' packed rows pass through
+    bit-identically — the _upsert_parted contract says their vectors
+    and edge lists are unmodified — and only the touched shards run the
+    pack cogroup. Without this, the first serve over every upserted
+    index re-packed ALL shards (the dominant remaining term of the
+    routed-upsert serve twin, SCALE.md r11); with it the per-ingest
+    pack cost is O(touched), the same bound as the ingest itself. A
+    no-op when the base pair was never packed this session (a cold
+    serve packs fully) — and always safe: the serve kernel re-checks
+    every packed row against the shard's vector ids (ids_fp) before
+    trusting it."""
+    base = _PACKED_EDGE_CACHE.get(_packed_key(old_parted, old_edges, id_col))
+    if base is None:
+        return
+    new_key = _packed_key(new_parted, new_edges, id_col)
+    if new_key in _PACKED_EDGE_CACHE:
+        return
+    delta = pack_index(
+        new_parted.where(F.col("part").isin(touched)),
+        new_edges.where(F.col("part").isin(touched)),
+        id_col,
+    )
+    p = (
+        base.where(~F.col("part").isin(touched))
+        .unionByName(delta)
+        .persist()
+    )
+    p.count()
+    _PACKED_EDGE_CACHE[new_key] = p
 
 
 def _prebuilt_search(
@@ -1456,7 +1501,15 @@ def _upsert_parted(
             schema="part int, layer int, src long, pos int, dst long",
         )
     )
-    return union_parted, untouched_edges.unionByName(ingested)
+    new_edges = untouched_edges.unionByName(ingested)
+    # serving fast-path (round 12, verdict r11 item 6): if the BASE pair
+    # is already packed this session, derive the upserted pair's packed
+    # artifact incrementally — untouched shards' rows pass through, only
+    # the touched shards re-pack
+    _incremental_pack(
+        parted, edges, union_parted, new_edges, touched, id_col
+    )
+    return union_parted, new_edges
 
 
 def knn_hnsw_deleted(
