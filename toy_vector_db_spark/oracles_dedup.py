@@ -45,9 +45,15 @@ def dedup_exact_sql() -> str:
     """
 
 
-def _minhash_pair_ctes(threshold: float) -> str:
+def _minhash_pair_ctes(
+    threshold: float, bucket_cap: int = LSH_BUCKET_CAP
+) -> str:
     """WITH-body computing `vpairs` = the verified MinHash-LSH near-dup
-    pairs — shared by the pairs oracle and the cluster oracle."""
+    pairs — shared by the pairs oracle and the cluster oracle.
+    ``bucket_cap`` mirrors the operator's parameter (advice r12: the
+    registered keys use the default, but a parity run against a
+    non-default operator cap must thread the SAME cap here or the
+    engines silently diverge on any over-cap bucket)."""
     perms = ",\n           ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P31})) AS m{i}"
         for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
@@ -70,12 +76,12 @@ def _minhash_pair_ctes(threshold: float) -> str:
                FROM sh),
     sig AS (SELECT doc_id, {perms} FROM hashes),
     bands_all AS ({band_selects}),
-    -- mega-bucket skew guard, mirroring operators/dedup.py LSH_BUCKET_CAP
+    -- mega-bucket skew guard, mirroring operators/dedup.py bucket_cap
     bands AS (SELECT doc_id, band, bsig FROM (
                 SELECT doc_id, band, bsig,
                        count(*) OVER (PARTITION BY band, bsig) AS bn
                 FROM bands_all)
-              WHERE bn <= {LSH_BUCKET_CAP}),
+              WHERE bn <= {bucket_cap}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -87,9 +93,11 @@ def _minhash_pair_ctes(threshold: float) -> str:
     """
 
 
-def minhash_lsh_sql(threshold: float = 0.4) -> str:
+def minhash_lsh_sql(
+    threshold: float = 0.4, bucket_cap: int = LSH_BUCKET_CAP
+) -> str:
     return f"""
-    WITH {_minhash_pair_ctes(threshold)}
+    WITH {_minhash_pair_ctes(threshold, bucket_cap)}
     SELECT doc_a, doc_b, jaccard FROM vpairs
     """
 

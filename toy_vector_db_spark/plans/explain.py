@@ -32,6 +32,30 @@ def _nodes(plan: str) -> list[str]:
     return out
 
 
+def detail_blocks(plan: str) -> list[str]:
+    """The DETAIL section of a formatted plan as one text block per
+    node header line ``(N) NodeName`` — arguments, join keys/conditions,
+    input/output columns. Node IDS are deliberately not used as keys:
+    cached artifacts and materialized AQE stages re-print their own
+    plans with RESTARTED numbering, so ids collide across sections;
+    assertions over detail blocks must be attribution-free (hold for
+    every block of a given node kind, wherever it came from)."""
+    import re
+
+    blocks: list[str] = []
+    cur: list[str] | None = None
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\)\s+\S+", line):
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = [line]
+        elif cur is not None:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
 def count_exchanges(plan: str) -> int:
     """Shuffle exchanges only (broadcast exchanges counted separately)."""
     return sum(1 for n in _nodes(plan) if n == "Exchange")

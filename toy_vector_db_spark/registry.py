@@ -74,84 +74,45 @@ def register(name: str, oracle: str | None = None):
 # fully oracle-tested locally (tests/test_registry_oracles.py covers every
 # registered oracle) and run in `bench.py --all`.
 _PRIORITY = [
-    # ============ ROUND-12 ROTATION (verdict r11 items 2 and 3) ===========
+    # ============ ROUND-13 ROTATION (verdict r12 items 2 and 8) ===========
     # IN (50):
-    #   * the full _R12_ROTATION_QUEUE as written down last round and
-    #     policy-tested: the 10 keys whose last driver row was r8
-    #     (ivfpq_build pinned early — verdict r11 item 4 flagged its
-    #     bench regression and wants its fresh correctness row).
-    #   * KEPT (2): semdedup_prune, streaming_late_data_counts — first
-    #     driver rows were r11; conventional second consecutive green.
-    #   * REWRITTEN-PATH REFRESHES (23): every key whose plan changed
-    #     THIS round — the dedup pair (dedup_minhash_lsh, dup_clusters:
-    #     the LSH mega-bucket guard landed in BOTH the Spark operator
-    #     and the DuckDB oracle), the five kernel-filtered families
-    #     (knn_ivfpq/ivfsq/sq/ivfbq2_filtered + knn_hnsw_filtered's
-    #     labeled-index cache rekey) whose IDSelector predicate moved
-    #     IN-kernel (verdict item 2's Done asks for exactly these fresh
-    #     rows), and every unfiltered key whose kernel internals were
-    #     touched by the row-mask refactor + emission budget gate
-    #     (knn_exact_batch, knn_ivf, knn_pq_adc, knn_pq_rerank,
-    #     knn_sq_rerank, knn_bq2_rerank, knn_ivfpq, knn_ivfsq,
-    #     knn_ivfbq2) — values bit-identity-tested, but a kernel
-    #     rewrite without a fresh driver hash row is the freshness gap
-    #     that can hide a real regression (the standing r10-item-7
-    #     principle).
-    #   * r9-STALE REFRESHES (15): the oldest remaining cohort, chosen
-    #     for overlap with this round's cache-rekey surface — the hnsw
-    #     family (knn_hnsw, hnsw_build, hnsw_compact_search, the routed
-    #     lifecycle trio, streaming_hnsw_ingest, hnsw_recall_gate) whose
-    #     _INDEX_CACHE keys changed, the SQ/IVF-SQ lifecycle
-    #     (sq_codes, sq_train, sq_upsert/delete_search,
-    #     ivfsq_upsert/delete_search, streaming_sq_ingest) serving
-    #     through the rewritten _sq_pair_adc, the 1-bit BQ trio
-    #     (knn_ivfbq, knn_bq_filtered, knn_ivfbq_filtered), and four
-    #     relational fills. Remaining r9 keys (relational + mm cohorts,
-    #     untouched this round) form _R13_ROTATION_QUEUE.
-    # OUT (38 of the r11 window): every rotated-out key has >=2
-    # consecutive driver-green rounds (r11 + an earlier green) and
-    # stays fully oracle-tested locally at three SFs
-    # (tests/test_registry_oracles.py) and benched in bench.py.
-    # After CORRECTNESS_r12 no registered key's last driver row predates
-    # r9 (the enforcing policy test tightens to r9); the next-oldest
-    # cohort (20 keys at r9) is _R13_ROTATION_QUEUE.
+    #   * the full _R13_ROTATION_QUEUE as written down last round and
+    #     policy-tested (20 keys — the r9-stale relational + multimodal
+    #     cohorts; verdict item 2's Done asks for exactly these rows,
+    #     after which the freshness policy tightens to r10).
+    #   * serve_invariants (verdict item 8): the four bench-only
+    #     *_serve twins never get their own driver rows; this key
+    #     hashes their deterministic invariants and its last row was
+    #     r11 — one slot keeps the serving config's driver evidence
+    #     fresh.
+    #   * REWRITTEN-PATH REFRESHES (9): every key whose plan changed
+    #     THIS round — the six Catalyst-leg filtered families
+    #     (knn_ivfpq/ivfsq/sq/ivfbq2/bq/ivfbq_filtered) whose
+    #     IDSelector routing went fully DISTRIBUTED (verdict item 1:
+    #     label attached corpus-side, qlabel riding the query frame,
+    #     the equality fused into the pair-producing join on every
+    #     leg), and the three ingest-serving keys
+    #     (hnsw_upsert_search, hnsw_routed_upsert_search,
+    #     streaming_hnsw_ingest) whose packed-artifact lifecycle moved
+    #     to localCheckpoint + superseded-entry eviction (advice r12).
+    #     knn_hnsw_filtered is NOT in this cohort: its label-partitioned
+    #     path was untouched (last row r12).
+    #   * r10-STALE REFRESHES (20): the oldest remaining cohort after
+    #     the queue lands, chosen for overlap with this round's touched
+    #     code first — argmin/argmax + the evaluation trio ride
+    #     knn.pair_scores (signature rewritten this round),
+    #     semantic_search and knn_exact_single the knn module, the
+    #     dedup/fingerprint/simhash keys the dedup module (broadcast
+    #     cache + cap comment), then the S1-S3/V1-V5 reference-parity
+    #     cohort. The 19 r10 keys left over form _R14_ROTATION_QUEUE.
+    # OUT (every r12-window key except the 3 ingest-serving refreshes):
+    # all have fresh r12 green rows and stay fully oracle-tested locally
+    # at three SFs (tests/test_registry_oracles.py) and benched in
+    # bench.py. After CORRECTNESS_r13 no registered key's last driver
+    # row predates r10 (the enforcing policy test tightens to r10); the
+    # next-oldest cohort (19 keys at r10) is _R14_ROTATION_QUEUE.
     # ======================================================================
-    # -- the r8-stale queue (verdict item 3), ivfpq_build early (item 4) --
-    "ivfpq_build", "bq_codes", "decontaminate_embedding",
-    "hnsw_upsert_search", "hybrid_rrf_ivfpq", "ivf_train",
-    "knn_bq_rerank", "pq_codes", "pq_train", "sketch_event_stats",
-    # -- second consecutive green (first rows r11) --
-    "semdedup_prune", "streaming_late_data_counts",
-    # -- rewritten this round: dedup mega-bucket guard (item 1) --
-    "dedup_minhash_lsh", "dup_clusters",
-    # -- rewritten this round: in-kernel IDSelector (item 2) --
-    "knn_ivfpq_filtered", "knn_ivfsq_filtered", "knn_sq_filtered",
-    "knn_ivfbq2_filtered", "knn_hnsw_filtered",
-    # -- rewritten this round: kernel row-mask refactor + budget gate --
-    "knn_exact_batch", "knn_ivf", "knn_pq_adc", "knn_pq_rerank",
-    "knn_sq_rerank", "knn_bq2_rerank", "knn_ivfpq", "knn_ivfsq",
-    "knn_ivfbq2",
-    # -- r9-stale: hnsw family (cache rekey overlap) --
-    "knn_hnsw", "hnsw_build", "hnsw_compact_search",
-    "hnsw_routed_upsert_search", "hnsw_routed_delete_search",
-    "hnsw_routed_compact_search", "streaming_hnsw_ingest",
-    "hnsw_recall_gate",
-    # -- r9-stale: SQ/IVF-SQ lifecycle (rides _sq_pair_adc) --
-    "sq_codes", "sq_train", "sq_upsert_search", "sq_delete_search",
-    "ivfsq_upsert_search", "ivfsq_delete_search", "streaming_sq_ingest",
-    # -- r9-stale: the 1-bit BQ cohort --
-    "knn_ivfbq", "knn_ivfbq_filtered", "knn_bq_filtered",
-    # -- r9-stale: relational fill --
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "revenue_by_nation",
-]
-
-# Round-13 rotation queue: the next-oldest cohort — every registered key
-# whose last driver row is r9 after the round-12 window lands (the
-# enforcing policy test pins this list against merged CORRECTNESS
-# r01-r11 + the r12 window): the relational/mm cohorts this round's
-# window had no room for, none touched by round-12 code changes.
-_R13_ROTATION_QUEUE: list[str] = [
+    # -- the r9-stale queue (verdict item 2) --
     "active_month_intersect", "asof_last_click",
     "bucketed_join_revenue", "distinct_counts", "event_value_tiers",
     "grouping_sets_sales", "mm_audio_features", "mm_decode_jpeg_stats",
@@ -161,6 +122,38 @@ _R13_ROTATION_QUEUE: list[str] = [
     "salted_event_type_stats", "sessionize_events",
     "text_hash_features", "top_orders_per_customer",
     "unpivot_order_counts",
+    # -- serving-config evidence (verdict item 8) --
+    "serve_invariants",
+    # -- rewritten this round: distributed IDSelector (item 1) --
+    "knn_ivfpq_filtered", "knn_ivfsq_filtered", "knn_sq_filtered",
+    "knn_ivfbq2_filtered", "knn_bq_filtered", "knn_ivfbq_filtered",
+    # -- rewritten this round: packed-artifact lifecycle (advice r12) --
+    "hnsw_upsert_search", "hnsw_routed_upsert_search",
+    "streaming_hnsw_ingest",
+    # -- r10-stale: rides this round's touched kernels --
+    "argmin_dist", "argmax_dist", "eval_recall", "eval_precision",
+    "result_intersection", "knn_exact_single", "semantic_search",
+    # -- r10-stale: dedup module overlap --
+    "dedup_exact", "doc_fingerprint", "ngram_jaccard_topk",
+    "embedding_near_dups", "simhash_signatures",
+    # -- r10-stale: S1-S3 / V1-V5 reference-parity cohort --
+    "scan_ndjson", "split_dataset", "first_sentence",
+    "vec_magnitude", "vec_dot", "vec_cosine_sim", "vec_cosine_dist",
+    "vec_euclidean_dist",
+]
+
+# Round-14 rotation queue: the next-oldest cohort — every registered key
+# whose last driver row is r10 after the round-13 window lands (the
+# enforcing policy test pins this list against merged CORRECTNESS
+# r01-r12 + the r13 window), none touched by round-13 code changes.
+_R14_ROTATION_QUEUE: list[str] = [
+    "bm25_topk", "chunk_documents", "curation_filter",
+    "hnsw_routed_build", "ivf_assign", "lsh_buckets",
+    "mm_feature_extract", "mm_frame_sample", "mm_payload_metadata",
+    "pii_scrub", "simhash_near_pairs", "stratified_quality_filter",
+    "streaming_session_windows", "streaming_stateful_user_stats",
+    "streaming_tumbling_counts", "text_langid", "text_quality",
+    "text_token_stats", "token_batch_packing",
 ]
 
 # Bench-only serve twins: registered (bench.py resolves headline keys
@@ -2964,7 +2957,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round's rotation budget was spent; BOTH HOLD ROUND-11 WINDOW SLOTS
 # (first driver rows) — this queue is for keys created mid-round after
 # the window is frozen, and is now empty. Stale-key refresh is tracked
-# separately in _R12_ROTATION_QUEUE above.
+# separately in the per-round rotation queue above (_R14_ROTATION_QUEUE).
 _POST_WINDOW_OVERFLOW: list[str] = []
 
 
