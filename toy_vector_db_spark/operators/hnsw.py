@@ -83,6 +83,12 @@ def deterministic_level(vec_id: int, mL: float = ML, max_level: int = L - 1) -> 
     return min(int(-math.log(u) * mL), max_level)
 
 
+# shared immutable empty adjacency entry (round 13: adjacency values
+# are int64 arrays; entries are only ever REPLACED, never mutated in
+# place, so one shared empty is safe)
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
 def _cosine_dist_matrix(
     q: np.ndarray,
     vecs: np.ndarray,
@@ -108,7 +114,14 @@ class LocalHNSW:
     def __init__(self, vectors: np.ndarray):
         self.vectors = vectors.astype(np.float64, copy=False)
         self.norms = np.linalg.norm(self.vectors, axis=1)
-        self.neighbors: list[dict[int, list[int]]] = [dict() for _ in range(L)]
+        # adjacency values are int64 NUMPY ARRAYS, not lists (round 13 —
+        # the insert profile showed ~14% of a build's wall was
+        # list→array conversion in the beam's neighbor fetch: every
+        # expansion re-converted the visited node's list). Arrays are
+        # never mutated in place — append/prune REPLACE the entry — so
+        # order semantics (hence every heap state and tie outcome) are
+        # identical to the list form, fingerprint-proven.
+        self.neighbors: list[dict[int, np.ndarray]] = [dict() for _ in range(L)]
         # read-only CSR adjacency per layer for the SERVING path (round
         # 11, verdict r10 item 3): (indptr, indices) numpy pairs,
         # populated by the search kernel from a shard's packed CSR row
@@ -139,15 +152,9 @@ class LocalHNSW:
             def _nbrs_of(c):
                 return indices[indptr[c]: indptr[c + 1]]
         else:
-            adj = self.neighbors[lc]
-            _EMPTY = np.empty(0, dtype=np.int64)
-
-            def _nbrs_of(c):
-                lst = adj.get(c)
-                return (
-                    _EMPTY if lst is None
-                    else np.asarray(lst, dtype=np.int64)
-                )
+            # adjacency values are int64 arrays already (round 13) —
+            # the fetch is a plain dict get, no per-expansion conversion
+            _nbrs_of = self.neighbors[lc].get
         # visited as a reusable bitmap, neighbor filtering vectorized
         # (round 11: the per-node set-membership listcomp was the
         # serving beam's hottest line). Order within a neighbor list is
@@ -166,6 +173,7 @@ class LocalHNSW:
         heapq.heapify(cand)
         res = [(-d, e) for d, e in cand]
         heapq.heapify(res)
+        vectors, norms = self.vectors, self.norms
         try:
             while cand:
                 dc, c = heapq.heappop(cand)
@@ -173,14 +181,20 @@ class LocalHNSW:
                 if dc > df_worst:  # early termination (src/hnsw.rs:192-197)
                     break
                 nbrs_all = _nbrs_of(c)
-                if len(nbrs_all) == 0:
+                if nbrs_all is None or len(nbrs_all) == 0:
                     continue
                 nbrs = nbrs_all[~visited[nbrs_all]]
                 if len(nbrs) == 0:
                     continue
                 visited[nbrs] = True
                 touched.append(nbrs)
-                dn = self._dist(q, nbrs, qn)
+                # inlined _cosine_dist_matrix (round 13 — the wrapper's
+                # asarray + two call frames were ~10% of a build's wall
+                # at ~285 expansions/insert): identical op sequence,
+                # identical doubles
+                dn = 1.0 - np.maximum(
+                    (vectors[nbrs] @ q) / (norms[nbrs] * qn), 0.0
+                )
                 # vectorized pre-filter (round 12): once res is full its
                 # worst only ever DECREASES (every eviction removes the
                 # current max), so a neighbor with d >= the loop-entry
@@ -191,10 +205,11 @@ class LocalHNSW:
                 # far neighbors (the build hot path's hottest line).
                 if len(res) >= ef:
                     keep = dn < -res[0][0]
-                    if not keep.all():
+                    nk = np.count_nonzero(keep)
+                    if nk == 0:
+                        continue
+                    if nk < len(keep):
                         nbrs, dn = nbrs[keep], dn[keep]
-                        if len(nbrs) == 0:
-                            continue
                 for d, e in zip(dn.tolist(), nbrs.tolist()):
                     if len(res) < ef or d < -res[0][0]:
                         heapq.heappush(cand, (d, e))
@@ -207,12 +222,16 @@ class LocalHNSW:
         return sorted((-nd, e) for nd, e in res)
 
     # -- Algorithm 3 (H8): simple neighbor selection -------------------------
-    def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
+    def _select_neighbors(self, q: np.ndarray, cands, m: int) -> np.ndarray:
+        """Top-m of ``cands`` by (distance, original position) — the
+        stable-argsort order the list form always had; returns an int64
+        array (round 13: adjacency entries are arrays)."""
+        cands = np.asarray(cands, dtype=np.int64)
         if len(cands) <= m:
-            return list(cands)
+            return cands
         d = self._dist(q, cands)
         order = np.argsort(d, kind="stable")[:m]
-        return [cands[i] for i in order]
+        return cands[order]
 
     # -- Algorithm 1 (H6): insert -------------------------------------------
     def insert(self, local_id: int, level: int) -> None:
@@ -221,7 +240,7 @@ class LocalHNSW:
             self.ep = local_id
             self.top_layer = level
             for lc in range(level + 1):
-                self.neighbors[lc][local_id] = []
+                self.neighbors[lc][local_id] = _EMPTY_I64
             return
         ep = [self.ep]
         # greedy descent through layers above the insert level (:138-144)
@@ -235,10 +254,15 @@ class LocalHNSW:
             cand_ids = [e for _, e in w]
             nbrs = self._select_neighbors(q, cand_ids, M_CONN)
             adj = self.neighbors[lc]
-            adj[local_id] = list(nbrs)
-            for e in nbrs:  # bidirectional connect (H5, :107-112)
-                lst = adj.setdefault(e, [])
-                lst.append(local_id)
+            adj[local_id] = nbrs
+            for e in nbrs.tolist():  # bidirectional connect (H5, :107-112)
+                lst = adj.get(e)
+                lst = (
+                    np.array([local_id], dtype=np.int64)
+                    if lst is None or len(lst) == 0
+                    else np.append(lst, local_id)
+                )
+                adj[e] = lst
                 if len(lst) > M_MAX:  # degree-bound prune (:157-167)
                     adj[e] = self._select_neighbors(self.vectors[e], lst, M_MAX)
             ep = cand_ids
@@ -1494,13 +1518,18 @@ def _upsert_parted(
             idx.top_layer, idx.ep = top, ep
             id2loc = {int(g): i for i, g in enumerate(ids)}
             e = edge_pdf.sort_values(["layer", "src", "pos"])
+            tmp: dict[tuple[int, int], list[int]] = {}
             for layer, src, dst in zip(
                 e["layer"].to_numpy(), e["src"].to_numpy(),
                 e["dst"].to_numpy(),
             ):
-                idx.neighbors[int(layer)].setdefault(
-                    id2loc[int(src)], []
+                tmp.setdefault(
+                    (int(layer), id2loc[int(src)]), []
                 ).append(id2loc[int(dst)])
+            # adjacency entries are int64 arrays (round 13): build the
+            # per-(layer, src) lists once, convert once
+            for (layer, src), lst in tmp.items():
+                idx.neighbors[layer][src] = np.asarray(lst, dtype=np.int64)
             for local in range(len(old_ids), len(ids)):
                 idx.insert(local, levels[local])
         rows = [
