@@ -345,20 +345,31 @@ def semdedup_cells(spark, base, n_base: int, n_cells: int) -> None:
     payload_bytes = cids.nbytes + C.nbytes + C.shape[0] * 8  # + cmag
     base_m = base.select("vec_id", "embedding")
 
-    def run():
+    def run(tag):
         t0 = time.perf_counter()
         n = dedup._semdedup_assign_kernel(
             base_m, cvecs, "vec_id", "embedding"
         ).count()
         assert n == n_base
-        return round(time.perf_counter() - t0, 2)
+        w = round(time.perf_counter() - t0, 2)
+        # checkpoint per run (round 13: the 50k-cell runs are ~10 min
+        # each — a partial study is still evidence)
+        print(json.dumps({
+            "mode": f"semdedup_assign_{n_cells}_cells_run",
+            "path": tag, "wall_sec": w,
+        }), flush=True)
+        return w
 
-    run()  # warmup
-    bcast_walls = [run() for _ in range(2)]
+    # at 10k cells the full 1-warmup + 2×2 protocol is cheap; at the
+    # 50k regime each run is ~10 min, so one run per path (plus one
+    # warmup) is the protocol — walls dwarf warmup noise at that scale
+    reps = 2 if n_cells <= 10_000 else 1
+    run("warmup")
+    bcast_walls = [run("broadcast") for _ in range(reps)]
     saved = dedup.SEM_CENTROID_BROADCAST_MIN_BYTES
     try:
         dedup.SEM_CENTROID_BROADCAST_MIN_BYTES = 10**12  # force closure
-        closure_walls = [run() for _ in range(2)]
+        closure_walls = [run("closure") for _ in range(reps)]
     finally:
         dedup.SEM_CENTROID_BROADCAST_MIN_BYTES = saved
     print(json.dumps({
