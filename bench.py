@@ -186,8 +186,12 @@ def _load_sentinel() -> dict:
     return out
 
 
-def _load_record(sent0: dict, sent1: dict) -> dict:
+def _load_record(sent_amb: dict, sent0: dict, sent1: dict) -> dict:
     rec: dict = {}
+    if "loadavg" in sent_amb:
+        # captured at PROCESS start, before the session/warmup raise
+        # loadavg themselves — the ambient-contention signal
+        rec["loadavg_ambient"] = sent_amb["loadavg"]
     if "loadavg" in sent0:
         rec["loadavg_start"] = sent0["loadavg"]
     if "loadavg" in sent1:
@@ -205,6 +209,10 @@ def _load_record(sent0: dict, sent1: dict) -> dict:
 
 
 def main() -> None:
+    # ambient load FIRST — before the Spark session and the warmup pass
+    # drive loadavg up themselves; this is the "load the bench did not
+    # create" number a reader compares across rounds
+    sent_ambient = _load_sentinel()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # local-mode Spark defaults to a 1 GB JVM heap shared by all 32
@@ -321,7 +329,7 @@ def main() -> None:
             # force full execution; result sets are small by construction
             df.collect()
             samples[name].append(time.perf_counter() - t0)
-    load = _load_record(sent0, _load_sentinel())
+    load = _load_record(sent_ambient, sent0, _load_sentinel())
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     run_counts: dict[str, int] = {}
@@ -425,12 +433,12 @@ def summary_lines(
     }
     # load sentinel scalars (round 13, verdict r12 item 3): ~30 B that
     # let a reader separate ambient-contention drift from regression —
-    # la1 is the 1-min loadavg BEFORE the timed sweeps (load the bench
-    # did not create), busy the system-wide busy-CPU fraction during
-    # them
+    # la1 is the 1-min loadavg at PROCESS start (load the bench did not
+    # create; post-warmup loadavg is self-inflicted), busy the
+    # system-wide busy-CPU fraction during the timed sweeps
     if load:
-        if "loadavg_start" in load:
-            base["la1"] = load["loadavg_start"][0]
+        if "loadavg_ambient" in load:
+            base["la1"] = load["loadavg_ambient"][0]
         if "busy_cpu_frac" in load:
             base["busy"] = load["busy_cpu_frac"]
     one = json.dumps({**base, "queries": q2}, **compact)
