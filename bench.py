@@ -159,6 +159,117 @@ R1_COMPARABLE = [
 ]
 
 
+# Load gate (round 14, verdict r13 item 1): three rounds running, the
+# driver-graded BENCH record was taken on a loaded machine (r13: ambient
+# loadavg 7.28 at process start -> 103.1 s headline vs 81.3 s on the
+# same tree quiet) and every judge re-benched to adjudicate drift vs
+# regression. The r13 sentinel made contamination self-evidencing; this
+# finishes the job by REFUSING to start until the machine is quiet:
+# poll /proc/loadavg and wait (bounded) until the 1-min average drops
+# below LOAD_GATE_LA1, recording waited-seconds and the la1 we finally
+# proceeded at; if the deadline expires, proceed anyway and carry an
+# explicit "contaminated": true flag into the record + summary tail.
+#
+# The gate sits at PROCESS START, before the Spark session — not
+# between warmup and the timed sweeps — because la1 at process start is
+# PURE ambient signal (load the bench did not create), which is exactly
+# what the record's la1 field reports. After the 32-thread warmup the
+# 1-min average reflects the bench's own work and needs ~2 min of pure
+# exponential decay to cross 1.0 even on an otherwise idle box — a
+# wait every quiet run would pay for nothing (the self-load is the same
+# every round, so it cancels in round-over-round comparison; ambient
+# load is what doesn't).
+LOAD_GATE_LA1 = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+LOAD_GATE_DEADLINE_SEC = float(
+    os.environ.get("SPARK_GRAFT_LOAD_GATE_DEADLINE", "600")
+)
+_LOAD_GATE_POLL_SEC = 5.0
+
+
+# Build keys populate session caches that later search keys reuse
+# (dedup_minhash_lsh builds the pair cache that dup_clusters reuses;
+# eval_recall materializes the two retrieval runs all three evaluation
+# metrics score). A repeat of a build key would measure the cache hit,
+# so the timed samples evict exactly the entries the key OWNS (see the
+# warmup pass in main) — each sample re-executes the real build, and the
+# final sample's artifacts remain for the downstream keys. Module-level
+# so the --keys subset path provably routes through the SAME
+# ownership/eviction machinery (contract-tested).
+BUILD_KEYS = {
+    "hnsw_build", "ivf_train", "pq_train", "pq_codes", "ivfpq_build",
+    "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
+    "sq_train",
+}
+
+
+def resolve_names(argv: list[str], qmap: dict) -> list[str]:
+    """Key selection for a bench run — ONE resolution point so every
+    mode (headline, --all, --keys) feeds the same warmup/ownership/
+    eviction machinery in main().
+
+    --all        every registered key: the regression guard for queries
+                 outside the headline set (and outside the driver's
+                 correctness window), so a slowdown in an unbenched
+                 operator can't hide between rounds.
+    --keys a,b,c exactly those keys (round 14, verdict r13 item 3): the
+                 adjudication tool — re-pricing one regressed key no
+                 longer costs a full ~2-min headline sweep. Unknown
+                 keys fail loudly (a typo must not silently bench an
+                 empty set). Selection is re-ordered HEADLINE-first
+                 (then registry order) so a build key still runs before
+                 its consumers when both are selected; each selected
+                 key's own untimed warmup run builds whatever upstream
+                 artifacts it needs either way.
+    (default)    the headline set."""
+    if "--all" in argv:
+        return list(qmap)
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit("--keys requires a comma-separated key list")
+        want = [s for s in argv[i + 1].split(",") if s]
+        unknown = sorted(set(want) - set(qmap))
+        if unknown:
+            raise SystemExit(f"--keys: unknown keys {unknown}")
+        wset = set(want)
+        return [n for n in HEADLINE if n in wset] + [
+            n for n in qmap if n in wset and n not in HEADLINE
+        ]
+    return [n for n in HEADLINE if n in qmap]
+
+
+def _read_la1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def wait_for_quiet_machine() -> dict:
+    """Block (up to LOAD_GATE_DEADLINE_SEC) until the 1-min loadavg is
+    below LOAD_GATE_LA1; returns the gate record for the bench output.
+    A machine whose /proc/loadavg is unreadable passes the gate (no
+    signal is not a reason to refuse to bench) with la1_at_gate null."""
+    waited = 0.0
+    la1 = _read_la1()
+    while (
+        la1 is not None
+        and la1 >= LOAD_GATE_LA1
+        and waited < LOAD_GATE_DEADLINE_SEC
+    ):
+        step = min(_LOAD_GATE_POLL_SEC, LOAD_GATE_DEADLINE_SEC - waited)
+        time.sleep(step)
+        waited += step
+        la1 = _read_la1()
+    return {
+        "threshold": LOAD_GATE_LA1,
+        "waited_sec": round(waited, 1),
+        "la1_at_gate": la1,
+        "contaminated": bool(la1 is not None and la1 >= LOAD_GATE_LA1),
+    }
+
+
 def _load_sentinel() -> dict:
     """Machine-load snapshot (round 13, verdict r12 item 3): the r12
     graded bench ran under heavy ambient load (same-tree totals
@@ -209,9 +320,12 @@ def _load_record(sent_amb: dict, sent0: dict, sent1: dict) -> dict:
 
 
 def main() -> None:
-    # ambient load FIRST — before the Spark session and the warmup pass
-    # drive loadavg up themselves; this is the "load the bench did not
-    # create" number a reader compares across rounds
+    # load gate FIRST (round 14, verdict r13 item 1), then the ambient
+    # sentinel — before the Spark session and the warmup pass drive
+    # loadavg up themselves; la1 is the "load the bench did not create"
+    # number a reader compares across rounds, and after the gate it is
+    # below LOAD_GATE_LA1 unless the record says "contaminated"
+    gate = wait_for_quiet_machine()
     sent_ambient = _load_sentinel()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -253,25 +367,8 @@ def main() -> None:
     from toy_vector_db_spark import caches
 
     qmap = registry.queries()
-    if "--all" in sys.argv:
-        # regression guard for queries outside the headline set (and outside
-        # the driver's correctness window): bench EVERY registered query so
-        # a slowdown in an unbenched operator can't hide between rounds
-        names = list(qmap)
-    else:
-        names = [n for n in HEADLINE if n in qmap]
-    # Build keys populate session caches that later search keys reuse
-    # (dedup_minhash_lsh builds the pair cache that dup_clusters reuses;
-    # eval_recall materializes the two retrieval runs all three evaluation
-    # metrics score). A repeat of a build key would measure the cache hit,
-    # so the timed samples evict exactly the entries the key OWNS (see the
-    # warmup pass below) — each sample re-executes the real build, and the
-    # final sample's artifacts remain for the downstream keys.
-    build_keys = {
-        "hnsw_build", "ivf_train", "pq_train", "pq_codes", "ivfpq_build",
-        "hnsw_routed_build", "dedup_minhash_lsh", "eval_recall",
-        "sq_train",
-    }
+    names = resolve_names(sys.argv, qmap)
+    build_keys = BUILD_KEYS
     # Key-level warmup pass (round 9, verdict r8 item 1): run EVERY
     # headline key once untimed, in headline order, recording for each
     # BUILD key exactly which session-cache entries its run created
@@ -330,6 +427,7 @@ def main() -> None:
             df.collect()
             samples[name].append(time.perf_counter() - t0)
     load = _load_record(sent_ambient, sent0, _load_sentinel())
+    load["load_gate"] = gate
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     run_counts: dict[str, int] = {}
@@ -441,6 +539,11 @@ def summary_lines(
             base["la1"] = load["loadavg_ambient"][0]
         if "busy_cpu_frac" in load:
             base["busy"] = load["busy_cpu_frac"]
+        # round 14 (verdict r13 item 1): the load gate's verdict rides
+        # the summary tail — la1 < threshold is now guaranteed unless
+        # this flag says the 10-min deadline expired on a loaded box
+        if load.get("load_gate", {}).get("contaminated"):
+            base["contaminated"] = True
     one = json.dumps({**base, "queries": q2}, **compact)
     if len(one) <= SUMMARY_BUDGET:
         return [one]

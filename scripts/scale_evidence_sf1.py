@@ -510,7 +510,118 @@ def mm_skew_scale(spark) -> None:
     spark.stop()
 
 
+def ivf_train_decomposition(spark, sf_dir: str) -> None:
+    """Round 14 (verdict r13 item 8): decompose ivf_train's bench wall
+    into its terms at the graded SF — the most expensive headline key
+    (4.33 graded / ~2.2-3.0 quiet in r13) has never had its own split.
+    The key's plan is: bounded sample collect (ids < TRAIN_SAMPLE, one
+    scan+orderBy+collect job) + the driver-side deterministic Lloyd's
+    loop (bit-parity numpy folds, the oracle-shared discipline) +
+    warming the serving-side caches the build key owns (assign over the
+    full base + the persisted cell-partitioned base table — the bench
+    build/search split charges these to the BUILD key) + the 1024-row
+    posexplode emit. Times each term in isolation (warm upstream, min
+    of 5) plus the full key with its owned caches evicted per rep —
+    exactly what a timed bench sample measures."""
+    from toy_vector_db_spark import registry
+    from toy_vector_db_spark.registry import _split
+
+    base, _ = _split(spark, sf_dir)
+    key_fn = registry.queries()["ivf_train"]
+    key_fn(spark, sf_dir).collect()  # warm scans + JIT once, untimed
+
+    def evict_owned():
+        # the caches an ivf_train run populates (bench evicts exactly
+        # these before each timed sample via warmup-pass ownership)
+        for d in (
+            similarity._ASSIGN_CACHE,
+            similarity._CELL_VECTORS_CACHE,
+        ):
+            for v in d.values():
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+            d.clear()
+        similarity._SAMPLE_CACHE.clear()
+        similarity._TRAINED_CACHE.clear()
+
+    def timed(fn, reps=5):
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        return walls
+
+    # term 1: the bounded training-sample collect (cold each rep)
+    def sample():
+        similarity._SAMPLE_CACHE.clear()
+        similarity._train_sample(base, "vec_id", "embedding")
+
+    t_sample = timed(sample)
+    # term 2: the driver-side Lloyd's loop (sample warm; createDataFrame
+    # of the 16-row result is part of the term — it is how the trained
+    # centroids re-enter Spark)
+    similarity._train_sample(base, "vec_id", "embedding")
+
+    def kmeans():
+        similarity._TRAINED_CACHE.clear()
+        similarity.cached_trained_centroids(base)
+
+    t_kmeans = timed(kmeans)
+    # term 3: the serving-side cache warm the build key owns — assign
+    # the FULL base under the trained centroids, persist+count the
+    # assignment and the cell-partitioned base table (centroids warm)
+    similarity.cached_trained_centroids(base)
+
+    def cell_build():
+        for d in (
+            similarity._ASSIGN_CACHE,
+            similarity._CELL_VECTORS_CACHE,
+        ):
+            for v in d.values():
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+            d.clear()
+        similarity.cached_cell_vectors(base)
+
+    t_cells = timed(cell_build)
+    # term 4: the emit — everything warm, posexplode of the 16×64
+    # literal + collect
+    t_emit = timed(lambda: key_fn(spark, sf_dir).collect())
+    # the full key as a timed bench sample measures it
+    def full():
+        evict_owned()
+        key_fn(spark, sf_dir).collect()
+
+    t_full = timed(full)
+    print(json.dumps({
+        "mode": "ivf_train_decomposition",
+        "sf_dir": sf_dir,
+        "sample_collect_sec": t_sample,
+        "kmeans_driver_sec": t_kmeans,
+        "cell_cache_build_sec": t_cells,
+        "emit_sec": t_emit,
+        "full_key_sec": t_full,
+        "sample_min": min(t_sample),
+        "kmeans_min": min(t_kmeans),
+        "cells_min": min(t_cells),
+        "emit_min": min(t_emit),
+        "full_min": min(t_full),
+    }), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--ivftrain" in sys.argv:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+        spark = get_spark("tvdb-scale-evidence")
+        spark.sparkContext.setLogLevel("ERROR")
+        ivf_train_decomposition(spark, "/root/testdata/sf0.1")
+        return
     if "--build1m" in sys.argv:
         build_1m_scale()
         return

@@ -176,6 +176,96 @@ def test_bench_warns_when_build_key_owns_nothing():
     assert warn < timed, "ownership check must precede the timed loop"
 
 
+def test_resolve_names_keys_flag_reuses_eviction_machinery():
+    """Round 14 (verdict r13 item 3): `--keys a,b,c` benches exactly
+    those keys through the SAME warmup/ownership/eviction machinery —
+    resolve_names is the single selection point feeding main()'s loops,
+    and the timed loop's build-key branch tests membership in the
+    module-level BUILD_KEYS by name, so a subset containing a build key
+    still evicts its owned entries before every sample."""
+    import pytest
+
+    import bench
+
+    qmap = {n: None for n in bench.HEADLINE}
+    qmap["post_window_extra"] = None
+    # subset re-orders HEADLINE-first (build before consumer), then
+    # registry order for non-headline keys
+    names = bench.resolve_names(
+        ["bench.py", "--keys", "knn_hnsw,post_window_extra,hnsw_build"],
+        qmap,
+    )
+    assert names == ["hnsw_build", "knn_hnsw", "post_window_extra"]
+    # a typo must fail loudly, not bench an empty set
+    with pytest.raises(SystemExit):
+        bench.resolve_names(["bench.py", "--keys", "no_such_key"], qmap)
+    with pytest.raises(SystemExit):
+        bench.resolve_names(["bench.py", "--keys"], qmap)
+    # default and --all unchanged
+    assert bench.resolve_names(["bench.py"], qmap) == [
+        n for n in bench.HEADLINE if n in qmap
+    ]
+    assert bench.resolve_names(["bench.py", "--all"], qmap) == list(qmap)
+    # the subset path and the headline path share the eviction branch:
+    # main() binds build_keys to the module constant and branches on it
+    # inside the (mode-agnostic) timed loop
+    src = (REPO / "bench.py").read_text()
+    assert "build_keys = BUILD_KEYS" in src
+    assert "resolve_names(sys.argv, qmap)" in src
+    assert src.count("resolve_names(sys.argv") == 1, (
+        "exactly one selection point must feed the bench loops"
+    )
+    assert "hnsw_build" in bench.BUILD_KEYS
+
+
+def test_load_gate_blocks_until_quiet_and_flags_contamination(monkeypatch):
+    """Round 14 (verdict r13 item 1): bench refuses to start the timed
+    work on a loaded machine — it polls /proc/loadavg (bounded) until
+    la1 < LOAD_GATE_LA1, and if the deadline expires it proceeds with an
+    explicit contaminated flag instead of publishing a silently noisy
+    record."""
+    import bench
+
+    # quiet machine: passes instantly, no contamination
+    monkeypatch.setattr(bench, "_read_la1", lambda: 0.2)
+    rec = bench.wait_for_quiet_machine()
+    assert rec == {
+        "threshold": bench.LOAD_GATE_LA1,
+        "waited_sec": 0.0,
+        "la1_at_gate": 0.2,
+        "contaminated": False,
+    }
+    # loaded machine + expired deadline: proceeds, flagged
+    monkeypatch.setattr(bench, "_read_la1", lambda: 9.9)
+    monkeypatch.setattr(bench, "LOAD_GATE_DEADLINE_SEC", 0.2)
+    rec = bench.wait_for_quiet_machine()
+    assert rec["contaminated"] is True and rec["la1_at_gate"] == 9.9
+    assert rec["waited_sec"] > 0
+    # unreadable loadavg: no signal is not a reason to refuse to bench
+    monkeypatch.setattr(bench, "_read_la1", lambda: None)
+    rec = bench.wait_for_quiet_machine()
+    assert rec["contaminated"] is False and rec["la1_at_gate"] is None
+    # the gate runs BEFORE the Spark session in main (ambient signal)
+    src = (REPO / "bench.py").read_text()
+    assert src.index("gate = wait_for_quiet_machine()") < src.index(
+        "get_spark("
+    )
+    # and the flag reaches the parsed summary tail
+    fake = {name: 99.99 for name in bench.HEADLINE}
+    fake_min = {name: 88.88 for name in bench.HEADLINE}
+    load = {
+        "loadavg_ambient": [9.9, 9.0, 8.0],
+        "busy_cpu_frac": 0.9,
+        "load_gate": {"contaminated": True},
+    }
+    lines = bench.summary_lines(
+        fake, fake_min, 9999.999, 9999.999, 0.1, load
+    )
+    blob = "\n".join(lines) + "\n"
+    assert len(blob.encode()) <= 2048
+    assert json.loads(lines[-1])["contaminated"] is True
+
+
 def test_summary_fits_driver_tail_at_current_headline_count():
     """Round 11 (verdict r10 item 6): the WHOLE summary — every line
     that must survive in the driver's 2 kB tail capture — has to fit in

@@ -117,6 +117,66 @@ def test_png_stats_equal_raw_stats(spark, documents):
     assert a == b
 
 
+def test_png_rgb_codec_roundtrips_all_filters():
+    """Color type 2 (round 14): lossless RGB round-trip across shapes,
+    deterministic bytes, IHDR color byte 2, and all FIVE scanline
+    filters present in any ≥5-row stream — with the bpp=3 byte offset
+    load-bearing (a gradient image makes Sub/Paeth predictions differ
+    between offset 1 and offset 3, so an offset bug cannot round-trip).
+    Corruption stays loud on the color path too."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 16), (7, 16), (16, 1), (40, 16), (200, 16)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        png = multimodal._encode_png(img)
+        assert png[:8] == multimodal._PNG_SIG
+        assert png[8 + 8 + 9] == 2  # IHDR color type (8 sig + len/type + 9)
+        dec = multimodal._decode_payload(png, multimodal.PNG_MIME)
+        assert dec.shape == img.shape and (dec == img).all(), (h, w)
+    # a channel-wise gradient: adjacent BYTES differ from adjacent PIXELS,
+    # so a decoder unfiltering at offset 1 instead of bpp=3 corrupts rows
+    grad = (
+        np.arange(10 * 16 * 3, dtype=np.int64).reshape(10, 16, 3) * 7 % 256
+    ).astype(np.uint8)
+    png = multimodal._encode_png(grad)
+    assert png == multimodal._encode_png(grad)  # deterministic
+    assert (multimodal._decode_png(png) == grad).all()
+    pos, idat = 8, b""
+    while pos < len(png):
+        n = int.from_bytes(png[pos:pos + 4], "big")
+        if png[pos + 4:pos + 8] == b"IDAT":
+            idat += png[pos + 8:pos + 8 + n]
+        pos += 12 + n
+    lines = zlib.decompress(idat)
+    rowlen = 16 * 3 + 1
+    assert {lines[r * rowlen] for r in range(10)} == {0, 1, 2, 3, 4}
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal._decode_png(bytes(corrupt))
+
+
+def test_png_rgb_stats_exact_on_synthetic_docs(spark):
+    """Exact per-channel byte math on controlled text: byte i (1-based)
+    is channel (i−1)%3; zero padding to the 48-byte stride contributes 0
+    to sums and never wins a max. Empty docs decode to the 0-pixel image
+    with all-zero stats."""
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_png_rgb_stats(docs).collect()}
+    a, b, c, d, e = (ord(ch) for ch in "abcde")
+    r1 = rows[1]
+    assert (r1.height, r1.width, r1.n_pixels) == (1, 16, 48)
+    assert (r1.r_sum, r1.g_sum, r1.b_sum) == (a + d, b + e, c)
+    assert (r1.r_max, r1.g_max, r1.b_max) == (d, e, c)
+    r2 = rows[2]
+    assert (r2.height, r2.n_pixels, r2.r_sum, r2.b_max) == (0, 0, 0, 0)
+
+
 def test_audio_features_on_synthetic_signal(spark):
     """Mean-crossing math on controlled signals (the ASCII corpus only
     drives a narrow byte range, so the kernel is pinned on synthetic

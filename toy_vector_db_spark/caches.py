@@ -55,6 +55,7 @@ def _cache_dicts() -> list[dict]:
         hnsw._PACKED_EDGE_CACHE,
         knn._QUERY_BATCH_CACHE,
         knn._QUERY_COUNT_CACHE,
+        knn._QLABEL_MAP_CACHE,
         ingest._INGEST_CACHE,
         registry._N_CACHE,
         registry._EVAL_CACHE,
@@ -81,8 +82,15 @@ def _unpersist(value: Any) -> None:
         except Exception:
             pass  # session already stopped — nothing to release
     elif isinstance(value, Broadcast):
+        # unpersist, NOT destroy (advice r13): destroy() invalidates the
+        # handle, so a persisted downstream frame that lazily references
+        # the broadcast (e.g. a cached assignment frame over the
+        # SemDeDup kernel) would fail with 'Broadcast destroyed' if it
+        # ever lost storage and recomputed after eviction. unpersist
+        # releases the executor copies but keeps the driver copy
+        # re-broadcastable, so such a recompute transparently re-ships.
         try:
-            value.destroy()
+            value.unpersist()
         except Exception:
             pass
     elif isinstance(value, (tuple, list)):

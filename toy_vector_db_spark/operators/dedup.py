@@ -860,7 +860,9 @@ SEM_ASSIGN_BLOCK_DOUBLES = 32 << 20
 # fresh broadcast on every call and never released it, so repeated
 # large-centroid assignments accumulated broadcast blocks on the driver
 # and executors for the session's lifetime. Registered in
-# caches._cache_dicts(); eviction destroys the handle.
+# caches._cache_dicts(); eviction UNPERSISTS the handle (advice r13:
+# destroy would break any persisted frame that lazily re-references the
+# broadcast on recompute; unpersist keeps it re-broadcastable).
 _SEM_BCAST_CACHE: dict[tuple, object] = {}
 
 

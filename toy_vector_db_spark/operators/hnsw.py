@@ -620,8 +620,16 @@ def _incremental_pack(
         _packed_key(old_parted, old_edges, id_col), None
     )
     if old is not None:
-        # release the superseded artifact: at most the latest packed
-        # frame per index lineage stays persisted
+        # release the superseded artifact. For a localCheckpoint frame
+        # Dataset.unpersist only clears CacheManager entries — the
+        # checkpoint blocks are RDD-level storage that the
+        # ContextCleaner releases once the superseded Dataset becomes
+        # unreachable (advice r13: release is GC-DEFERRED, not
+        # immediate). Dropping the cache entry here removes the last
+        # live reference, so at most one superseded frame per lineage
+        # transiently holds blocks between eviction and the cleaner's
+        # next pass — bounded, and a non-issue for the one-frame-deep
+        # ingest sessions the bench and tests run.
         old.unpersist()
 
 

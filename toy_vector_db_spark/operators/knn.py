@@ -320,6 +320,9 @@ def _collected_queries(
     return _QUERY_BATCH_CACHE[key]
 
 
+_QLABEL_MAP_CACHE: dict[tuple, dict] = {}
+
+
 def _collected_qlabel_map(
     queries: DataFrame, query_id_col: str, qlabel_col: str
 ) -> dict:
@@ -330,11 +333,25 @@ def _collected_qlabel_map(
     rides the distributed query frame end to end; this collect is the
     bounded-batch materialization of it, not a separate driver-side
     source of truth — oversized batches never reach it because the
-    kernels' Catalyst fallbacks filter on the COLUMN instead)."""
-    return {
-        int(r[0]): r[1]
-        for r in queries.select(query_id_col, qlabel_col).collect()
-    }
+    kernels' Catalyst fallbacks filter on the COLUMN instead).
+
+    Memoized per (appId, semanticHash, file snapshot) exactly like
+    _collected_queries (advice r13: the uncached form paid one extra
+    Spark job over the query frame on EVERY bounded filtered serving
+    call); registered in caches._cache_dicts."""
+    key = (
+        queries.sparkSession.sparkContext.applicationId,
+        queries.semanticHash(),
+        _input_snapshot(queries),
+        query_id_col,
+        qlabel_col,
+    )
+    if key not in _QLABEL_MAP_CACHE:
+        _QLABEL_MAP_CACHE[key] = {
+            int(r[0]): r[1]
+            for r in queries.select(query_id_col, qlabel_col).collect()
+        }
+    return _QLABEL_MAP_CACHE[key]
 
 
 class _TopRAcc:

@@ -370,22 +370,29 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _encode_png(img: np.ndarray) -> bytes:
-    """Encode an (h, w, 1) uint8 grayscale image as a PNG (bit depth 8,
-    color type 0). Filter type for row r is r % 5, so every stream longer
-    than 4 rows contains all five filters. zlib level pinned for
-    determinism (same bytes on every executor/run)."""
+    """Encode an (h, w, 1) grayscale or (h, w, 3) truecolor uint8 image
+    as a PNG (bit depth 8, color type 0 or 2 — RFC 2083 §6). Filter type
+    for row r is r % 5, so every stream longer than 4 rows contains all
+    five filters. Filters operate BYTEWISE with the "left" neighbour bpp
+    bytes back (one byte per sample × c samples per pixel — RFC 2083
+    §6.2: "the byte corresponding to it in the pixel to the left"), so
+    the same vectorized row math serves both color types. zlib level
+    pinned for determinism (same bytes on every executor/run)."""
     import zlib
 
     h, w, c = img.shape
-    if c != 1 or h < 1 or w < 1:
-        raise ValueError(f"PNG encoder handles non-empty gray images, got {img.shape}")
-    gray = img[:, :, 0]
-    prior = np.zeros(w, dtype=np.int16)
+    if c not in (1, 3) or h < 1 or w < 1:
+        raise ValueError(
+            f"PNG encoder handles non-empty gray/RGB images, got {img.shape}"
+        )
+    rowlen = w * c  # bytes per scanline; bpp == c at depth 8
+    flat = img.reshape(h, rowlen)
+    prior = np.zeros(rowlen, dtype=np.int16)
     lines = bytearray()
     for r in range(h):
-        raw = gray[r].astype(np.int16)
-        left = np.concatenate(([0], raw[:-1]))
-        upleft = np.concatenate(([0], prior[:-1]))
+        raw = flat[r].astype(np.int16)
+        left = np.concatenate((np.zeros(c, dtype=np.int16), raw[:-c]))
+        upleft = np.concatenate((np.zeros(c, dtype=np.int16), prior[:-c]))
         ftype = r % 5
         if ftype == 0:
             filt = raw
@@ -405,9 +412,10 @@ def _encode_png(img: np.ndarray) -> bytes:
         lines.append(ftype)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
         prior = raw
+    color = 0 if c == 1 else 2
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 0, 0, 0, 0])  # depth 8, gray, deflate, adaptive, no interlace
+        + bytes([8, color, 0, 0, 0])  # depth 8, deflate, adaptive, no interlace
     )
     return (
         _PNG_SIG
@@ -419,14 +427,16 @@ def _encode_png(img: np.ndarray) -> bytes:
 
 def _decode_png(payload: bytes) -> np.ndarray:
     """From-scratch PNG decoder for the subset the encoder emits (8-bit
-    grayscale, non-interlaced), strict: signature, chunk CRCs, IHDR
-    fields, inflated length, and filter types are all verified loudly —
-    a corrupt payload must fail, not decode a garbage prefix."""
+    grayscale color type 0 or truecolor color type 2, non-interlaced),
+    strict: signature, chunk CRCs, IHDR fields, inflated length, and
+    filter types are all verified loudly — a corrupt payload must fail,
+    not decode a garbage prefix. Unfiltering is BYTEWISE with the left
+    neighbour bpp (= channel count) bytes back, per RFC 2083 §6.2."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError(f"bad PNG signature: {payload[:8]!r}")
-    pos, w, h, idat = 8, None, None, bytearray()
+    pos, w, h, c, idat = 8, None, None, None, bytearray()
     while pos < len(payload):
         n = int.from_bytes(payload[pos:pos + 4], "big")
         ctype = payload[pos + 4:pos + 8]
@@ -438,11 +448,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, color, interlace = data[8], data[9], data[12]
-            if (depth, color, interlace) != (8, 0, 0):
+            if depth != 8 or color not in (0, 2) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG variant depth={depth} color={color} "
                     f"interlace={interlace}"
                 )
+            c = 1 if color == 0 else 3
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -456,38 +467,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream — keep errors typed
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if len(raw) != h * (w + 1):
-        raise ValueError(f"PNG inflated size {len(raw)} != {h}x({w}+1)")
-    out = np.zeros((h, w), dtype=np.uint8)
-    prior = np.zeros(w, dtype=np.int32)
+    rowlen = w * c  # scanline bytes; bpp == c at depth 8
+    if len(raw) != h * (rowlen + 1):
+        raise ValueError(f"PNG inflated size {len(raw)} != {h}x({rowlen}+1)")
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    prior = np.zeros(rowlen, dtype=np.int32)
     for r in range(h):
-        ftype = raw[r * (w + 1)]
+        ftype = raw[r * (rowlen + 1)]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=w, offset=r * (w + 1) + 1
+            raw, dtype=np.uint8, count=rowlen, offset=r * (rowlen + 1) + 1
         ).astype(np.int32)
         if ftype == 0:
             recon = line % 256
         elif ftype == 2:
             recon = (line + prior) % 256
         elif ftype in (1, 3, 4):
-            recon = np.zeros(w, dtype=np.int32)
-            left = 0
-            for i in range(w):
+            recon = np.zeros(rowlen, dtype=np.int32)
+            for i in range(rowlen):
+                left = int(recon[i - c]) if i >= c else 0
                 up = int(prior[i])
-                upleft = int(prior[i - 1]) if i else 0
+                upleft = int(prior[i - c]) if i >= c else 0
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(left, up, upleft)
-                left = (int(line[i]) + pred) % 256
-                recon[i] = left
+                recon[i] = (int(line[i]) + pred) % 256
         else:
             raise ValueError(f"PNG filter type {ftype} out of range")
         out[r] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(h, w, 1)
+    return out.reshape(h, w, c)
 
 
 def _reframe_payload(docs: DataFrame, encoder, mime: str) -> DataFrame:
@@ -569,6 +580,106 @@ def decode_png_stats(docs: DataFrame) -> DataFrame:
         schema="doc_id long, height long, width long, n_pixels long, "
         "px_sum long, px_max long",
     )
+
+
+def with_rgb_image_payload(docs: DataFrame) -> DataFrame:
+    """Frame each document's bytes as a CHANNELS=3 RAW_MIME payload:
+    consecutive byte triples are (R, G, B) samples of a width-IMG_W
+    truecolor image — header (magic, width=IMG_W, height=
+    ceil(len/(IMG_W*3)), channels=3) + the text bytes zero-padded to
+    height*IMG_W*3 samples. Pure JVM expressions like the gray framing;
+    the existing raw decoder already honours the channels header byte,
+    so only the framing differs. Byte i (1-based) lands in channel
+    (i-1) % 3 — the stride the RGB oracle mirrors."""
+    stride = IMG_W * 3
+    h = F.ceil(F.length("text") / F.lit(float(stride))).cast("int")
+    header = F.concat(
+        F.lit(RAW_MAGIC),
+        F.unhex(F.lpad(F.conv(F.lit(IMG_W).cast("string"), 10, 16), 4, "0")),
+        F.unhex(F.lpad(F.conv(h.cast("string"), 10, 16), 4, "0")),
+        F.unhex(F.lit("03")),
+    )
+    pixels = F.expr(
+        f"encode(rpad(text, cast(ceil(length(text) / {stride}.0) AS INT)"
+        f" * {stride}, chr(0)), 'UTF-8')"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, pixels).alias("payload"),
+        F.lit(RAW_MIME).alias("mime"),
+    )
+
+
+def decode_png_rgb_stats(docs: DataFrame) -> DataFrame:
+    """Round-trip each document's TRUECOLOR image through REAL PNG
+    (color type 2 — RFC 2083 §6; encode with row-cycling filters whose
+    byte offsets are the 3-byte pixel, then signature/chunk-CRC/zlib/
+    unfilter decode) and emit exact-integer PER-CHANNEL stats. PNG is
+    lossless regardless of color type, so the DuckDB oracle is byte
+    math over the source text at channel stride 3 (PNG_RGB_SQL). ONE
+    fused kernel does frame→encode→decode→stats, the decode_png_stats
+    shape; empty docs (h=0) have no PNG form and keep their raw frame,
+    decoding to the 0-pixel image (all stats 0)."""
+    p = _spread(with_rgb_image_payload(docs))
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [], "n_pixels": [],
+                   "r_sum": [], "g_sum": [], "b_sum": [],
+                   "r_max": [], "g_max": [], "b_max": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                src = _decode_payload(bytes(payload), mime)
+                img = (
+                    _decode_png(_encode_png(src)) if src.shape[0] else src
+                )
+                h, w, _c = img.shape
+                out["doc_id"].append(doc_id)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["n_pixels"].append(img.size)
+                for name, ch in (("r", 0), ("g", 1), ("b", 2)):
+                    plane = img[:, :, ch]
+                    out[f"{name}_sum"].append(
+                        int(plane.sum()) if plane.size else 0
+                    )
+                    out[f"{name}_max"].append(
+                        int(plane.max()) if plane.size else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, height long, width long, n_pixels long, "
+        "r_sum long, g_sum long, b_sum long, "
+        "r_max long, g_max long, b_max long",
+    )
+
+
+# Exact-integer oracle for decode_png_rgb_stats: byte i (1-based) of the
+# text is channel (i-1)%3, so channel c's samples are positions
+# range(c+1, len+1, 3); zero padding adds 0 to sums and never wins a max
+# over ASCII bytes (coalesce covers channels with no source bytes and the
+# empty doc's 0-pixel image). ASCII invariant as for FRAME_SAMPLE_SQL.
+_RGB_STRIDE = IMG_W * 3
+PNG_RGB_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {_RGB_STRIDE}.0) AS BIGINT) AS height,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST(ceil(length(text) / {_RGB_STRIDE}.0) * {_RGB_STRIDE} AS BIGINT)
+         AS n_pixels,
+""" + ",\n".join(
+    f"""       CAST(coalesce(list_sum(list_transform(
+             range({c + 1}, length(text) + 1, 3),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS {nm}_sum,
+       CAST(coalesce(list_max(list_transform(
+             range({c + 1}, length(text) + 1, 3),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS {nm}_max"""
+    for nm, c in (("r", 0), ("g", 1), ("b", 2))
+) + """
+FROM documents
+"""
 
 
 # --- JPEG: baseline T.81, from scratch (round 8) --------------------------

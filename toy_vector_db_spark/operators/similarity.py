@@ -1099,7 +1099,15 @@ def _attach_labels(
     Returns ``(src_labeled, queries_labeled, label_name, qlabel_name)``.
     Both joins are INNER — rows/queries without a label row match
     nothing, the filtered-exact semantic every form of this predicate
-    has always had."""
+    has always had.
+
+    CONTRACT (advice r13): ``labels`` and ``query_labels`` carry at most
+    ONE row per id — they are attribute tables, not relations. A
+    duplicate id here duplicates its rows through the inner join and
+    hence its result rows after the rank window (the round-12 driver
+    dict silently collapsed such duplicates to an arbitrary winner —
+    equally wrong, just quieter). Callers own the uniqueness; every
+    fixture/test label frame is built one-row-per-id."""
     label_name = [c for c in labels.columns if c != id_col][0]
     qlabel_name = [c for c in query_labels.columns if c != query_id_col][0]
     if qlabel_name == label_name:

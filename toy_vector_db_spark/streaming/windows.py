@@ -281,6 +281,9 @@ def _late_stream_input_dir(spark: SparkSession, sf_dir: str) -> str:
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     for i in range(_LATE_SLICES):
+        # bounded replay-FIXTURE staging (a quarter-slice of the events
+        # fixture, written once per sf_dir with pinned mtimes), not an
+        # operator path — the toPandas here is driver-scale by design
         pdf = df.where(F.col("event_id") % _LATE_SLICES == i).toPandas()
         path = os.path.join(d, f"b{i}.parquet")
         pdf.to_parquet(
