@@ -463,6 +463,102 @@ def test_semdedup_assign_row_blocking_bit_identical(
     assert assign() == whole  # exact float equality — bit parity
 
 
+def test_semdedup_assign_matmul_identical_to_fold_path(
+    spark, embeddings, monkeypatch
+):
+    """Round 14 (verdict r13 item 4): the assignment scan is now ONE
+    dgemm with a near-tie parity guard instead of the per-dim fold.
+    Setting the tie margin to +inf makes NO margin exceed it, routing
+    EVERY row through the exact fold path — the old kernel bit for
+    bit. The default (gemm-decided) output must equal that
+    all-fold output exactly: same centroid choices, same emitted _cd
+    doubles — the survivor-set identity the fast path promises."""
+    from toy_vector_db_spark.operators import dedup, similarity
+
+    n_cells = dedup.SEM_KERNEL_MIN_CELLS + 16
+    cents = similarity.cached_trained_centroids(embeddings, n=n_cells)
+    base_m = embeddings.select("vec_id", "embedding")
+    cents_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+
+    def assign():
+        return {
+            int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+            for r in dedup._semdedup_assign_kernel(
+                base_m, cents_rows, "vec_id", "embedding"
+            ).collect()
+        }
+
+    fast = assign()
+    monkeypatch.setattr(dedup, "SEM_MATMUL_TIE_MARGIN", float("inf"))
+    assert assign() == fast  # exact float equality — bit parity
+
+
+def test_semdedup_assign_matmul_tie_break_on_duplicate_centroids(spark):
+    """The near-tie guard's reason to exist: EXACTLY-equal centroids
+    produce a zero fold-space margin (gemm margin ~1e-16, below the
+    tolerance), so the winner must come from the exact fold's
+    first-min tie-break — the lowest centroid INDEX in ascending-id
+    order, never the gemm's rounding luck. Duplicated and
+    1e-13-perturbed centroids both pin this against the Catalyst
+    (d, centroid_id) struct-min form."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # centroids: 0 and 5 identical; 2 and 7 differ by ~1e-13 relative
+    C = rng.standard_normal((8, 8))
+    C[5] = C[0]
+    C[7] = C[2] * (1.0 + 1e-13)
+    cents_rows = [(i, [float(x) for x in C[i]]) for i in range(8)]
+    base_m = base.select("vec_id", "embedding")
+    kernel = {
+        int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+        for r in dedup._semdedup_assign_kernel(
+            base_m, cents_rows, "vec_id", "embedding"
+        ).collect()
+    }
+    cents = spark.createDataFrame(
+        cents_rows, "centroid_id long, centroid_vec array<double>"
+    ).withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    c_sim = F.greatest(
+        F.lit(0.0),
+        V.dot(F.col("embedding"), F.col("centroid_vec"))
+        / (V.magnitude(F.col("embedding")) * F.col("_c_mag")),
+    )
+    expr = {
+        int(r["vec_id"]): (int(r["centroid_id"]), float(r["_cd"]))
+        for r in (
+            base_m.crossJoin(F.broadcast(cents))
+            .withColumn("d", F.lit(1.0) - c_sim)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.centroid_id").alias("centroid_id"),
+                F.col("m.d").alias("_cd"),
+            )
+            .collect()
+        )
+    }
+    assert kernel == expr  # exact float equality — bit parity
+    # the duplicate pair is live: anything assigned to the 0/5 vector
+    # must have resolved to 0 (first-min), never 5
+    assert not any(c == 5 for c, _ in kernel.values())
+    assert any(c == 0 for c, _ in kernel.values())
+
+
 def test_semdedup_prune_kernel_parity(spark, embeddings, monkeypatch):
     """Round 11: above SEM_KERNEL_MIN_CELLS the whole prune — pairwise
     clamped cosine, EXISTS dominance, survivor emission, rounding —

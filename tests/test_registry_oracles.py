@@ -60,18 +60,17 @@ def test_overflow_keys_are_oracled_and_queued():
         assert k not in window, k
 
 
-def test_freshness_policy_no_key_older_than_r10():
+def test_freshness_policy_no_key_older_than_r11():
     """Enforcing freshness policy (verdict r10 item 2, tightened each
-    round): with the round-13 window in place, every registered key's
-    last driver-green row must be r10 or newer — either it has a green
-    row in merged CORRECTNESS r01-r12 at r>=10, or it holds a round-13
-    window slot (the first 50 of queries(); the r9-stale cohort — last
+    round): with the round-14 window in place, every registered key's
+    last driver-green row must be r11 or newer — either it has a green
+    row in merged CORRECTNESS r01-r13 at r>=11, or it holds a round-14
+    window slot (the first 50 of queries(); the r10-stale cohort — last
     round's rotation queue — is fully in-window). Exempt: the four
     bench-only *_serve twins, whose deterministic invariants are
-    driver-hashed via serve_invariants (itself in-window this round,
-    verdict r12 item 8). _R14_ROTATION_QUEUE must be exactly the keys
-    this leaves at r10 (the next-oldest cohort), each registered, each
-    outside the window."""
+    driver-hashed via serve_invariants (green r13). _R15_ROTATION_QUEUE
+    must be exactly the keys this leaves at r11 (the next-oldest
+    cohort), each registered, each outside the window."""
     import glob
     import json
     import re
@@ -89,11 +88,11 @@ def test_freshness_policy_no_key_older_than_r10():
                 hist[k] = max(hist.get(k, 0), rnd_n)
     names = list(registry.queries())
     window = set(names[:50])
-    # the r9-stale cohort (last round's queue) must be fully in-window
-    r9_cohort = {k for k, v in hist.items() if v == 9 and k in names}
-    assert r9_cohort <= window, sorted(r9_cohort - window)
+    # the r10-stale cohort (last round's queue) must be fully in-window
+    r10_cohort = {k for k, v in hist.items() if v == 10 and k in names}
+    assert r10_cohort <= window, sorted(r10_cohort - window)
     too_old = []
-    at_r10 = set()
+    at_r11 = set()
     for k in names:
         if k in registry._SERVE_TWIN_EXEMPT or k in window:
             continue
@@ -104,14 +103,14 @@ def test_freshness_policy_no_key_older_than_r10():
             # enforces once they leave the queue)
             continue
         last = hist.get(k, 0)
-        if last < 10:
+        if last < 11:
             too_old.append((k, last))
-        elif last == 10:
-            at_r10.add(k)
-    assert not too_old, f"keys with last driver row before r10: {too_old}"
-    q14 = set(registry._R14_ROTATION_QUEUE)
-    assert at_r10 == q14, (
-        f"missing from r14 queue: {sorted(at_r10 - q14)}; "
-        f"queued but not r10-stale: {sorted(q14 - at_r10)}"
+        elif last == 11:
+            at_r11.add(k)
+    assert not too_old, f"keys with last driver row before r11: {too_old}"
+    q15 = set(registry._R15_ROTATION_QUEUE)
+    assert at_r11 == q15, (
+        f"missing from r15 queue: {sorted(at_r11 - q15)}; "
+        f"queued but not r11-stale: {sorted(q15 - at_r11)}"
     )
-    assert not q14 & window
+    assert not q15 & window

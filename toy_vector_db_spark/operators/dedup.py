@@ -854,6 +854,25 @@ SEM_CENTROID_BROADCAST_MIN_BYTES = 4 << 20
 # in tests/test_dedup.py).
 SEM_ASSIGN_BLOCK_DOUBLES = 32 << 20
 
+# Near-tie margin for the blocked-matmul argmin (round 14, verdict r13
+# item 4). The kernel's dot products now come from ONE dgemm
+# (rows @ centroids.T) instead of the per-dim parity fold — the fold
+# makes dim full passes over a (rows × cells) accumulator that misses
+# cache at any real cell count (measured 121× slower than the gemm at
+# 50k cells, SCALE.md). The gemm's summation ORDER differs from the
+# fold's, so its distances can differ in the last bits (~1e-14 at
+# dim=64); any row whose top-2 gemm-distance margin does not EXCEED
+# this tolerance is re-verified with the exact parity fold, and every
+# row's emitted _cd is recomputed with the j-order fold against its
+# chosen centroid — so the kernel's OUTPUT stays bit-identical to the
+# Catalyst expression form at every cell count (the existing parity
+# tests pin this) while the scan itself is gemm-priced. 1e-9 sits five
+# orders above the gemm-vs-fold error bound and four below any real
+# embedding margin (measured min 7.9e-6 on Gaussian fixtures); the
+# comparison is written NaN-safe (a NaN margin — zero-magnitude rows —
+# routes to the exact fold).
+SEM_MATMUL_TIE_MARGIN = 1e-9
+
 # (appId, payload sha1) → SparkContext.broadcast of the centroid payload
 # (round 13, advice r12): ONE broadcast per distinct centroid set per
 # session, reused across assignment calls. The round-12 form created a
@@ -864,6 +883,104 @@ SEM_ASSIGN_BLOCK_DOUBLES = 32 << 20
 # destroy would break any persisted frame that lazily re-references the
 # broadcast on recompute; unpersist keeps it re-broadcastable).
 _SEM_BCAST_CACHE: dict[tuple, object] = {}
+
+
+_BLAS_CAPPED = False
+
+
+def _cap_blas_threads() -> None:
+    """Pin the bundled OpenBLAS to ONE thread in this process, once.
+    The gemm scan runs inside Spark python workers — 32 concurrent
+    tasks each spinning up OpenBLAS's extra threads (this wheel is
+    built MAX_THREADS=2) would put 64 runnable threads on 32 cores,
+    and OpenBLAS worker threads spin-wait between calls. One thread
+    per task is the right shape when the executor already owns the
+    parallelism. Thread count never changes emitted values — the
+    deciding margins tolerate gemm rounding and every emitted double
+    comes from the single-threaded parity fold — so this is purely a
+    scheduling guard. Best-effort: an unexpected BLAS build just runs
+    unpinned."""
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        import ctypes
+        import glob as _glob
+        import os as _os
+
+        root = _os.path.join(
+            _os.path.dirname(_os.path.dirname(np.__file__)), "numpy.libs"
+        )
+        for lib in _glob.glob(_os.path.join(root, "*openblas*")):
+            dll = ctypes.CDLL(lib)
+            for sym in (
+                "openblas_set_num_threads64_",
+                "openblas_set_num_threads",
+            ):
+                fn = getattr(dll, sym, None)
+                if fn is not None:
+                    fn(1)
+                    return
+    except Exception:
+        pass
+
+
+def _sem_argmin_block(
+    X: np.ndarray, mag: np.ndarray, C: np.ndarray, cmag: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Blocked-matmul argmin with the parity near-tie guard (round 14,
+    verdict r13 item 4). Three steps, each preserving bit-parity with
+    the per-dim fold the Catalyst expression form computes:
+
+    1. SCAN — one dgemm ``X @ C.T`` prices the (rows × cells) dot
+       block; normalize, clamp, argmin. These distances carry gemm
+       rounding (≤ ~1e-14 off the fold's), so they only ever DECIDE,
+       never get emitted.
+    2. GUARD — rows whose top-2 margin does not exceed
+       SEM_MATMUL_TIE_MARGIN (NaN-safe: zero-magnitude rows give NaN
+       margins and land here) are re-decided with the exact j-order
+       parity fold over ALL cells, reproducing np.argmin's first-min
+       tie-break over ascending centroid_id exactly.
+    3. EMIT — every row's _cd is recomputed with the j-order fold
+       against its CHOSEN centroid only (O(rows × dim)): the identical
+       left-to-right rounding chain as the full fold's winning column,
+       so emitted doubles are bit-equal to the expression form's.
+    """
+    _cap_blas_threads()
+    n, d = X.shape
+    k_ = len(cmag)
+    G = X @ C.T  # dgemm — the non-parity fast scan
+    sims = G / (mag[:, None] * cmag[None, :])
+    dist = 1.0 - np.maximum(sims, 0.0)
+    best = np.argmin(dist, axis=1)
+    rows = np.arange(n)
+    if k_ > 1:
+        dmin = dist[rows, best].copy()
+        dist[rows, best] = np.inf
+        margin = dist.min(axis=1) - dmin
+        suspect = ~(margin > SEM_MATMUL_TIE_MARGIN)
+    else:
+        suspect = np.zeros(n, dtype=bool)
+    # exact parity _cd against the chosen centroid (step 3)
+    Csel = C[best]
+    acc = np.zeros(n)
+    for j in range(d):
+        acc = acc + X[:, j] * Csel[:, j]
+    cd = 1.0 - np.maximum(acc / (mag * cmag[best]), 0.0)
+    if suspect.any():
+        Xs = X[suspect]
+        ms = mag[suspect]
+        ns = Xs.shape[0]
+        accf = np.zeros((ns, k_))
+        for j in range(d):
+            accf += Xs[:, j: j + 1] * C[:, j][None, :]
+        simf = accf / (ms[:, None] * cmag[None, :])
+        distf = 1.0 - np.maximum(simf, 0.0)
+        bs = np.argmin(distf, axis=1)
+        best[suspect] = bs
+        cd[suspect] = distf[np.arange(ns), bs]
+    return best, cd
 
 
 def _semdedup_assign_kernel(
@@ -877,11 +994,14 @@ def _semdedup_assign_kernel(
     the crossJoin min-of-struct expression form (the pair_scores op
     sequence, whose parity with the Catalyst fold is pinned in
     tests/test_knn_kernel.py): row magnitudes fold x·x in j order then
-    sqrt, dots fold v_j·c_j in j order from 0.0, sim = dot one-multiply-
-    one-divide, clamp via np.maximum, d = 1.0 − clamped; np.argmin's
-    first-min tie-break over centroid rows sorted by ascending id IS the
-    (d, centroid_id) struct-min order. Centroids ride the closure when
-    small (bounded by the training-sample size, the
+    sqrt; the (rows × cells) scan is gemm-priced with every DECIDING
+    near-tie and every EMITTED _cd recomputed by the exact j-order
+    parity fold (_sem_argmin_block — round 14, verdict r13 item 4), so
+    sim = dot one-multiply-one-divide, clamp via np.maximum,
+    d = 1.0 − clamped, and np.argmin's first-min tie-break over
+    centroid rows sorted by ascending id (the (d, centroid_id)
+    struct-min order) all hold bit-exactly. Centroids ride the closure
+    when small (bounded by the training-sample size, the
     cached_trained_centroids contract) and a SparkContext.broadcast
     once past SEM_CENTROID_BROADCAST_MIN_BYTES — the paper's
     ~10^5-cell regime would otherwise ship a multi-ten-MB matrix in
@@ -937,18 +1057,9 @@ def _semdedup_assign_kernel(
                 for j in range(d):
                     mag += X[:, j] * X[:, j]
                 mag = np.sqrt(mag)
-                acc = np.zeros((n, k_))
-                for j in range(d):
-                    acc += X[:, j: j + 1] * C[:, j][None, :]
-                sims = acc / (mag[:, None] * cmag[None, :])
-                dist = 1.0 - np.maximum(sims, 0.0)
-                best = np.argmin(dist, axis=1)
+                best, cd = _sem_argmin_block(X, mag, C, cmag)
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids),
-                        pa.array(cids[best]),
-                        pa.array(dist[np.arange(n), best]),
-                    ],
+                    [pa.array(ids), pa.array(cids[best]), pa.array(cd)],
                     names=[id_col, "centroid_id", "_cd"],
                 )
 

@@ -74,79 +74,40 @@ def register(name: str, oracle: str | None = None):
 # fully oracle-tested locally (tests/test_registry_oracles.py covers every
 # registered oracle) and run in `bench.py --all`.
 _PRIORITY = [
-    # ============ ROUND-13 ROTATION (verdict r12 items 2 and 8) ===========
+    # ============ ROUND-14 ROTATION (verdict r13 items 2 and 6) ===========
     # IN (50):
-    #   * the full _R13_ROTATION_QUEUE as written down last round and
-    #     policy-tested (20 keys — the r9-stale relational + multimodal
-    #     cohorts; verdict item 2's Done asks for exactly these rows,
-    #     after which the freshness policy tightens to r10).
-    #   * serve_invariants (verdict item 8): the four bench-only
-    #     *_serve twins never get their own driver rows; this key
-    #     hashes their deterministic invariants and its last row was
-    #     r11 — one slot keeps the serving config's driver evidence
-    #     fresh.
-    #   * REWRITTEN-PATH REFRESHES (9): every key whose plan changed
-    #     THIS round — the six Catalyst-leg filtered families
-    #     (knn_ivfpq/ivfsq/sq/ivfbq2/bq/ivfbq_filtered) whose
-    #     IDSelector routing went fully DISTRIBUTED (verdict item 1:
-    #     label attached corpus-side, qlabel riding the query frame,
-    #     the equality fused into the pair-producing join on every
-    #     leg), and the three ingest-serving keys
-    #     (hnsw_upsert_search, hnsw_routed_upsert_search,
-    #     streaming_hnsw_ingest) whose packed-artifact lifecycle moved
-    #     to localCheckpoint + superseded-entry eviction (advice r12).
-    #     knn_hnsw_filtered is NOT in this cohort: its label-partitioned
-    #     path was untouched (last row r12).
-    #   * r10-STALE REFRESHES (20): the oldest remaining cohort after
-    #     the queue lands, chosen for overlap with this round's touched
-    #     code first — argmin/argmax + the evaluation trio ride
-    #     knn.pair_scores (signature rewritten this round),
-    #     semantic_search and knn_exact_single the knn module, the
-    #     dedup/fingerprint/simhash keys the dedup module (broadcast
-    #     cache + cap comment), then the S1-S3/V1-V5 reference-parity
-    #     cohort. The 19 r10 keys left over form _R14_ROTATION_QUEUE.
-    # OUT (every r12-window key except the 3 ingest-serving refreshes):
-    # all have fresh r12 green rows and stay fully oracle-tested locally
+    #   * the full _R14_ROTATION_QUEUE as written down last round and
+    #     policy-tested (19 keys — the r10-stale cohort; verdict item
+    #     2's Done asks for exactly these rows, after which the
+    #     freshness policy tightens to r11).
+    #   * mm_decode_png_rgb_stats (verdict item 5): NEW key this round —
+    #     truecolor PNG through the from-scratch codec at RFC 2083
+    #     color type 2, exact per-channel stats, stride-3 byte-math
+    #     oracle. Windowed at birth per the Done criterion.
+    #   * REWRITTEN-PATH REFRESHES (4): keys whose code changed THIS
+    #     round — mm_decode_png_stats (the gray path now runs through
+    #     the generalized bytewise-bpp filter code the color type
+    #     shares), semdedup_prune (the assignment kernel gained the
+    #     blocked-matmul argmin with the near-tie parity guard, verdict
+    #     item 4), and one representative per filtered-serving family
+    #     for the session-memoized qlabel map (advice r13):
+    #     knn_hnsw_filtered (label-partitioned graph path) and
+    #     knn_ivfpq_filtered (bounded quantizer-kernel path).
+    #   * r11-STALE REFRESHES (26): the oldest remaining cohort — the
+    #     ANN lifecycle/exhaustive/range keys, the streaming ingest +
+    #     window twins, the decontamination family, span/embedding
+    #     dedup, and mm_decode_image_stats. The 12 r11 keys left over
+    #     (pure-Catalyst relational/text keys whose plans haven't
+    #     changed since they last hashed green) form
+    #     _R15_ROTATION_QUEUE.
+    # OUT (every r13-window key except the 3 refreshes named above):
+    # all have fresh r13 green rows and stay fully oracle-tested locally
     # at three SFs (tests/test_registry_oracles.py) and benched in
-    # bench.py. After CORRECTNESS_r13 no registered key's last driver
-    # row predates r10 (the enforcing policy test tightens to r10); the
-    # next-oldest cohort (19 keys at r10) is _R14_ROTATION_QUEUE.
+    # bench.py. After CORRECTNESS_r14 no registered key's last driver
+    # row predates r11 (the enforcing policy test tightens to r11); the
+    # next-oldest cohort (12 keys at r11) is _R15_ROTATION_QUEUE.
     # ======================================================================
-    # -- the r9-stale queue (verdict item 2) --
-    "active_month_intersect", "asof_last_click",
-    "bucketed_join_revenue", "distinct_counts", "event_value_tiers",
-    "grouping_sets_sales", "mm_audio_features", "mm_decode_jpeg_stats",
-    "mm_decode_png_stats", "mm_decode_video_stats",
-    "mm_decode_wav_stats", "mm_resize", "mm_scene_cuts",
-    "orders_above_customer_avg", "parquet_sink_roundtrip",
-    "salted_event_type_stats", "sessionize_events",
-    "text_hash_features", "top_orders_per_customer",
-    "unpivot_order_counts",
-    # -- serving-config evidence (verdict item 8) --
-    "serve_invariants",
-    # -- rewritten this round: distributed IDSelector (item 1) --
-    "knn_ivfpq_filtered", "knn_ivfsq_filtered", "knn_sq_filtered",
-    "knn_ivfbq2_filtered", "knn_bq_filtered", "knn_ivfbq_filtered",
-    # -- rewritten this round: packed-artifact lifecycle (advice r12) --
-    "hnsw_upsert_search", "hnsw_routed_upsert_search",
-    "streaming_hnsw_ingest",
-    # -- r10-stale: rides this round's touched kernels --
-    "argmin_dist", "argmax_dist", "eval_recall", "eval_precision",
-    "result_intersection", "knn_exact_single", "semantic_search",
-    # -- r10-stale: dedup module overlap --
-    "dedup_exact", "doc_fingerprint", "ngram_jaccard_topk",
-    "embedding_near_dups", "simhash_signatures",
-    # -- r10-stale: S1-S3 / V1-V5 reference-parity cohort --
-    "scan_ndjson", "split_dataset", "first_sentence",
-    "vec_magnitude", "vec_dot", "vec_cosine_sim", "vec_cosine_dist",
-    "vec_euclidean_dist",
-]
-
-# Round-14 rotation queue: the next-oldest cohort — every registered key
-# whose last driver row is r10 after the round-13 window lands (the
-# enforcing policy test pins this list against merged CORRECTNESS
-# r01-r12 + the r13 window), none touched by round-13 code changes.
-_R14_ROTATION_QUEUE: list[str] = [
+    # -- the r10-stale queue (verdict item 2) --
     "bm25_topk", "chunk_documents", "curation_filter",
     "hnsw_routed_build", "ivf_assign", "lsh_buckets",
     "mm_feature_extract", "mm_frame_sample", "mm_payload_metadata",
@@ -154,6 +115,43 @@ _R14_ROTATION_QUEUE: list[str] = [
     "streaming_session_windows", "streaming_stateful_user_stats",
     "streaming_tumbling_counts", "text_langid", "text_quality",
     "text_token_stats", "token_batch_packing",
+    # -- new this round: truecolor PNG (verdict item 5) --
+    "mm_decode_png_rgb_stats",
+    # -- rewritten this round: shared PNG filter code, matmul assign,
+    #    memoized qlabel map --
+    "mm_decode_png_stats", "semdedup_prune",
+    "knn_hnsw_filtered", "knn_ivfpq_filtered",
+    # -- r11-stale: ANN lifecycle / exhaustive / range --
+    "bq2_codes", "bq2_delete_search", "bq2_upsert_search",
+    "hnsw_delete_search", "ivfpq_compact_search", "ivfpq_delete_search",
+    "ivfpq_partitioned_search", "ivfpq_upsert_search",
+    "knn_exact_filtered", "knn_hnsw_exhaustive", "knn_hnsw_routed",
+    "knn_hnsw_routed_exhaustive", "knn_range_search",
+    # -- r11-stale: hybrid retrieval + decontamination --
+    "hybrid_rrf_topk", "contamination_report",
+    "decontaminate_eval_fixture", "decontaminate_ngram",
+    # -- r11-stale: dedup + embedding pipeline --
+    "span_dedup_scrub", "embedding_near_dups_lsh", "doc_embedding_pool",
+    "model_quality_inference",
+    # -- r11-stale: streaming twins --
+    "streaming_bq2_ingest", "streaming_dedup_counts",
+    "streaming_sliding_counts", "streaming_vector_ingest",
+    # -- r11-stale: multimodal raw decode --
+    "mm_decode_image_stats",
+]
+
+# Round-15 rotation queue: the next-oldest cohort — every registered key
+# whose last driver row is r11 after the round-14 window lands (the
+# enforcing policy test pins this list against merged CORRECTNESS
+# r01-r13 + the r14 window), all pure-Catalyst relational/text keys
+# untouched by round-14 code changes.
+_R15_ROTATION_QUEUE: list[str] = [
+    "csv_sink_roundtrip", "customers_without_orders",
+    "doc_repetition_stats", "events_json_stats",
+    "order_price_percentiles", "order_priority_pivot",
+    "running_total_by_supplier", "sketch_event_stats_exact",
+    "source_mixture_sample", "top_customer_set_difference",
+    "training_shard_assign", "vocab_topk",
 ]
 
 # Bench-only serve twins: registered (bench.py resolves headline keys
@@ -2957,7 +2955,7 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round's rotation budget was spent; BOTH HOLD ROUND-11 WINDOW SLOTS
 # (first driver rows) — this queue is for keys created mid-round after
 # the window is frozen, and is now empty. Stale-key refresh is tracked
-# separately in the per-round rotation queue above (_R14_ROTATION_QUEUE).
+# separately in the per-round rotation queue above (_R15_ROTATION_QUEUE).
 _POST_WINDOW_OVERFLOW: list[str] = []
 
 
