@@ -85,3 +85,91 @@ def test_decoder_uses_tables_from_the_file():
     except ValueError:
         changed = True
     assert changed
+
+
+def test_color_flat_image_reconstructs_exactly():
+    """A constant-color image has one DC per component and zero AC in
+    every block — quantization and 4:2:0 subsampling are lossless on
+    it, so the round-trip must be exact on all three channels."""
+    img = np.empty((24, 40, 3), dtype=np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = 180, 90, 30
+    dec = J.decode_jpeg_color(J.encode_jpeg_color(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_smooth_gradient_tight_error():
+    """Smooth content is the codec's design point: per-channel linear
+    gradients reconstruct within a small bound through the full YCbCr
+    4:2:0 pipeline."""
+    xx, yy = np.meshgrid(np.arange(32), np.arange(48))
+    img = np.stack(
+        [xx * 2 + yy, xx + yy * 2, 220 - (xx + yy)], axis=2
+    ).astype(np.uint8)  # wrap-free ramps: max value 127/127/220
+    dec = J.decode_jpeg_color(J.encode_jpeg_color(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_color_noise_bounded_and_deterministic():
+    """ASCII-range noise (the corpus regime: adjacent text bytes land
+    in different channels, so chroma is near-white-noise) stays inside
+    JPEG_COLOR_TOL; encoding is byte-deterministic; odd dims crop back
+    through the 16-multiple MCU padding."""
+    from toy_vector_db_spark.operators.multimodal import JPEG_COLOR_TOL
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(32, 127, size=(33, 31, 3), dtype=np.uint8)
+    enc = J.encode_jpeg_color(img)
+    assert enc == J.encode_jpeg_color(img)
+    dec = J.decode_jpeg_color(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_COLOR_TOL
+
+
+def test_color_stream_structure_and_strictness():
+    """The color stream carries BOTH quant tables, all FOUR Huffman
+    specs, and the 4:2:0 SOF0 layout; structural corruption is loud on
+    the color walker too."""
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    enc = J.encode_jpeg_color(img)
+    dqt = enc.index(b"\xff\xdb")
+    ln = int.from_bytes(enc[dqt + 2:dqt + 4], "big")
+    assert ln == 2 + 2 * 65  # two 65-byte table specs in one DQT
+    sof = enc.index(b"\xff\xc0")
+    assert enc[sof + 9] == 3  # three components
+    assert enc[sof + 11] == 0x22 and enc[sof + 14] == 0x11  # 4:2:0
+    with pytest.raises(ValueError):
+        J.decode_jpeg_color(b"\x00\x00" + enc[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        J.decode_jpeg_color(enc[:-2])  # missing EOI
+    with pytest.raises(ValueError):
+        sos = enc.index(b"\xff\xda")
+        J.decode_jpeg_color(enc[:2] + enc[sos:])  # SOS before tables
+    # the gray decoder refuses the color stream (3-component SOF0)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(enc)
+    # and the color decoder refuses a gray stream (1-component SOF0)
+    with pytest.raises(ValueError):
+        J.decode_jpeg_color(J.encode_jpeg(np.full((8, 8, 1), 9, np.uint8)))
+
+
+def test_color_chroma_tables_are_load_bearing():
+    """Cb/Cr must be decoded under the CHROMINANCE tables the stream
+    declares: corrupting the chroma DC BITS spec changes (or fails) the
+    decode, proving the color path doesn't silently reuse the luma
+    tables from the module constants."""
+    img = np.empty((16, 16, 3), dtype=np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = 200, 40, 120
+    enc = bytearray(J.encode_jpeg_color(img))
+    dht = enc.index(b"\xff\xc4")
+    # the chroma DC spec sits after the two luma specs:
+    # 1 + 16 + 12 (DC luma) + 1 + 16 + 162 (AC luma) bytes into the seg
+    chroma_dc = dht + 4 + (1 + 16 + 12) + (1 + 16 + 162)
+    assert enc[chroma_dc] == 0x01  # class 0, table id 1
+    enc[chroma_dc + 1 + 1] ^= 0x01  # corrupt a BITS count
+    try:
+        out = J.decode_jpeg_color(bytes(enc))
+        changed = (out != J.decode_jpeg_color(J.encode_jpeg_color(img))).any()
+    except ValueError:
+        changed = True
+    assert changed

@@ -777,6 +777,91 @@ FROM (SELECT doc_id,
 """
 
 
+# Color tolerance (round 14): YCbCr 4:2:0 adds chroma-subsampling loss
+# on top of quantization — adjacent text bytes land in different
+# channels, so the corpus' chroma planes are nearly white noise and the
+# 2×2 mean + replication costs real error on every sharp transition.
+# The sf0.01+sf0.1 corpora measure worst-case 143; broken entropy
+# coding / color transform produces garbage at the source's full byte
+# spread (~223 on ASCII text against zero padding), so 176 separates
+# "4:2:0-lossy" from "wrong" with ≥33 margin on both sides (bounds
+# pinned in tests/test_jpeg.py: flat exact, smooth ≤ 16).
+JPEG_COLOR_TOL = 176
+
+
+def decode_jpeg_rgb_stats(
+    docs: DataFrame, size_col: str | None = None
+) -> DataFrame:
+    """Round-trip each document's TRUECOLOR image through REAL baseline
+    YCbCr 4:2:0 JPEG (verdict r13 item 5's second half — the Annex K
+    CHROMINANCE tables K.2/K.4/K.6, 16×16 MCUs of 4 Y + Cb + Cr with
+    per-component DC predictors, T.871 color transforms) and emit the
+    exact structure — source dims, the 16×16 MCU grid — plus the
+    ``within_tol`` verdict (max abs error over ALL channels ≤
+    JPEG_COLOR_TOL vs the raw RGB source). A wrong chroma table,
+    interleave order, subsampling offset, or inverse transform either
+    throws or lands outside tolerance. One fused kernel over the JVM
+    RGB framing (frame → encode → decode → compare), the
+    decode_jpeg_stats shape."""
+    from toy_vector_db_spark.operators.jpegcodec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    p = _spread(with_rgb_image_payload(docs), size_col=size_col)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [],
+                   "mcus_x": [], "mcus_y": [], "within_tol": []}
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                src = _decode_payload(bytes(payload), mime)
+                if src.shape[0]:
+                    img = decode_jpeg_color(encode_jpeg_color(src))
+                    h, w, _c = img.shape
+                    err = int(
+                        np.abs(
+                            img.astype(np.int64) - src.astype(np.int64)
+                        ).max()
+                    )
+                    mx, my = -(-w // 16), -(-h // 16)
+                else:
+                    # the 0-row raw fallback frame: structurally empty
+                    h, w, err, mx, my = 0, 0, 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["mcus_x"].append(mx)
+                out["mcus_y"].append(my)
+                out["within_tol"].append(err <= JPEG_COLOR_TOL)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, height long, width long, mcus_x long, "
+        "mcus_y long, within_tol boolean",
+    )
+
+
+# Structure is exact and SQL-derivable (dims from the text length at
+# channel stride 3, MCU grid = ceil(dims/16), zeros for the empty doc);
+# within_tol is the codec-quality verdict the kernel must reproduce.
+DECODE_JPEG_RGB_SQL = f"""
+SELECT doc_id,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN h = 0 THEN 0 ELSE {IMG_W} END AS BIGINT) AS width,
+       CAST(CASE WHEN h = 0 THEN 0 ELSE {-(-IMG_W // 16)} END AS BIGINT)
+         AS mcus_x,
+       CAST((h + 15) // 16 AS BIGINT) AS mcus_y,
+       TRUE AS within_tol
+FROM (SELECT doc_id,
+             CAST(ceil(length(text) / {IMG_W * 3}.0) AS BIGINT) AS h
+      FROM documents)
+"""
+
+
 # --- AVI: MJPEG video container, from scratch (round 8) -------------------
 # The video analogue of the image codec keys: text bytes framed as a
 # sequence of VFRAME_H×IMG_W gray frames, wrapped in a REAL RIFF/AVI

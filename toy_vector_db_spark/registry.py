@@ -2956,7 +2956,11 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (first driver rows) — this queue is for keys created mid-round after
 # the window is frozen, and is now empty. Stale-key refresh is tracked
 # separately in the per-round rotation queue above (_R15_ROTATION_QUEUE).
-_POST_WINDOW_OVERFLOW: list[str] = []
+# mm_decode_jpeg_rgb_stats: born round 14 AFTER the 50-key window froze
+# (the color JPEG stretch past verdict item 5's PNG Done); fully
+# DuckDB-oracled and pytest-checked at three SFs, first driver row due
+# with the round-15 rotation.
+_POST_WINDOW_OVERFLOW: list[str] = ["mm_decode_jpeg_rgb_stats"]
 
 
 @register("streaming_vector_ingest")
@@ -3705,6 +3709,22 @@ def q_mm_decode_png_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_png_rgb_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_decode_jpeg_rgb_stats")
+def q_mm_decode_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG through the decode hook (round 14, verdict r13 item
+    5's second half): each document's bytes frame as an (h, 16, 3) RGB
+    image and round-trip through the from-scratch baseline YCbCr 4:2:0
+    pipeline — T.871 color transforms, 2×2-mean chroma subsampling, the
+    Annex K chrominance tables (K.2 quant, K.4/K.6 Huffman), 16×16
+    MCUs interleaving 4 Y blocks + Cb + Cr with per-component DC
+    predictors. The driver hashes the exact structure (dims, MCU grid)
+    plus the JPEG_COLOR_TOL fidelity verdict — a wrong chroma table,
+    interleave, or inverse transform cannot hash-match."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_jpeg_rgb_stats(table(spark, sf_dir, "documents"))
+
+
 @register("mm_decode_wav_stats")
 def q_mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL audio container through the decode hook (round 8): text
@@ -3769,6 +3789,7 @@ def _register_mm_oracles() -> None:
     from toy_vector_db_spark.operators.multimodal import (
         AUDIO_FEATURES_SQL,
         DECODE_IMAGE_SQL,
+        DECODE_JPEG_RGB_SQL,
         DECODE_JPEG_SQL,
         DECODE_VIDEO_SQL,
         DECODE_WAV_SQL,
@@ -3782,6 +3803,7 @@ def _register_mm_oracles() -> None:
     _ORACLES["mm_decode_png_stats"] = DECODE_IMAGE_SQL
     _ORACLES["mm_decode_png_rgb_stats"] = PNG_RGB_SQL
     _ORACLES["mm_decode_jpeg_stats"] = DECODE_JPEG_SQL
+    _ORACLES["mm_decode_jpeg_rgb_stats"] = DECODE_JPEG_RGB_SQL
     _ORACLES["mm_decode_wav_stats"] = DECODE_WAV_SQL
     _ORACLES["mm_decode_video_stats"] = DECODE_VIDEO_SQL
     _ORACLES["mm_audio_features"] = AUDIO_FEATURES_SQL
