@@ -86,3 +86,42 @@ def test_encoder_input_contract():
         A.encode_avi([])
     with pytest.raises(ValueError, match="mixed"):
         A.encode_avi(_frames(1, 8, 16) + _frames(1, 8, 8))
+
+
+def test_color_roundtrip_strictness_and_bitcount():
+    """Round 14: channels=3 wraps per-frame YCbCr 4:2:0 color JPEGs —
+    deterministic bytes, bounded error on ASCII-range frames, strf bit
+    count 24, and channel-layout mismatches loud BOTH ways (gray decode
+    of a color stream hits the 3-component SOF0 check; color decode of
+    a gray stream the 1-component one)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(32, 127, size=(8, 16, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    avi = A.encode_avi(frames, channels=3)
+    assert avi == A.encode_avi(frames, channels=3)
+    dec = A.decode_avi(avi, channels=3)
+    assert len(dec) == 4 and all(d.shape == (8, 16, 3) for d in dec)
+    err = max(
+        int(np.abs(d.astype(int) - s.astype(int)).max())
+        for d, s in zip(dec, frames)
+    )
+    from toy_vector_db_spark.operators.multimodal import JPEG_COLOR_TOL
+
+    assert err <= JPEG_COLOR_TOL
+    strf = avi.index(b"MJPG", avi.index(b"strf"))  # fourcc inside strf
+    # biPlanes|biBitCount little-endian: planes low word, bitcount high
+    planes_bits = int.from_bytes(avi[strf - 4:strf], "little")
+    assert planes_bits >> 16 == 24
+    with pytest.raises(ValueError):
+        A.decode_avi(avi)  # gray decode of color stream
+    gray = A.encode_avi(
+        [rng.integers(0, 256, size=(8, 16, 1), dtype=np.uint8)]
+    )
+    with pytest.raises(ValueError):
+        A.decode_avi(gray, channels=3)  # color decode of gray stream
+    with pytest.raises(ValueError, match="channel"):
+        A.encode_avi(frames)  # gray encoder given RGB frames

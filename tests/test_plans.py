@@ -332,7 +332,7 @@ def test_codec_kernels_get_the_balancing_exchange(plans):
     the exchange."""
     for name in ("mm_decode_jpeg_stats", "mm_decode_png_stats",
                  "mm_decode_video_stats", "mm_decode_png_rgb_stats",
-                 "mm_decode_jpeg_rgb_stats"):
+                 "mm_decode_jpeg_rgb_stats", "mm_decode_video_rgb_stats"):
         plan = plans(name)
         assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan, name
         assert "InPandas" in plan, name
@@ -352,6 +352,7 @@ def test_every_mm_key_is_one_python_stage(plans):
     for name in ("mm_resize", "mm_payload_metadata", "mm_scene_cuts",
                  "mm_decode_png_stats", "mm_decode_jpeg_stats",
                  "mm_decode_png_rgb_stats", "mm_decode_jpeg_rgb_stats",
+                 "mm_decode_video_rgb_stats",
                  "mm_decode_wav_stats", "mm_decode_video_stats",
                  "mm_audio_features", "mm_feature_extract",
                  "mm_frame_sample"):

@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from toy_vector_db_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+from toy_vector_db_spark.operators.jpegcodec import (
+    decode_jpeg,
+    decode_jpeg_color,
+    encode_jpeg,
+    encode_jpeg_color,
+)
 
 FPS = 10  # nominal playback rate carried in the header
 
@@ -29,17 +34,23 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
-def encode_avi(frames: list[np.ndarray]) -> bytes:
-    """Encode (h, w, 1) uint8 frames as MJPEG-in-AVI. All frames must
-    share one geometry (the container has a single video stream)."""
+def encode_avi(frames: list[np.ndarray], channels: int = 1) -> bytes:
+    """Encode uint8 frames as MJPEG-in-AVI — (h, w, 1) gray by default,
+    (h, w, 3) RGB with ``channels=3`` (round 14: per-frame baseline
+    YCbCr 4:2:0 color JPEGs, strf bit count 24). All frames must share
+    one geometry (the container has a single video stream)."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
     if not frames:
         raise ValueError("AVI encoder needs at least one frame")
     h, w, c = frames[0].shape
-    if c != 1:
-        raise ValueError(f"gray frames only, got {frames[0].shape}")
+    if c != channels:
+        raise ValueError(f"{channels}-channel frames only, got {frames[0].shape}")
     for f in frames:
-        if f.shape != (h, w, 1):
-            raise ValueError(f"mixed frame geometry: {f.shape} vs {(h, w, 1)}")
+        if f.shape != (h, w, channels):
+            raise ValueError(
+                f"mixed frame geometry: {f.shape} vs {(h, w, channels)}"
+            )
     n = len(frames)
     us_per_frame = 1_000_000 // FPS
     # avih: MicroSecPerFrame, MaxBytesPerSec, Padding, Flags, TotalFrames,
@@ -61,7 +72,7 @@ def encode_avi(frames: list[np.ndarray]) -> bytes:
     strf = (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-        + (1 | (8 << 16)).to_bytes(4, "little")
+        + (1 | (8 * channels << 16)).to_bytes(4, "little")
         + b"MJPG"
         + b"".join(v.to_bytes(4, "little") for v in [w * h, 0, 0, 0, 0])
     )
@@ -69,15 +80,22 @@ def encode_avi(frames: list[np.ndarray]) -> bytes:
         b"hdrl",
         _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00dc", encode_jpeg(f)) for f in frames))
+    enc = encode_jpeg if channels == 1 else encode_jpeg_color
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", enc(f)) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def decode_avi(payload: bytes) -> list[np.ndarray]:
-    """Parse an MJPEG AVI back to its frames. Strict: RIFF/AVI magic,
-    declared sizes, header frame count and geometry must all match the
-    frames actually decoded."""
+def decode_avi(payload: bytes, channels: int = 1) -> list[np.ndarray]:
+    """Parse an MJPEG AVI back to its frames — per-frame JPEGs decoded
+    gray by default, YCbCr 4:2:0 color with ``channels=3``. Strict:
+    RIFF/AVI magic, declared sizes, header frame count and geometry
+    must all match the frames actually decoded, and a stream whose
+    JPEG component layout disagrees with ``channels`` fails loudly in
+    the frame decoder (3-component SOF0 vs gray and vice versa)."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    dec = decode_jpeg if channels == 1 else decode_jpeg_color
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError(f"bad AVI magic: {payload[:4]!r}/{payload[8:12]!r}")
     declared = int.from_bytes(payload[4:8], "little")
@@ -113,7 +131,7 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                     cc = body[mp:mp + 4]
                     sz = int.from_bytes(body[mp + 4:mp + 8], "little")
                     if cc == b"00dc":
-                        frames.append(decode_jpeg(body[mp + 8:mp + 8 + sz]))
+                        frames.append(dec(body[mp + 8:mp + 8 + sz]))
                     else:
                         raise ValueError(f"unexpected movi chunk {cc!r}")
                     mp += 8 + sz + (sz % 2)
@@ -129,8 +147,8 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
     if len(frames) != n_hdr:
         raise ValueError(f"header claims {n_hdr} frames, movi has {len(frames)}")
     for f in frames:
-        if f.shape != (height, width, 1):
+        if f.shape != (height, width, channels):
             raise ValueError(
-                f"frame geometry {f.shape} != header {(height, width, 1)}"
+                f"frame geometry {f.shape} != header {(height, width, channels)}"
             )
     return frames

