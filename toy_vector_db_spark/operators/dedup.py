@@ -512,18 +512,25 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
     corpus, and singleton docs never enter the loop — they join back at the
     end with themselves as keeper."""
     pairs = cached_minhash_pairs(corpus, threshold).select("doc_a", "doc_b")
+    # localCheckpoint, not persist: the edge list is joined once per
+    # propagation round, and every round's convergence count re-optimizes
+    # whatever logical plan `edges` carries — truncating here keeps each
+    # round's Catalyst work O(round plan), independent of how hairy the
+    # upstream LSH pair plan is (the persisted pair cache still backs the
+    # one materializing pass, so nothing upstream recomputes).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # only docs that appear in >= 1 pair participate in the iteration
     members = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = members.withColumn("cluster_id", F.col("doc_id")).persist()
 
-    persisted = labels  # the frame currently holding a persist() handle
+    labels_initial = labels
+    persisted = labels  # the frame currently holding storage for a round
     for _ in range(CC_MAX_ITERS):
         nbr = edges.join(
             labels, edges["dst"] == labels["doc_id"]
@@ -540,6 +547,17 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
         # old separate join-with-previous-labels + count — one aggregation
         # and a count on the already-persisted result per round instead of
         # an aggregation plus an extra join.
+        # localCheckpoint (NOT persist): materializes the round AND cuts
+        # its lineage to a LogicalRDD. `labels` feeds round k+1 TWICE
+        # (its own branch + the neighbor join), so without truncation the
+        # logical plan DOUBLES per round — measured at fixture scale as a
+        # 3,433-Exchange final plan and an 8.9 s isolated key (driver-side
+        # Catalyst re-analysis of the exponential tree dominated the
+        # distributed work; post-truncation the final plan has 5
+        # Exchanges and the key prices at ~1.5 s). At 100 TB the same
+        # exponential blowup would stall the driver long before the
+        # executors — per-round plan truncation is the standard CC-loop
+        # discipline (guide §3.3/§7.3).
         new_full = (
             labels.withColumn("_own", F.col("cluster_id"))
             .unionByName(nbr)
@@ -548,10 +566,16 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
                 F.min("cluster_id").alias("cluster_id"),
                 F.min("_own").alias("_own"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_full.where(F.col("cluster_id") < F.col("_own")).count()
-        persisted.unpersist()
+        # release the superseded round's storage NOW: Dataset.unpersist is
+        # a CacheManager no-op for checkpoint storage (GC-deferred), so
+        # drop the underlying RDD blocks explicitly (advice r13)
+        if persisted is not labels_initial:
+            persisted.rdd.unpersist(False)
+        else:
+            persisted.unpersist()
         persisted = new_full
         labels = new_full.select("doc_id", "cluster_id")
         if changed == 0:
