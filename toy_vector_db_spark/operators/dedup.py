@@ -845,16 +845,20 @@ def span_dedup_sql(w: int = SPAN_W) -> str:
 # pruned at any radius — tests/test_dedup.py pins that recovery.
 SEM_EPS = 0.45
 
-# Cluster count above which semdedup_prune's assignment runs in the
-# Arrow argmin kernel instead of the crossJoin expression. The paper's
-# scale lever is a corpus-proportional cluster count (~10^5), and the
-# crossJoin argmin is n_rows × n_cells INTERPRETED cosine folds —
-# measured dominant at the 200k/1,684-cell scale row (SCALE.md). At the
-# fixture key's 16 cells the Catalyst form is trivial and keeps the
-# pure-SQL plan the oracle mirrors; values are bit-identical either way
-# (parity-tested), so the threshold is a plan choice, not a semantics
-# switch.
-SEM_KERNEL_MIN_CELLS = 64
+# Cluster count above which semdedup_prune runs in the Arrow kernels
+# (argmin assignment + cell-local prune) instead of the crossJoin /
+# self-join expression form. The paper's scale lever is a
+# corpus-proportional cluster count (~10^5), and the crossJoin argmin is
+# n_rows × n_cells INTERPRETED cosine folds — measured dominant at the
+# 200k/1,684-cell scale row (SCALE.md). Round 14 lowered the threshold
+# 64 → 8: the interpreted pair fold is the dominant term at the fixture
+# key's 16 cells too (sf0.1 measured 4.6-4.9 s expression form vs
+# 2.4-2.6 s kernels, outputs bit-identical — the parity discipline
+# recomputes every emitted double with the j-order fold). Values are
+# bit-identical either way (parity-tested), so the threshold is a plan
+# choice, not a semantics switch; the expression form remains the
+# documented parity reference for degenerate cell counts.
+SEM_KERNEL_MIN_CELLS = 8
 
 # Centroid-payload size above which the assignment kernel ships the
 # matrix via SparkContext.broadcast instead of the task closure
