@@ -44,6 +44,7 @@ def _cache_dicts() -> list[dict]:
         similarity._PQ_BOOKS_CACHE,
         similarity._CODES_CACHE,
         similarity._LABEL_HIST_CACHE,
+        similarity._PROBE_ROUTING_CACHE,
         similarity._SQ_BOUNDS_CACHE,
         similarity._BQ2_BOUNDS_CACHE,
         similarity._BQ2_CELLS_CACHE,

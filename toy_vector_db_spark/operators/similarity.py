@@ -219,10 +219,15 @@ def trained_centroids(
     )
 
 
-# (appId, plan hash, n, iters) → collected trained centroids, rebuilt as a
-# literal DataFrame: training is a multi-stage job, run once per session;
-# consumers broadcast the 16-row literal table with zero lineage.
-_TRAINED_CACHE: dict[tuple, list] = {}
+# (appId, plan hash, n, iters) → (collected trained centroids, the
+# literal DataFrame built from them). Training is a multi-stage job, run
+# once per session; consumers broadcast the 16-row literal table with
+# zero lineage. The DataFrame is memoized ALONGSIDE the rows (round 14):
+# createDataFrame-per-call handed every consumer a fresh RDD-backed plan
+# whose semanticHash differed call-to-call, which silently defeated any
+# downstream plan-keyed session cache (the probe-routing cache missed on
+# every serving call and re-paid its bounded collect).
+_TRAINED_CACHE: dict[tuple, tuple] = {}
 
 
 def cached_trained_centroids(
@@ -247,13 +252,17 @@ def cached_trained_centroids(
             .orderBy("centroid_id")
             .collect()
         )
-        _TRAINED_CACHE[key] = [
+        vals = [
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for r in rows
         ]
-    return spark.createDataFrame(
-        _TRAINED_CACHE[key], "centroid_id bigint, centroid_vec array<double>"
-    )
+        _TRAINED_CACHE[key] = (
+            vals,
+            spark.createDataFrame(
+                vals, "centroid_id bigint, centroid_vec array<double>"
+            ),
+        )
+    return _TRAINED_CACHE[key][1]
 
 
 def ivf_assign(base: DataFrame, cents: DataFrame,
@@ -492,6 +501,39 @@ def _ivf_probes(
     )
 
 
+# (appId, probes plan hash, input snapshot, id col) → {query_id:
+# [centroid_id, ...]} — the driver-side probe routing of a BOUNDED query
+# batch. Round 14: every bounded IVF-family serving call re-collected
+# this per call (one full Spark job over the probe frame — profiled at
+# ~0.5 s of each key's ~1.1 s driver-side construction, more than some
+# keys' executor time). The routing is deterministic given the trained
+# centroids and the query frame, both already session-cached, so it is
+# memoized per (appId, semanticHash, file snapshot) exactly like
+# knn._collected_queries / _collected_qlabel_map; bounded by the same
+# QUERY_BATCH_MAX contract (nq·nprobe ints). Registered in
+# caches._cache_dicts.
+_PROBE_ROUTING_CACHE: dict[tuple, dict] = {}
+
+
+def _collected_probe_routing(
+    probes: DataFrame, query_id_col: str
+) -> dict[int, list]:
+    from toy_vector_db_spark.operators.knn import _input_snapshot
+
+    key = (
+        probes.sparkSession.sparkContext.applicationId,
+        probes.semanticHash(),
+        _input_snapshot(probes),
+        query_id_col,
+    )
+    if key not in _PROBE_ROUTING_CACHE:
+        routing: dict[int, list] = {}
+        for r in probes.select(query_id_col, "centroid_id").collect():
+            routing.setdefault(int(r[0]), []).append(int(r[1]))
+        _PROBE_ROUTING_CACHE[key] = routing
+    return _PROBE_ROUTING_CACHE[key]
+
+
 # (appId, base plan hash, labels plan hash) → persisted per-label
 # cell-hit histogram: a BUILD-time artifact (written beside the
 # centroids at 100 TB), so serving never recomputes the assign⋈labels
@@ -722,9 +764,7 @@ def knn_ivf(
             query_id_col, id_col, "dist"
         )
     else:
-        cells_by_query: dict[int, list] = {}
-        for r in probes.select(query_id_col, "centroid_id").collect():
-            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        cells_by_query = _collected_probe_routing(probes, query_id_col)
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
@@ -1539,9 +1579,7 @@ def knn_ivfpq(
         # driver-side (the knn_ivf idiom; nq·nprobe ints), queries +
         # LUTs in the closure. Removes the query-side LUT Python stage
         # and its broadcast join from the serving plan; bit-identical.
-        cells_by_query: dict[int, list] = {}
-        for r in probes.select(query_id_col, "centroid_id").collect():
-            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        cells_by_query = _collected_probe_routing(probes, query_id_col)
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
@@ -2614,9 +2652,7 @@ def knn_ivfbq2(
             )
         )
     else:
-        cells_by_query: dict[int, list] = {}
-        for r in probes.select(query_id_col, "centroid_id").collect():
-            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        cells_by_query = _collected_probe_routing(probes, query_id_col)
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
@@ -2863,9 +2899,7 @@ def knn_ivfsq(
             )
         )
     else:
-        cells_by_query: dict[int, list] = {}
-        for r in probes.select(query_id_col, "centroid_id").collect():
-            cells_by_query.setdefault(int(r[0]), []).append(int(r[1]))
+        cells_by_query = _collected_probe_routing(probes, query_id_col)
         probed_cells = sorted(
             {c for cs in cells_by_query.values() for c in cs}
         )
