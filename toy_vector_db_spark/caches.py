@@ -30,10 +30,12 @@ def _cache_dicts() -> list[dict]:
     added here (tests/test_bench_contract.py greps for the _CACHE naming
     convention and fails if a cache dict is missing from this list)."""
     from toy_vector_db_spark import registry
+    from toy_vector_db_spark.functions import vector
     from toy_vector_db_spark.operators import dedup, hnsw, knn, similarity
     from toy_vector_db_spark.streaming import ingest
 
     return [
+        vector._EXPR_CACHE,
         similarity._SAMPLE_CACHE,
         similarity._TRAINED_CACHE,
         similarity._ASSIGN_CACHE,
@@ -60,6 +62,7 @@ def _cache_dicts() -> list[dict]:
         ingest._INGEST_CACHE,
         registry._N_CACHE,
         registry._EVAL_CACHE,
+        registry._TABLE_CACHE,
     ]
 
 

@@ -32,13 +32,59 @@ def _dbl(v: Column) -> Column:
     return v.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+# Memoized SQL-parsed expression Columns for the str-argument fast path
+# (round 14, guide §1/§7.3 driver discipline): the Python HOF builders
+# below (F.aggregate/F.zip_with with Python lambdas) cost ~40-60 py4j
+# round-trips PER dot — profiled at ~0.3-0.5 s of every IVF-family
+# serving key's driver-side construction, more than some keys' executor
+# time. When callers pass plain SQL column references (the overwhelmingly
+# common case), the whole expression parses JVM-side in ONE py4j call
+# via F.expr and the resulting unresolved Column — an immutable
+# expression tree that analysis re-resolves per plan — is memoized per
+# (function, arg strings). The SQL text is built to produce the exact
+# same analyzed expression as the Column form (same lambda variable
+# names, double literals via the D suffix, identical op order), so
+# results are bit-identical; tests/test_vector_parity.py pins the two
+# forms equal and the oracle hashes pin cross-engine parity.
+# Registered in caches._cache_dicts (bench hygiene; entries are pure
+# unresolved expressions, dropping one only re-parses on next use).
+_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _sql_dbl(v: str) -> str:
+    return f"CAST({v} AS ARRAY<DOUBLE>)"
+
+
+def _sql_dot_fold(a: str, b: str) -> str:
+    # mirrors the Column form below term by term: zip_with null-pads the
+    # shorter side, the fold coalesces padded products to 0.0
+    return (
+        f"aggregate(zip_with({_sql_dbl(a)}, {_sql_dbl(b)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
+    )
+
+
+def _cached_expr(key: tuple, sql: str) -> Column:
+    c = _EXPR_CACHE.get(key)
+    if c is None:
+        c = F.expr(sql)
+        _EXPR_CACHE[key] = c
+    return c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ (reference: src/vector.rs:9-11).
 
     The reference zips and stops at the shorter vector (no length check).
     Spark's ``zip_with`` instead null-pads the shorter side, so the fold
     coalesces padded products to 0 — arithmetically identical to stopping.
+
+    str args (plain SQL column references, e.g. ``"embedding"`` or
+    ``"a.embedding"``) take the memoized one-py4j-call F.expr path;
+    Column args build the identical expression via the HOF builders.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached_expr(("dot", a, b), _sql_dot_fold(a, b))
     return F.aggregate(
         F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -46,26 +92,47 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def magnitude(v: Column) -> Column:
+def magnitude(v: Column | str) -> Column:
     """L2 norm sqrt(Σ x²) (reference: src/vector.rs:4-6)."""
+    if isinstance(v, str):
+        return _cached_expr(("mag", v), f"sqrt({_sql_dot_fold(v, v)})")
     return F.sqrt(dot(v, v))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """max(0, dot/(‖a‖·‖b‖)) — the reference CLAMPS negative similarity to 0
     (src/vector.rs:15). The clamp is non-standard and must be reproduced
     exactly for parity; the DuckDB oracle writes ``greatest(0.0, ...)``.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached_expr(
+            ("cossim", a, b),
+            f"greatest(0.0D, {_sql_dot_fold(a, b)} / "
+            f"(sqrt({_sql_dot_fold(a, a)}) * sqrt({_sql_dot_fold(b, b)})))",
+        )
     return F.greatest(F.lit(0.0), dot(a, b) / (magnitude(a) * magnitude(b)))
 
 
-def cosine_distance(a: Column, b: Column) -> Column:
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
     """1 − clamped cosine similarity → range [0, 1] (src/vector.rs:19-21)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached_expr(
+            ("cosdist", a, b),
+            f"1.0D - greatest(0.0D, {_sql_dot_fold(a, b)} / "
+            f"(sqrt({_sql_dot_fold(a, a)}) * sqrt({_sql_dot_fold(b, b)})))",
+        )
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
-def euclidean_distance(a: Column, b: Column) -> Column:
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     """sqrt(Σ (xᵢ−yᵢ)²) (src/vector.rs:23-29; defined but unused upstream)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached_expr(
+            ("euc", a, b),
+            f"sqrt(aggregate(zip_with({_sql_dbl(a)}, {_sql_dbl(b)}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, "
+            "(acc, x) -> acc + coalesce(x, 0.0D)))",
+        )
     return F.sqrt(
         F.aggregate(
             F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
@@ -75,7 +142,7 @@ def euclidean_distance(a: Column, b: Column) -> Column:
     )
 
 
-def distance(a: Column, b: Column) -> Column:
+def distance(a: Column | str, b: Column | str) -> Column:
     """The engine-wide distance metric = cosine distance (src/vector.rs:31-33).
 
     Single swap point for the metric, exactly like the reference's alias.

@@ -420,11 +420,11 @@ def decontaminate_embedding(
             (F.col("vec_id") + EVAL_EMB_ID_SHIFT).alias("eval_id"),
             F.col("embedding").alias("ev_emb"),
         )
-    b = base.withColumn("_b_mag", V.magnitude(F.col("embedding")))
-    e = eval_emb.withColumn("_e_mag", V.magnitude(F.col("ev_emb")))
+    b = base.withColumn("_b_mag", V.magnitude("embedding"))
+    e = eval_emb.withColumn("_e_mag", V.magnitude("ev_emb"))
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col("embedding"), F.col("ev_emb"))
+        V.dot("embedding", "ev_emb")
         / (F.col("_b_mag") * F.col("_e_mag")),
     )
     scored = b.crossJoin(F.broadcast(e)).select(

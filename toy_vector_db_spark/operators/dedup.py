@@ -657,12 +657,12 @@ def embedding_near_dups_lsh(embeddings: DataFrame, k: int = 20) -> DataFrame:
     # folds per candidate pair (the knn_exact_batch hoist idiom —
     # identical float ops in identical order, oracle-bit-identical)
     e = embeddings.select(
-        "vec_id", "embedding", V.magnitude(F.col("embedding")).alias("_mag")
+        "vec_id", "embedding", V.magnitude("embedding").alias("_mag")
     ).join(b, "vec_id")
     a, c = e.alias("a"), e.alias("b")
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        V.dot("a.embedding", "b.embedding")
         / (F.col("a._mag") * F.col("b._mag")),
     )
     pairs = a.join(
@@ -690,12 +690,12 @@ def embedding_near_dups(embeddings: DataFrame, k: int = 20) -> DataFrame:
     # per-side magnitude hoist (see embedding_near_dups_lsh)
     e = embeddings.select(
         "vec_id", "label", "embedding",
-        V.magnitude(F.col("embedding")).alias("_mag"),
+        V.magnitude("embedding").alias("_mag"),
     )
     a, b = e.alias("a"), e.alias("b")
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        V.dot("a.embedding", "b.embedding")
         / (F.col("a._mag") * F.col("b._mag")),
     )
     pairs = a.join(
@@ -1220,7 +1220,7 @@ def semdedup_prune(
     # discipline: comparisons always on unrounded values, rounding only
     # at emission) — same min-of-struct argmin as similarity.ivf_assign
     base_m = embeddings.select(
-        id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_mag")
+        id_col, vec_col, V.magnitude(vec_col).alias("_mag")
     )
     # branch on a LIMIT-bounded count, not a full collect: the fixture
     # path must stay lazy apart from this bounded scalar (review r11 —
@@ -1244,11 +1244,11 @@ def semdedup_prune(
         )
     else:
         cents_m = cents.withColumn(
-            "_c_mag", V.magnitude(F.col("centroid_vec"))
+            "_c_mag", V.magnitude("centroid_vec")
         )
         c_sim = F.greatest(
             F.lit(0.0),
-            V.dot(F.col(vec_col), F.col("centroid_vec"))
+            V.dot(vec_col, "centroid_vec")
             / (F.col("_mag") * F.col("_c_mag")),
         )
         assigned = (
@@ -1276,7 +1276,7 @@ def semdedup_prune(
     a, b = e.alias("a"), e.alias("b")
     pair_sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        V.dot(f"a.{vec_col}", f"b.{vec_col}")
         / (F.col("a._mag") * F.col("b._mag")),
     )
     # b is pruned: a same-cluster near-dup 'a' exists that is FARTHER

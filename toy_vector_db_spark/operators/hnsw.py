@@ -937,7 +937,7 @@ def knn_hnsw_routed(
     from toy_vector_db_spark.functions import vector as V
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))
+        "qd", V.distance(query_vec_col, "centroid_vec")
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("qd").asc(), F.col("centroid_id").asc()
@@ -1072,7 +1072,7 @@ def knn_hnsw_routed_prebuilt(
         nprobe = similarity_nprobe()
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "qd", V.distance(F.col(query_vec_col), F.col("centroid_vec"))
+        "qd", V.distance(query_vec_col, "centroid_vec")
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("qd").asc(), F.col("centroid_id").asc()

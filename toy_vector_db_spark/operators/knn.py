@@ -147,9 +147,9 @@ def _scored_product(
     ``broadcast_queries=False`` drops the broadcast hint for query frames
     that are NOT small — Spark/AQE then plans the cartesian product
     without shipping the query side to every executor whole."""
-    base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
-    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
-    dot = V.dot(F.col(vec_col), F.col(query_vec_col))
+    base_m = base.withColumn("_v_mag", V.magnitude(vec_col))
+    q_m = queries.withColumn("_q_mag", V.magnitude(query_vec_col))
+    dot = V.dot(vec_col, query_vec_col)
     sim = F.greatest(
         F.lit(0.0), dot / (F.col("_v_mag") * F.col("_q_mag"))
     )

@@ -279,11 +279,11 @@ def ivf_assign(base: DataFrame, cents: DataFrame,
     # 16-row side before the broadcast. Same float ops in the same order
     # (mag(a)·mag(b), a=vec, b=centroid) → bit-identical to the inline
     # V.distance form and the oracle.
-    base_m = base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
-    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    base_m = base.withColumn("_v_mag", V.magnitude(vec_col))
+    cents_m = cents.withColumn("_c_mag", V.magnitude("centroid_vec"))
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col(vec_col), F.col("centroid_vec"))
+        V.dot(vec_col, "centroid_vec")
         / (F.col("_v_mag") * F.col("_c_mag")),
     )
     scored = base_m.crossJoin(F.broadcast(cents_m)).withColumn(
@@ -470,13 +470,13 @@ def _ivf_probes(
     lineage has no exchange at all (it broadcasts straight into the cell
     join). Distances use the same hoisted-magnitude V.dot fold as
     ivf_assign — bit-identical to the oracle's scoring."""
-    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
+    cents_m = cents.withColumn("_c_mag", V.magnitude("centroid_vec"))
     cents_row = cents_m.agg(
         F.array_sort(
             F.collect_list(F.struct("centroid_id", "centroid_vec", "_c_mag"))
         ).alias("_cents")
     )
-    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    q_m = queries.withColumn("_q_mag", V.magnitude(query_vec_col))
 
     def _cell_dist(c):
         sim = F.greatest(
@@ -616,8 +616,8 @@ def _ivf_probes_labeled(
     over a per-query ≤C-row frame. Deterministic from the trained
     quantizers and the data → DuckDB-oracle-able (same cumsum window in
     SQL)."""
-    cents_m = cents.withColumn("_c_mag", V.magnitude(F.col("centroid_vec")))
-    q_m = queries.withColumn("_q_mag", V.magnitude(F.col(query_vec_col)))
+    cents_m = cents.withColumn("_c_mag", V.magnitude("centroid_vec"))
+    q_m = queries.withColumn("_q_mag", V.magnitude(query_vec_col))
     cells = (
         q_m.join(F.broadcast(query_labels), query_id_col)
         .join(F.broadcast(hist), F.col("qlabel") == F.col("label"))
@@ -625,7 +625,7 @@ def _ivf_probes_labeled(
     )
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col(query_vec_col), F.col("centroid_vec"))
+        V.dot(query_vec_col, "centroid_vec")
         / (F.col("_q_mag") * F.col("_c_mag")),
     )
     scored = cells.withColumn("_qd", F.lit(1.0) - sim)
@@ -672,7 +672,7 @@ def cached_cell_vectors(
     if key not in _CELL_VECTORS_CACHE:
         assign = cached_trained_assign(base, id_col, vec_col)
         cv = (
-            base.withColumn("_v_mag", V.magnitude(F.col(vec_col)))
+            base.withColumn("_v_mag", V.magnitude(vec_col))
             .join(assign, id_col)
             .select(id_col, vec_col, "_v_mag", "centroid_id")
             .persist()
@@ -722,7 +722,7 @@ def knn_ivf(
                 id_col, "centroid_id"
             )
         cell_vectors = base.withColumn(
-            "_v_mag", V.magnitude(F.col(vec_col))
+            "_v_mag", V.magnitude(vec_col)
         ).join(assign, id_col).select(id_col, vec_col, "_v_mag", "centroid_id")
     elif cents is None:
         cents = centroids_df(base, n_centroids, id_col, vec_col)
@@ -757,7 +757,7 @@ def knn_ivf(
         ).join(probes, "centroid_id")
         sim = F.greatest(
             F.lit(0.0),
-            V.dot(F.col(vec_col), F.col(query_vec_col))
+            V.dot(vec_col, query_vec_col)
             / (F.col("_v_mag") * F.col("_q_mag")),
         )
         scored = joined.withColumn("dist", F.lit(1.0) - sim).select(
@@ -1371,17 +1371,17 @@ def _exact_rerank(
     qv = queries.select(
         F.col(query_id_col).alias("_qid"),
         query_vec_col,
-        V.magnitude(F.col(query_vec_col)).alias("_q_mag"),
+        V.magnitude(query_vec_col).alias("_q_mag"),
     )
     sim = F.greatest(
         F.lit(0.0),
-        V.dot(F.col(vec_col), F.col(query_vec_col))
+        V.dot(vec_col, query_vec_col)
         / (F.col("_v_mag") * F.col("_q_mag")),
     )
     scored = (
         pruned.join(
             base.select(
-                id_col, vec_col, V.magnitude(F.col(vec_col)).alias("_v_mag")
+                id_col, vec_col, V.magnitude(vec_col).alias("_v_mag")
             ),
             id_col,
         )
@@ -2646,9 +2646,7 @@ def knn_ivfbq2(
             .select(
                 F.col(query_id_col).cast("long").alias(query_id_col),
                 F.col(id_col).cast("long").alias(id_col),
-                V.distance(
-                    F.col("recon"), F.col(query_vec_col)
-                ).alias("dist"),
+                V.distance("recon", query_vec_col).alias("dist"),
             )
         )
     else:

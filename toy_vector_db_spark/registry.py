@@ -16,6 +16,7 @@ UNROUNDED value with an id tiebreak in both engines (risk #4).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -182,7 +183,52 @@ def oracle_sql() -> dict[str, str]:
     return _ordered({k: stabilize_sql_rounding(v) for k, v in _ORACLES.items()})
 
 
+# (appId, sf_dir, name, path snapshot) → the scan DataFrame. Round 14
+# (guide §7.3 driver discipline): every registry query rebuilt its input
+# scans per call, and each spark.read.parquet is a driver-side file
+# listing + footer schema read — profiled at ~0.1 s of every key's
+# construction. A long-lived engine session registers its tables once
+# (this memo IS the catalog); the plan is an unresolved scan, so every
+# collect still reads the parquet from disk — nothing about results or
+# executed work is cached. Keyed on a stat snapshot of the backing path
+# (size + mtime_ns, per part file for directories) so an in-place
+# rewrite invalidates, the same staleness rule as knn._input_snapshot.
+# A stable scan plan also makes semanticHash-keyed session caches
+# hittable across calls by construction. Registered in
+# caches._cache_dicts (bench hygiene).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _path_snapshot(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if os.path.isdir(path):
+        entries = []
+        for de in sorted(os.scandir(path), key=lambda d: d.name):
+            try:
+                s = de.stat()
+                entries.append((de.name, s.st_size, s.st_mtime_ns))
+            except OSError:
+                entries.append((de.name, -1, -1))
+        return tuple(entries)
+    return (st.st_size, st.st_mtime_ns)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        _path_snapshot(f"{sf_dir}/{name}.parquet"),
+    )
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = _read_table(spark, sf_dir, name)
+    return _TABLE_CACHE[key]
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as BOTH a nanosecond parquet timestamp
         # (reads as long under nanosAsLong; truncate to micros exactly like
@@ -244,7 +290,7 @@ _PAIRS_SQL = (
 def q_vec_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", rnd(V.magnitude(F.col("embedding")), ROUND).alias("mag")
+        "vec_id", rnd(V.magnitude("embedding"), ROUND).alias("mag")
     )
 
 
@@ -258,7 +304,7 @@ def q_vec_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vec_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
-        "vec_id", rnd(V.dot(F.col("va"), F.col("vb")), ROUND).alias("dot")
+        "vec_id", rnd(V.dot("va", "vb"), ROUND).alias("dot")
     )
 
 
@@ -273,7 +319,7 @@ def q_vec_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        rnd(V.cosine_similarity(F.col("va"), F.col("vb")), ROUND).alias("sim"),
+        rnd(V.cosine_similarity("va", "vb"), ROUND).alias("sim"),
     )
 
 
@@ -288,7 +334,7 @@ def q_vec_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        rnd(V.cosine_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+        rnd(V.cosine_distance("va", "vb"), ROUND).alias("dist"),
     )
 
 
@@ -303,7 +349,7 @@ def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vec_euclidean_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
         "vec_id",
-        rnd(V.euclidean_distance(F.col("va"), F.col("vb")), ROUND).alias("dist"),
+        rnd(V.euclidean_distance("va", "vb"), ROUND).alias("dist"),
     )
 
 
@@ -688,7 +734,7 @@ def _exact_rescore(base: DataFrame, qs: DataFrame, cand: DataFrame) -> DataFrame
         .join(base.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qv), F.col("query_id") == F.col("_qid"))
         .withColumn(
-            "dist", V.distance(F.col("embedding"), F.col("query_vec"))
+            "dist", V.distance("embedding", "query_vec")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3161,7 +3207,7 @@ def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_retained"),
         F.coalesce(rnd(F.avg("score"), ROUND), F.lit(-1.0)).alias("avg_score"),
         F.coalesce(
-            rnd(F.avg(V.magnitude(F.col("embedding"))), ROUND), F.lit(-1.0)
+            rnd(F.avg(V.magnitude("embedding")), ROUND), F.lit(-1.0)
         ).alias("avg_mag"),
     )
 
