@@ -39,6 +39,7 @@ from toy_vector_db_spark.functions.arrowkit import (
 from toy_vector_db_spark.functions.rounding import rnd
 
 from toy_vector_db_spark.functions import vector as V
+from toy_vector_db_spark.functions.vector import _cached_expr
 
 ROUND = 6
 N_CENTROIDS = 16
@@ -478,19 +479,28 @@ def _ivf_probes(
     )
     q_m = queries.withColumn("_q_mag", V.magnitude(query_vec_col))
 
-    def _cell_dist(c):
-        sim = F.greatest(
-            F.lit(0.0),
-            V.dot(F.col(query_vec_col), c["centroid_vec"])
-            / (F.col("_q_mag") * c["_c_mag"]),
-        )
-        return F.struct(
-            (F.lit(1.0) - sim).alias("qd"), c["centroid_id"].alias("centroid_id")
-        )
-
+    # the whole rank-slice column as ONE memoized JVM-parsed expression
+    # (round 14): the per-call Column form — a transform lambda whose
+    # body builds a dot fold against the lambda variable's struct
+    # fields — cost ~0.14 s of py4j round-trips on EVERY IVF-family
+    # serving call. Same expression term by term (same lambda body,
+    # same struct field names/order, same array_sort/slice), results
+    # bit-identical (oracle-pinned).
+    dot_sql = (
+        "aggregate(zip_with("
+        f"CAST({query_vec_col} AS ARRAY<DOUBLE>), "
+        "CAST(c.centroid_vec AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
+    )
+    probes_expr = _cached_expr(
+        ("ivfprobes", query_vec_col, nprobe),
+        "slice(array_sort(transform(_cents, c -> named_struct("
+        f"'qd', 1.0D - greatest(0.0D, {dot_sql} / (_q_mag * c._c_mag)), "
+        "'centroid_id', c.centroid_id"
+        f"))), 1, {nprobe})",
+    )
     probed = q_m.crossJoin(F.broadcast(cents_row)).withColumn(
-        "_probes",
-        F.slice(F.array_sort(F.transform("_cents", _cell_dist)), 1, nprobe),
+        "_probes", probes_expr
     )
     return probed.select(
         query_id_col, query_vec_col, "_q_mag",
@@ -812,7 +822,15 @@ def _normalize(v) -> "F.Column":
     The magnitude rides in via array_repeat, which evaluates its argument
     ONCE per row — a `transform(v, x / mag)` lambda would re-evaluate the
     whole magnitude fold for every element (interpreted HOFs get no
-    subexpression elimination)."""
+    subexpression elimination).
+
+    str args (a SQL fragment, e.g. ``_as_double_sql(col)``) take the
+    memoized one-py4j-call F.expr path (round 14 — the three Python
+    lambdas here cost ~60 py4j round-trips per serving call); the SQL
+    text mirrors the Column form term by term, results bit-identical
+    (tests pin both forms)."""
+    if isinstance(v, str):
+        return _cached_expr(("norm", v), _normalize_sql(v))
     mag = F.sqrt(
         F.aggregate(
             F.zip_with(v, v, lambda x, y: x * y),
@@ -823,6 +841,19 @@ def _normalize(v) -> "F.Column":
     return F.zip_with(
         v, F.array_repeat(mag, F.size(v)), lambda x, m: x / m
     )
+
+
+def _normalize_sql(v: str) -> str:
+    return (
+        f"zip_with({v}, array_repeat(sqrt(aggregate(zip_with({v}, {v}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))), "
+        f"size({v})), (x, m) -> x / m)"
+    )
+
+
+def _as_double_sql(vec_col: str) -> str:
+    """SQL-fragment twin of _as_double for the memoized F.expr paths."""
+    return f"CAST({vec_col} AS ARRAY<DOUBLE>)"
 
 
 def _py_normalize(vec: list[float]) -> list[float]:
@@ -839,7 +870,15 @@ def _py_normalize(vec: list[float]) -> list[float]:
 
 def _sq_dist(a, b) -> "F.Column":
     """Squared euclidean as a left fold — same op order as the engine's
-    euclidean_distance (minus the sqrt), so DuckDB's list_sum matches."""
+    euclidean_distance (minus the sqrt), so DuckDB's list_sum matches.
+    str args (plain column references over already-double arrays) take
+    the memoized F.expr path."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached_expr(
+            ("sqdist", a, b),
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + coalesce(x, 0.0D))",
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1695,6 +1734,13 @@ def _bq_pack(v, start: int) -> "F.Column":
     64-dim vector keep every intermediate < 2³², far from BIGINT
     overflow (DuckDB errors on overflow rather than wrapping, so a
     single 64-bit pack would be engine-divergent at bit 63)."""
+    if isinstance(v, str):
+        return _cached_expr(
+            ("bqpack", v, start),
+            f"aggregate(slice({v}, {start}, {BQ_HALF}), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + "
+            "(CASE WHEN x > 0 THEN 1 ELSE 0 END))",
+        )
     return F.aggregate(
         F.slice(v, start, BQ_HALF),
         F.lit(0).cast("long"),
@@ -1717,11 +1763,10 @@ def bq_codes(
     BQ serves exclusively through the Hamming-prune + exact-rerank
     pipeline (knn_bq_rerank), where the scale-aware R buys it back to
     0.94/0.74 (sf0.001/sf0.1)."""
-    v = F.col(vec_col)
     return base.select(
         id_col,
-        _bq_pack(v, 1).alias("b_hi"),
-        _bq_pack(v, BQ_HALF + 1).alias("b_lo"),
+        _bq_pack(vec_col, 1).alias("b_hi"),
+        _bq_pack(vec_col, BQ_HALF + 1).alias("b_lo"),
     )
 
 
@@ -1767,8 +1812,8 @@ def knn_bq_rerank(
     codes = bq_codes(base, id_col, vec_col)
     qcodes = queries.select(
         query_id_col,
-        _bq_pack(F.col(query_vec_col), 1).alias("q_hi"),
-        _bq_pack(F.col(query_vec_col), BQ_HALF + 1).alias("q_lo"),
+        _bq_pack(query_vec_col, 1).alias("q_hi"),
+        _bq_pack(query_vec_col, BQ_HALF + 1).alias("q_lo"),
     )
     ham = F.expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)")
     if labels is not None:
@@ -1839,7 +1884,7 @@ def sq_bounds(
     rounded-output keys absorb that, but SQ's codes are UNROUNDED ints
     whose bin boundaries would flip (measured: 123/30400 codes at
     sf0.001 without the cast, 0 with it)."""
-    nb = base.select(_normalize(_as_double(vec_col)).alias("nv"))
+    nb = base.select(_normalize(_as_double_sql(vec_col)).alias("nv"))
     aggs = []
     for i in range(1, SQ_DIM + 1):
         aggs.append(F.min(F.element_at(F.col("nv"), i)).alias(f"mn{i}"))
@@ -1913,7 +1958,7 @@ def sq_code_array(
         z, lambda r: _sq_code_expr(r["nv"], r["mins"], r["maxs"])
     )
     return (
-        base.select(id_col, _normalize(_as_double(vec_col)).alias("nv"))
+        base.select(id_col, _normalize(_as_double_sql(vec_col)).alias("nv"))
         .crossJoin(F.broadcast(bounds))
         .select(id_col, codes.alias("codes"))
     )
@@ -1961,7 +2006,20 @@ def sq_codes(
 def _sq_deq(codes, mins, maxs):
     """Dequantized reconstruction x̂ = mn + (code + 0.5)·(mx − mn)/255 —
     the bin midpoint, the standard SQ decode (half-bin centering halves
-    the worst-case reconstruction error vs the left edge)."""
+    the worst-case reconstruction error vs the left edge). str args
+    (plain column names — arrays_zip names its struct fields after
+    them) take the memoized F.expr path."""
+    if (
+        isinstance(codes, str)
+        and isinstance(mins, str)
+        and isinstance(maxs, str)
+    ):
+        return _cached_expr(
+            ("sqdeq", codes, mins, maxs),
+            f"transform(arrays_zip({codes}, {mins}, {maxs}), "
+            f"r -> r.{mins} + (CAST(r.{codes} AS DOUBLE) + 0.5D) "
+            f"* (r.{maxs} - r.{mins}) / {float(SQ_LEVELS)!r}D)",
+        )
     z = F.arrays_zip(codes, mins, maxs)
     return F.transform(
         z,
@@ -2052,7 +2110,7 @@ def _sq_pair_adc(
             # return identical dtypes (the pair_scores fallback contract)
             F.col(query_id_col).cast("long").alias(query_id_col),
             F.col(id_col).cast("long").alias(id_col),
-            _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
+            _sq_dist("deq", "qnv").alias("ad2"),
         )
 
     import numpy as np
@@ -2216,10 +2274,10 @@ def knn_sq_rerank(
         codes = sq_code_array(base, bounds, id_col, vec_col)
     deq = codes.crossJoin(F.broadcast(bounds)).select(
         id_col,
-        _sq_deq(F.col("codes"), F.col("mins"), F.col("maxs")).alias("deq"),
+        _sq_deq("codes", "mins", "maxs").alias("deq"),
     )
     nq = queries.select(
-        query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
+        query_id_col, _normalize(_as_double_sql(query_vec_col)).alias("qnv")
     )
     # distributed IDSelector (round 12 in-kernel, round 13 distributed —
     # verdict r12 item 1): label attached to the dequantized codes
@@ -2311,7 +2369,7 @@ def bq2_bounds(
     (the sq_bounds argument), so the bounds are bit-identical
     cross-engine by construction; the double cast before normalizing is
     the same load-bearing parity move as sq_bounds."""
-    nb = base.select(_normalize(_as_double(vec_col)).alias("nv"))
+    nb = base.select(_normalize(_as_double_sql(vec_col)).alias("nv"))
     aggs = [
         F.max(F.abs(F.element_at(F.col("nv"), i))).alias(f"m{i}")
         for i in range(1, SQ_DIM + 1)
@@ -2362,7 +2420,7 @@ def bq2_code_array(
         ).cast("int"),
     )
     return (
-        base.select(id_col, _normalize(_as_double(vec_col)).alias("nv"))
+        base.select(id_col, _normalize(_as_double_sql(vec_col)).alias("nv"))
         .crossJoin(F.broadcast(bounds))
         .select(id_col, code.alias("codes"))
     )
@@ -2388,6 +2446,14 @@ def _bq2_recon(codes, mx) -> "F.Column":
     (c ≥ 2 → +1), level = (BQ2_HI if the magnitude bit is set else
     BQ2_LO)·mx_d. Every op is IEEE double arithmetic in a fixed order,
     mirrored exactly by the oracle SQL."""
+    if isinstance(codes, str) and isinstance(mx, str):
+        return _cached_expr(
+            ("bq2recon", codes, mx),
+            f"transform(arrays_zip({codes}, {mx}), "
+            f"r -> (CASE WHEN r.{codes} >= 2 THEN 1.0D ELSE -1.0D END) "
+            f"* ((CASE WHEN r.{codes} % 2 = 1 THEN {float(BQ2_HI)!r}D "
+            f"ELSE {float(BQ2_LO)!r}D END) * r.{mx}))",
+        )
     z = F.arrays_zip(codes, mx)
     return F.transform(
         z,
@@ -2443,7 +2509,7 @@ def knn_bq2_rerank(
     if codes is None:
         codes = bq2_code_array(base, bounds, id_col, vec_col)
     recon = codes.crossJoin(F.broadcast(bounds)).select(
-        id_col, _bq2_recon(F.col("codes"), F.col("mx")).alias("recon")
+        id_col, _bq2_recon("codes", "mx").alias("recon")
     )
     # distributed IDSelector (round 12 in-kernel, round 13 distributed —
     # verdict r12 item 1) — the knn_sq_rerank shape: pair_scores folds
@@ -2600,7 +2666,7 @@ def knn_ivfbq2(
     recon = bq2_cells.crossJoin(F.broadcast(bounds)).select(
         id_col,
         "centroid_id",
-        _bq2_recon(F.col("codes"), F.col("mx")).alias("recon"),
+        _bq2_recon("codes", "mx").alias("recon"),
     )
     if label_hist is not None:
         probes = _ivf_probes_labeled(
@@ -2848,10 +2914,10 @@ def knn_ivfsq(
     deq = sq_cells.crossJoin(F.broadcast(bounds)).select(
         id_col,
         "centroid_id",
-        _sq_deq(F.col("codes"), F.col("mins"), F.col("maxs")).alias("deq"),
+        _sq_deq("codes", "mins", "maxs").alias("deq"),
     )
     nq = queries.select(
-        query_id_col, _normalize(_as_double(query_vec_col)).alias("qnv")
+        query_id_col, _normalize(_as_double_sql(query_vec_col)).alias("qnv")
     )
     if label_hist is not None:
         probes = _ivf_probes_labeled(
@@ -2893,7 +2959,7 @@ def knn_ivfsq(
             .select(
                 F.col(query_id_col).cast("long").alias(query_id_col),
                 F.col(id_col).cast("long").alias(id_col),
-                _sq_dist(F.col("deq"), F.col("qnv")).alias("ad2"),
+                _sq_dist("deq", "qnv").alias("ad2"),
             )
         )
     else:
@@ -3026,8 +3092,8 @@ def knn_ivfbq(
         bq_cells = cached_bq_cells(base, id_col, vec_col)
     qcodes = queries.select(
         query_id_col,
-        _bq_pack(F.col(query_vec_col), 1).alias("q_hi"),
-        _bq_pack(F.col(query_vec_col), BQ_HALF + 1).alias("q_lo"),
+        _bq_pack(query_vec_col, 1).alias("q_hi"),
+        _bq_pack(query_vec_col, BQ_HALF + 1).alias("q_lo"),
     )
     if label_hist is not None:
         probes = _ivf_probes_labeled(

@@ -51,6 +51,17 @@ def get_spark(app_name: str = "toy_vector_db_spark", cpus: int | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Round 14 (guide §7.3 driver discipline): PySpark 4's
+        # DataFrame-debugging wrapper charges EVERY DataFrame/Column
+        # API call ~3 extra py4j round-trips (a conf.get for the stack
+        # depth, a PySparkCurrentOrigin.set, a .clear) plus a Python
+        # stack inspection, purely to decorate error messages with the
+        # user call site. Measured on the IVF serving keys: 20-35% of
+        # each key's driver-side plan construction (knn_ivfsq construct
+        # 0.55 -> 0.42 s, hybrid_rrf_ivfpq 1.03 -> 0.67 s). A serving
+        # head turns this off in production for exactly this reason;
+        # results and plans are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
 
@@ -66,4 +77,18 @@ def configure(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    # best-effort for externally created sessions: the debugging flag is
+    # a BUILD-time conf (conf.set on a live session raises
+    # AnalysisException), and pyspark caches its value process-wide in
+    # pyspark.errors.utils._enable_debugging_cache at the first wrapped
+    # DataFrame call. Writing that cache directly is the documented
+    # shape of the flag's fast path (is_debugging_enabled reads it
+    # first) and only skips error-message call-site decoration — see
+    # the get_spark builder comment for the measured construction cost.
+    try:
+        from pyspark.errors import utils as _errors_utils
+
+        _errors_utils._enable_debugging_cache = False
+    except (ImportError, AttributeError):
+        pass  # older/newer pyspark without the cache: keep defaults
     return spark
