@@ -33,6 +33,7 @@ def _cache_dicts() -> list[dict]:
     from toy_vector_db_spark.functions import vector
     from toy_vector_db_spark.operators import dedup, hnsw, knn, similarity
     from toy_vector_db_spark.streaming import ingest
+    from toy_vector_db_spark.streaming import windows as stream_windows
 
     return [
         vector._EXPR_CACHE,
@@ -47,6 +48,7 @@ def _cache_dicts() -> list[dict]:
         similarity._CODES_CACHE,
         similarity._LABEL_HIST_CACHE,
         similarity._PROBE_ROUTING_CACHE,
+        similarity._PQ_LUT_CACHE,
         similarity._SQ_BOUNDS_CACHE,
         similarity._BQ2_BOUNDS_CACHE,
         similarity._BQ2_CELLS_CACHE,
@@ -60,6 +62,7 @@ def _cache_dicts() -> list[dict]:
         knn._QUERY_COUNT_CACHE,
         knn._QLABEL_MAP_CACHE,
         ingest._INGEST_CACHE,
+        stream_windows._STREAM_SCHEMA_CACHE,
         registry._N_CACHE,
         registry._EVAL_CACHE,
         registry._TABLE_CACHE,

@@ -1202,6 +1202,60 @@ def _attach_labels(
     )
 
 
+# (appId, queries plan hash, input snapshot, cols, books fingerprint) →
+# (qids int64 array, [per-subspace (n_q, K) LUT arrays]). Round 14: every
+# bounded PQ serving call rebuilt the ADC lookup tables driver-side —
+# profiled at 0.18-0.28 s of numpy (the parity cumsum fold over an
+# (n_q, K, sub) transient) per call — although they are deterministic
+# from the collected query batch and the trained codebooks, both already
+# session-cached. Memoized per the _collected_queries key plus a content
+# fingerprint of the codebooks (books come from _PQ_BOOKS_CACHE, but a
+# frozen-quantizer caller may pass its own list — hashing the bytes, not
+# the object id, keeps a stale hit impossible). Bounded by the same
+# QUERY_BATCH_MAX contract as the query batch itself. Registered in
+# caches._cache_dicts.
+_PQ_LUT_CACHE: dict[tuple, tuple] = {}
+
+
+def _collected_pq_luts(
+    queries: DataFrame,
+    books: list,
+    query_id_col: str,
+    query_vec_col: str,
+) -> tuple:
+    from toy_vector_db_spark.operators import knn as KNN
+
+    b_arr = np.array(books)  # (M, K, sub)
+    key = (
+        queries.sparkSession.sparkContext.applicationId,
+        queries.semanticHash(),
+        KNN._input_snapshot(queries),
+        query_id_col,
+        query_vec_col,
+        hash(b_arr.tobytes()),
+    )
+    if key not in _PQ_LUT_CACHE:
+        qrows = KNN._collected_queries(queries, query_id_col, query_vec_col)
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        X = np.array([r[1] for r in qrows], dtype=np.float64)
+        m_, _, sub = b_arr.shape
+        n_q, d = X.shape
+        # normalization + LUT build: the _adc_lut_frame kernel's exact
+        # op sequence (j-order magnitude accumulation, per-subspace
+        # cumsum-of-squared-diff fold) on the same float64 inputs
+        mag = np.zeros(n_q)
+        for j in range(d):
+            mag += X[:, j] * X[:, j]
+        nv = X / np.sqrt(mag)[:, None]
+        luts = []
+        for m in range(m_):
+            vm = nv[:, m * sub: (m + 1) * sub]
+            diff = vm[:, None, :] - b_arr[m][None, :, :]
+            luts.append(np.cumsum(diff * diff, axis=2)[:, :, -1])  # (n_q, K)
+        _PQ_LUT_CACHE[key] = (qids, luts)
+    return _PQ_LUT_CACHE[key]
+
+
 def _pq_pair_adc(
     codes: DataFrame,
     queries: DataFrame,
@@ -1278,23 +1332,11 @@ def _pq_pair_adc(
     schema = f"{query_id_col} long, {id_col} long, ad2 double"
     if not qrows:
         return codes.sparkSession.createDataFrame([], schema)
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    X = np.array([r[1] for r in qrows], dtype=np.float64)
-    b_arr = np.array(books)  # (M, K, sub)
-    m_, _, sub = b_arr.shape
-    n_q, d = X.shape
-    # normalization + LUT build: the _adc_lut_frame kernel's exact op
-    # sequence (j-order magnitude accumulation, per-subspace
-    # cumsum-of-squared-diff fold) on the same float64 inputs
-    mag = np.zeros(n_q)
-    for j in range(d):
-        mag += X[:, j] * X[:, j]
-    nv = X / np.sqrt(mag)[:, None]
-    luts = []
-    for m in range(m_):
-        vm = nv[:, m * sub: (m + 1) * sub]
-        diff = vm[:, None, :] - b_arr[m][None, :, :]
-        luts.append(np.cumsum(diff * diff, axis=2)[:, :, -1])  # (n_q, K)
+    qids, luts = _collected_pq_luts(
+        queries, books, query_id_col, query_vec_col
+    )
+    m_ = len(luts)
+    n_q = len(qids)
     if emit_topk is not None and not KNN.emit_topk_within_budget(
         n_q, emit_topk
     ):
