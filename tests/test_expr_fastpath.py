@@ -184,3 +184,34 @@ def test_ivf_probes_matches_column_form(emb):
     )
     want = sorted((r["query_id"], r["centroid_id"]) for r in ref.collect())
     assert got == want
+
+
+def test_dedup_builders_str_vs_column(spark, sf_dir):
+    from toy_vector_db_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _assert_bit_equal(
+        docs,
+        D.word_shingles("text"),
+        D.word_shingles(F.col("text")),
+        "word_shingles",
+    )
+    _assert_bit_equal(
+        docs,
+        D.char_ngrams("text", 4),
+        D.char_ngrams(F.col("text"), 4),
+        "char_ngrams",
+    )
+    hashed_s = docs.select(
+        D.shingle_hashes_of_text("text").alias("hs")
+    )
+    hashed_c = docs.select(
+        D.shingle_hashes(D.word_shingles(F.col("text"))).alias("hs")
+    )
+    assert (
+        [r.hs for r in hashed_s.collect()]
+        == [r.hs for r in hashed_c.collect()]
+    ), "shingle_hashes_of_text vs composed Column form"
+    sig_s = hashed_s.select(*D.minhash_from_hashes("hs")).collect()
+    sig_c = hashed_s.select(*D.minhash_from_hashes(F.col("hs"))).collect()
+    assert sig_s == sig_c, "minhash_from_hashes str vs Column form"

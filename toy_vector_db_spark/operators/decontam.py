@@ -81,13 +81,13 @@ def decontaminate_ngram(
     # carries one row per (doc, partial count).
     eval_grams = (
         eval_docs.select(
-            F.explode(word_shingles(F.col("text"), k)).alias("g")
+            F.explode(word_shingles("text", k)).alias("g")
         )
         .distinct()
     )
     hits = (
         train.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+            "doc_id", F.explode(word_shingles("text", k)).alias("g")
         )
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
@@ -150,11 +150,11 @@ def contamination_report(
     train = docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti")
     ev_grams = eval_docs.select(
         F.col("doc_id").alias("eval_id"),
-        F.explode(word_shingles(F.col("text"), k)).alias("g"),
+        F.explode(word_shingles("text", k)).alias("g"),
     )
     hits = (
         train.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+            "doc_id", F.explode(word_shingles("text", k)).alias("g")
         )
         .join(F.broadcast(ev_grams), "g")
         .groupBy("eval_id")

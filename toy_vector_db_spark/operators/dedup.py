@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions.rounding import rnd
+from toy_vector_db_spark.functions.vector import _cached_expr
 
 ROUND = 6
 P31 = 2_147_483_647  # 2^31 - 1, prime modulus for the universal hash family
@@ -106,7 +107,19 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 
 # -- shingling ---------------------------------------------------------------
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def _word_shingles_sql(t: str, k: int) -> str:
+    # mirrors the Column form below term by term (same let-binding, same
+    # guard, same concat_ws/slice body)
+    return (
+        f"transform(array(split({t}, ' ')), toks -> "
+        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]"
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array column (pure Catalyst). Guarded
     for short texts: Spark's sequence(1, 0) would count DOWN, not produce
     an empty range like DuckDB's.
@@ -116,7 +129,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     higher-order lambdas re-evaluate any OUTER subtree they reference once
     per element, so the inline form re-split the text for every shingle
     position (~300 splits/row on the fixture docs; measured 3.7× slower).
-    A lambda variable is evaluated once. Same strings bit-for-bit."""
+    A lambda variable is evaluated once. Same strings bit-for-bit.
+
+    str args (a plain column reference) take the memoized one-py4j-call
+    F.expr path (round 14 — the two Python lambdas here rebuilt on every
+    call); bit-identity pinned in tests/test_expr_fastpath.py."""
+    if isinstance(text, str):
+        return _cached_expr(
+            ("wshingles", text, k), _word_shingles_sql(text, k)
+        )
 
     def _body(toks: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
@@ -127,7 +148,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.transform(F.array(F.split(text, " ")), _body).getItem(0)
 
 
-def char_ngrams(text: Column, n: int = 4) -> Column:
+def char_ngrams(text: Column | str, n: int = 4) -> Column:
+    if isinstance(text, str):
+        return _cached_expr(
+            ("cngrams", text, n),
+            f"CASE WHEN length({text}) >= {n} THEN array_distinct("
+            f"transform(sequence(1, length({text}) - {n - 1}), "
+            f"i -> substring({text}, i, {n}))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END",
+        )
     idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
     return F.when(F.length(text) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.substring(text, i, n))
@@ -136,18 +165,52 @@ def char_ngrams(text: Column, n: int = 4) -> Column:
 
 # -- MinHash -----------------------------------------------------------------
 
-def shingle_hashes(shingles: Column) -> Column:
+def _shingle_hashes_sql(arr: str) -> str:
+    # md5_int(s) % P31 — the sql_md5_int translation over a lambda var
+    return (
+        f"transform({arr}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT) % {P31})"
+    )
+
+
+def shingle_hashes(shingles: Column | str) -> Column:
     """Per-row array of shingle hashes in [0, p). Hoist this into its OWN
     aliased column before fanning out to the 16 permutation folds:
     CollapseProject declines to inline a non-trivial expression referenced
     more than once, so the md5 pass runs once per row instead of once per
-    fold (measured 16× less md5 work at sf0.1)."""
+    fold (measured 16× less md5 work at sf0.1). str args take the
+    memoized F.expr path."""
+    if isinstance(shingles, str):
+        return _cached_expr(
+            ("shhashes", shingles), _shingle_hashes_sql(shingles)
+        )
     return F.transform(shingles, lambda s: md5_int(s) % P31)
 
 
-def minhash_from_hashes(hashes: Column) -> list[Column]:
+def shingle_hashes_of_text(text_col: str, k: int = 3) -> Column:
+    """The composed shingle_hashes(word_shingles(text)) column as ONE
+    memoized JVM-parsed expression — the minhash_lsh_pairs hot
+    projection (round 14: rebuilt per bench sample, ~0.2 s of py4j)."""
+    return _cached_expr(
+        ("shhashes_text", text_col, k),
+        _shingle_hashes_sql(_word_shingles_sql(text_col, k)),
+    )
+
+
+def minhash_from_hashes(hashes: Column | str) -> list[Column]:
     """16 minhash values from a precomputed hash array — pure arithmetic
-    folds (array_min over the permuted hashes), no explode, no shuffle."""
+    folds (array_min over the permuted hashes), no explode, no shuffle.
+    str args take the memoized F.expr path (one parse per permutation
+    per session instead of 16 lambda builds per call)."""
+    if isinstance(hashes, str):
+        return [
+            _cached_expr(
+                ("minhash", hashes, i),
+                f"array_min(transform({hashes}, "
+                f"h -> ({a} * h + {b}) % {P31}))",
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+        ]
     return [
         F.array_min(
             F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
@@ -227,26 +290,26 @@ def minhash_lsh_pairs(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     docs = corpus.repartition(par, "doc_id").select("doc_id", "text")
     hashed = docs.select(
-        "doc_id", shingle_hashes(word_shingles(F.col("text"))).alias("hs")
+        "doc_id", shingle_hashes_of_text("text").alias("hs")
     )
-    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("hs")))
+    sig = hashed.select("doc_id", *minhash_from_hashes("hs"))
 
-    # slim (doc_id, band, sig) frame for the bucket self-join
+    # slim (doc_id, band, sig) frame for the bucket self-join; the
+    # banding array is a constant expression over the m0..m15 columns —
+    # memoized like the other round-14 F.expr fast paths
+    bands_arr = _cached_expr(
+        ("lshbands", BANDS, ROWS_PER_BAND),
+        "array(" + ", ".join(
+            f"named_struct('band', {bi}, 'sig', concat_ws('_', "
+            + ", ".join(
+                f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            )
+            + "))"
+            for bi in range(BANDS)
+        ) + ")",
+    )
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws(
-                        "_",
-                        *[F.col(f"m{bi * ROWS_PER_BAND + r}")
-                          for r in range(ROWS_PER_BAND)],
-                    ).alias("sig"),
-                )
-                for bi in range(BANDS)
-            ])
-        ).alias("bk"),
+        "doc_id", F.explode(bands_arr).alias("bk")
     ).select("doc_id", "bk.band", "bk.sig")
     # skew guard: enumerate the MEGA-buckets (> bucket_cap rows) with a
     # map-side-combined groupBy — by construction at most
@@ -290,11 +353,11 @@ def minhash_lsh_pairs(
     # advice; CollapseProject keeps an aliased projection under the join).
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
-        word_shingles(F.col("text")).alias("sh_a"),
+        word_shingles("text").alias("sh_a"),
     )
     tb = docs.select(
         F.col("doc_id").alias("doc_b"),
-        word_shingles(F.col("text")).alias("sh_b"),
+        word_shingles("text").alias("sh_b"),
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -618,7 +681,7 @@ def ngram_jaccard_topk(
     g = docs.repartition(par, "doc_id").select(
         "doc_id",
         F.concat_ws("|", "source", "lang").alias("blk"),
-        char_ngrams(F.col("text"), n).alias("grams"),
+        char_ngrams("text", n).alias("grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
