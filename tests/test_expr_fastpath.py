@@ -215,3 +215,26 @@ def test_dedup_builders_str_vs_column(spark, sf_dir):
     sig_s = hashed_s.select(*D.minhash_from_hashes("hs")).collect()
     sig_c = hashed_s.select(*D.minhash_from_hashes(F.col("hs"))).collect()
     assert sig_s == sig_c, "minhash_from_hashes str vs Column form"
+
+
+def test_lit_vec_bit_identical(spark, emb):
+    from toy_vector_db_spark.operators import knn as K
+
+    vec = [r["embedding"] for r in emb.limit(1).collect()][0]
+    one = spark.range(1)
+    rows = one.select(
+        K._lit_vec(vec).alias("s"),
+        F.lit([float(x) for x in vec]).cast("array<double>").alias("c"),
+    ).collect()
+    assert _bits([float(x) for x in rows[0]["s"]]) == _bits(
+        [float(x) for x in rows[0]["c"]]
+    )
+    # tricky doubles round-trip exactly through repr + SQL parse
+    tricky = [0.1, 1e-300, 1.7976931348623157e308, -0.0, 2**-1074, 1/3]
+    rows = one.select(
+        K._lit_vec(tricky).alias("s"),
+        F.lit(tricky).cast("array<double>").alias("c"),
+    ).collect()
+    assert _bits([float(x) for x in rows[0]["s"]]) == _bits(
+        [float(x) for x in rows[0]["c"]]
+    )

@@ -63,11 +63,31 @@ def with_distance(
     recompute it per row — precompute it driver-side (bit-identically) and
     inline as a literal. Row magnitudes are computed once per row.
     """
-    q = F.lit(query_vec).cast("array<double>")
+    q = _lit_vec(query_vec)
     q_mag = F.lit(_py_magnitude(query_vec))
     v = F.col(vec_col)
     sim = F.greatest(F.lit(0.0), V.dot(v, q) / (V.magnitude(v) * q_mag))
     return df.withColumn(dist_col, F.lit(1.0) - sim)
+
+
+def _lit_vec(vec) -> "F.Column":
+    """Literal array<double> column for a query vector. F.lit(list)
+    builds the array one element-literal py4j call at a time — measured
+    136 ms for a 64-dim vector, most of knn_exact_single's construction
+    — while the equivalent SQL array literal parses JVM-side in one
+    call (~1 ms), memoized per vector content (round 14). repr() is the
+    shortest round-tripping decimal and SQL's double parse is correctly
+    rounded, so the literal is bit-identical (pinned in
+    tests/test_expr_fastpath.py); non-finite values (no fixture or
+    serving path produces them) fall back to F.lit."""
+    vals = [float(x) for x in vec]
+    if not all(math.isfinite(x) for x in vals):
+        return F.lit(vals).cast("array<double>")
+    return V._cached_expr(
+        ("litvec", hash(tuple(vals))),
+        "CAST(array(" + ", ".join(f"{x!r}D" for x in vals)
+        + ") AS ARRAY<DOUBLE>)",
+    )
 
 
 def knn_exact_single(
