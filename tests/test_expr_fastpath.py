@@ -238,3 +238,71 @@ def test_lit_vec_bit_identical(spark, emb):
     assert _bits([float(x) for x in rows[0]["s"]]) == _bits(
         [float(x) for x in rows[0]["c"]]
     )
+
+
+def test_lit_vec_memo_key_is_collision_proof(spark):
+    """Advice r14 (medium): the round-14 memo keyed on
+    hash(tuple(vals)) — CPython guarantees hash(-1.0) == hash(-2.0), so
+    two query vectors differing only in that coordinate collided and the
+    second silently reused the FIRST vector's literal. The key is now
+    the value tuple itself; this pins that two hash-colliding vectors
+    get their own (correct) literals."""
+    from toy_vector_db_spark.operators import knn as K
+
+    v1 = [0.5, -1.0, 2.25]
+    v2 = [0.5, -2.0, 2.25]
+    assert hash(tuple(v1)) == hash(tuple(v2))  # the collision is real
+    one = spark.range(1)
+    rows = one.select(
+        K._lit_vec(v1).alias("a"), K._lit_vec(v2).alias("b")
+    ).collect()
+    assert _bits([float(x) for x in rows[0]["a"]]) == _bits(v1)
+    assert _bits([float(x) for x in rows[0]["b"]]) == _bits(v2)
+
+
+def test_pq_lut_cache_key_is_content_keyed(spark, emb):
+    """Advice r14 (low): _PQ_LUT_CACHE fingerprinted codebooks with
+    Python's salted 64-bit hash(bytes) — collisions improbable, not
+    impossible. Now shape + sha256 digest: two different codebook sets
+    must produce different LUTs (and the same set must hit the memo)."""
+    import numpy as np
+
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    rng = np.random.default_rng(7)
+    books1 = [rng.normal(size=(4, 8)).tolist() for _ in range(2)]
+    books2 = [rng.normal(size=(4, 8)).tolist() for _ in range(2)]
+    qids1, luts1 = S._collected_pq_luts(qs, books1, "query_id", "query_vec")
+    qids1b, luts1b = S._collected_pq_luts(qs, books1, "query_id", "query_vec")
+    assert luts1 is luts1b  # memo hit for identical content
+    _, luts2 = S._collected_pq_luts(qs, books2, "query_id", "query_vec")
+    assert not np.allclose(luts1[0], luts2[0])  # no cross-codebook hit
+
+
+def test_str_fastpath_non_identifier_names_fall_back(spark):
+    """Advice r14 (low): a column name F.col accepts but raw SQL needs
+    backticks for (space, hyphen, reserved word) must still work through
+    the public builders — the str fast path validates the name and falls
+    back to the Column path (vector/dedup) or backtick-quotes it
+    (similarity's fragment builders)."""
+    from toy_vector_db_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], "the quick brown fox jumps")],
+        "id long, `my vec` array<double>, `my text` string",
+    )
+    rows = df.select(
+        V.magnitude("my vec").alias("m"),
+        V.dot("my vec", "my vec").alias("d"),
+        S._normalize(S._as_double_sql("my vec")).alias("nv"),
+        S._bq_pack("my vec", 1).alias("bq"),
+        F.size(D.word_shingles("my text", 3)).alias("ws"),
+        F.size(D.char_ngrams("my text", 4)).alias("cn"),
+    ).collect()
+    assert rows[0]["m"] == 5.0
+    assert rows[0]["d"] == 25.0
+    assert [round(x, 6) for x in rows[0]["nv"]] == [0.6, 0.8]
+    assert rows[0]["ws"] == 3
+    assert rows[0]["cn"] > 0

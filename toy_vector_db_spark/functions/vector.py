@@ -23,6 +23,8 @@ columnar parquet scans; the only data read is the embedding column itself
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,6 +32,35 @@ from pyspark.sql import functions as F
 def _dbl(v: Column) -> Column:
     """Cast an array<float> column to array<double> for stable arithmetic."""
     return v.cast("array<double>")
+
+
+# The str fast paths below interpolate caller-supplied column names into
+# raw SQL, which is only identity-preserving for plain (optionally
+# dot-qualified) identifiers — a name F.col() accepts but SQL needs
+# backticks for (spaces, hyphens, reserved words) would fail to parse or
+# bind differently (advice r14). Names outside this shape fall back to
+# the Column path via F.col, which has the exact pre-fast-path semantics.
+_SIMPLE_REF = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _plain_refs(*args) -> bool:
+    return all(
+        isinstance(a, str) and _SIMPLE_REF.match(a) is not None for a in args
+    )
+
+
+def _as_col(v: Column | str) -> Column:
+    return F.col(v) if isinstance(v, str) else v
+
+
+def _sql_ident(name: str) -> str:
+    """Render a caller-supplied column name for interpolation into a raw
+    SQL fragment: plain (optionally dot-qualified) identifiers pass
+    through unchanged; anything else is backtick-quoted so the fragment
+    parses and binds to the same column F.col(name) would."""
+    if _SIMPLE_REF.match(name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 
 # Memoized SQL-parsed expression Columns for the str-argument fast path
@@ -44,7 +75,7 @@ def _dbl(v: Column) -> Column:
 # (function, arg strings). The SQL text is built to produce the exact
 # same analyzed expression as the Column form (same lambda variable
 # names, double literals via the D suffix, identical op order), so
-# results are bit-identical; tests/test_vector_parity.py pins the two
+# results are bit-identical; tests/test_expr_fastpath.py pins the two
 # forms equal and the oracle hashes pin cross-engine parity.
 # Registered in caches._cache_dicts (bench hygiene; entries are pure
 # unresolved expressions, dropping one only re-parses on next use).
@@ -83,8 +114,9 @@ def dot(a: Column | str, b: Column | str) -> Column:
     ``"a.embedding"``) take the memoized one-py4j-call F.expr path;
     Column args build the identical expression via the HOF builders.
     """
-    if isinstance(a, str) and isinstance(b, str):
+    if _plain_refs(a, b):
         return _cached_expr(("dot", a, b), _sql_dot_fold(a, b))
+    a, b = _as_col(a), _as_col(b)
     return F.aggregate(
         F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -94,8 +126,9 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def magnitude(v: Column | str) -> Column:
     """L2 norm sqrt(Σ x²) (reference: src/vector.rs:4-6)."""
-    if isinstance(v, str):
+    if _plain_refs(v):
         return _cached_expr(("mag", v), f"sqrt({_sql_dot_fold(v, v)})")
+    v = _as_col(v)
     return F.sqrt(dot(v, v))
 
 
@@ -104,18 +137,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     (src/vector.rs:15). The clamp is non-standard and must be reproduced
     exactly for parity; the DuckDB oracle writes ``greatest(0.0, ...)``.
     """
-    if isinstance(a, str) and isinstance(b, str):
+    if _plain_refs(a, b):
         return _cached_expr(
             ("cossim", a, b),
             f"greatest(0.0D, {_sql_dot_fold(a, b)} / "
             f"(sqrt({_sql_dot_fold(a, a)}) * sqrt({_sql_dot_fold(b, b)})))",
         )
+    a, b = _as_col(a), _as_col(b)
     return F.greatest(F.lit(0.0), dot(a, b) / (magnitude(a) * magnitude(b)))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:
     """1 − clamped cosine similarity → range [0, 1] (src/vector.rs:19-21)."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _plain_refs(a, b):
         return _cached_expr(
             ("cosdist", a, b),
             f"1.0D - greatest(0.0D, {_sql_dot_fold(a, b)} / "
@@ -126,13 +160,14 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
 
 def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     """sqrt(Σ (xᵢ−yᵢ)²) (src/vector.rs:23-29; defined but unused upstream)."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _plain_refs(a, b):
         return _cached_expr(
             ("euc", a, b),
             f"sqrt(aggregate(zip_with({_sql_dbl(a)}, {_sql_dbl(b)}, "
             "(x, y) -> (x - y) * (x - y)), 0.0D, "
             "(acc, x) -> acc + coalesce(x, 0.0D)))",
         )
+    a, b = _as_col(a), _as_col(b)
     return F.sqrt(
         F.aggregate(
             F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.functions.rounding import rnd
-from toy_vector_db_spark.functions.vector import _cached_expr
+from toy_vector_db_spark.functions.vector import _cached_expr, _plain_refs
 
 ROUND = 6
 P31 = 2_147_483_647  # 2^31 - 1, prime modulus for the universal hash family
@@ -133,11 +133,15 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
     str args (a plain column reference) take the memoized one-py4j-call
     F.expr path (round 14 — the two Python lambdas here rebuilt on every
-    call); bit-identity pinned in tests/test_expr_fastpath.py."""
-    if isinstance(text, str):
+    call); bit-identity pinned in tests/test_expr_fastpath.py. Names
+    that are not plain dotted identifiers (would need backticks in raw
+    SQL — advice r14) fall back to the Column path via F.col."""
+    if _plain_refs(text):
         return _cached_expr(
             ("wshingles", text, k), _word_shingles_sql(text, k)
         )
+    if isinstance(text, str):
+        text = F.col(text)
 
     def _body(toks: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
@@ -149,7 +153,7 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 4) -> Column:
-    if isinstance(text, str):
+    if _plain_refs(text):
         return _cached_expr(
             ("cngrams", text, n),
             f"CASE WHEN length({text}) >= {n} THEN array_distinct("
@@ -157,6 +161,8 @@ def char_ngrams(text: Column | str, n: int = 4) -> Column:
             f"i -> substring({text}, i, {n}))) "
             "ELSE CAST(array() AS ARRAY<STRING>) END",
         )
+    if isinstance(text, str):
+        text = F.col(text)
     idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
     return F.when(F.length(text) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.substring(text, i, n))
@@ -180,17 +186,22 @@ def shingle_hashes(shingles: Column | str) -> Column:
     more than once, so the md5 pass runs once per row instead of once per
     fold (measured 16× less md5 work at sf0.1). str args take the
     memoized F.expr path."""
-    if isinstance(shingles, str):
+    if _plain_refs(shingles):
         return _cached_expr(
             ("shhashes", shingles), _shingle_hashes_sql(shingles)
         )
+    if isinstance(shingles, str):
+        shingles = F.col(shingles)
     return F.transform(shingles, lambda s: md5_int(s) % P31)
 
 
 def shingle_hashes_of_text(text_col: str, k: int = 3) -> Column:
     """The composed shingle_hashes(word_shingles(text)) column as ONE
     memoized JVM-parsed expression — the minhash_lsh_pairs hot
-    projection (round 14: rebuilt per bench sample, ~0.2 s of py4j)."""
+    projection (round 14: rebuilt per bench sample, ~0.2 s of py4j).
+    Non-identifier names compose the two Column paths instead."""
+    if not _plain_refs(text_col):
+        return shingle_hashes(word_shingles(F.col(text_col), k))
     return _cached_expr(
         ("shhashes_text", text_col, k),
         _shingle_hashes_sql(_word_shingles_sql(text_col, k)),
@@ -202,7 +213,7 @@ def minhash_from_hashes(hashes: Column | str) -> list[Column]:
     folds (array_min over the permuted hashes), no explode, no shuffle.
     str args take the memoized F.expr path (one parse per permutation
     per session instead of 16 lambda builds per call)."""
-    if isinstance(hashes, str):
+    if _plain_refs(hashes):
         return [
             _cached_expr(
                 ("minhash", hashes, i),
@@ -211,6 +222,8 @@ def minhash_from_hashes(hashes: Column | str) -> list[Column]:
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
         ]
+    if isinstance(hashes, str):
+        hashes = F.col(hashes)
     return [
         F.array_min(
             F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)

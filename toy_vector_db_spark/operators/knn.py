@@ -79,12 +79,19 @@ def _lit_vec(vec) -> "F.Column":
     shortest round-tripping decimal and SQL's double parse is correctly
     rounded, so the literal is bit-identical (pinned in
     tests/test_expr_fastpath.py); non-finite values (no fixture or
-    serving path produces them) fall back to F.lit."""
+    serving path produces them) fall back to F.lit.
+
+    The memo key is the VALUE TUPLE itself (round 15, advice r14): the
+    round-14 key was hash(tuple(vals)), under which distinct vectors can
+    collide (hash(-1.0) == hash(-2.0) in CPython) and the second vector
+    would silently reuse the first one's literal. Keying on the tuple
+    makes a wrong hit impossible; the tuple is already built, so the
+    only cost is holding ~n doubles per distinct query vector."""
     vals = [float(x) for x in vec]
     if not all(math.isfinite(x) for x in vals):
         return F.lit(vals).cast("array<double>")
     return V._cached_expr(
-        ("litvec", hash(tuple(vals))),
+        ("litvec", tuple(vals)),
         "CAST(array(" + ", ".join(f"{x!r}D" for x in vals)
         + ") AS ARRAY<DOUBLE>)",
     )

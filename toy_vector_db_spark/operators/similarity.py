@@ -27,6 +27,8 @@ MLlib k-means) where cross-engine bit-parity is not a requirement.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,7 +41,7 @@ from toy_vector_db_spark.functions.arrowkit import (
 from toy_vector_db_spark.functions.rounding import rnd
 
 from toy_vector_db_spark.functions import vector as V
-from toy_vector_db_spark.functions.vector import _cached_expr
+from toy_vector_db_spark.functions.vector import _cached_expr, _sql_ident
 
 ROUND = 6
 N_CENTROIDS = 16
@@ -488,7 +490,7 @@ def _ivf_probes(
     # bit-identical (oracle-pinned).
     dot_sql = (
         "aggregate(zip_with("
-        f"CAST({query_vec_col} AS ARRAY<DOUBLE>), "
+        f"CAST({_sql_ident(query_vec_col)} AS ARRAY<DOUBLE>), "
         "CAST(c.centroid_vec AS ARRAY<DOUBLE>), (x, y) -> x * y), "
         "0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
     )
@@ -852,8 +854,10 @@ def _normalize_sql(v: str) -> str:
 
 
 def _as_double_sql(vec_col: str) -> str:
-    """SQL-fragment twin of _as_double for the memoized F.expr paths."""
-    return f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    """SQL-fragment twin of _as_double for the memoized F.expr paths.
+    The caller-supplied name is backtick-quoted when it is not a plain
+    identifier (advice r14), matching F.col's binding."""
+    return f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
 
 
 def _py_normalize(vec: list[float]) -> list[float]:
@@ -1210,10 +1214,14 @@ def _attach_labels(
 # from the collected query batch and the trained codebooks, both already
 # session-cached. Memoized per the _collected_queries key plus a content
 # fingerprint of the codebooks (books come from _PQ_BOOKS_CACHE, but a
-# frozen-quantizer caller may pass its own list — hashing the bytes, not
-# the object id, keeps a stale hit impossible). Bounded by the same
-# QUERY_BATCH_MAX contract as the query batch itself. Registered in
-# caches._cache_dicts.
+# frozen-quantizer caller may pass its own list — fingerprinting the
+# CONTENT, not the object id, so a caller with different codebooks can
+# never hit another quantizer's entry). Round 15 (advice r14): the
+# fingerprint is the array shape + a sha256 digest of the bytes — the
+# round-14 hash(bytes) was Python's salted 64-bit hash, under which a
+# collision (improbable, not impossible) would have silently served
+# another codebook's LUTs. Bounded by the same QUERY_BATCH_MAX contract
+# as the query batch itself. Registered in caches._cache_dicts.
 _PQ_LUT_CACHE: dict[tuple, tuple] = {}
 
 
@@ -1232,7 +1240,8 @@ def _collected_pq_luts(
         KNN._input_snapshot(queries),
         query_id_col,
         query_vec_col,
-        hash(b_arr.tobytes()),
+        b_arr.shape,
+        hashlib.sha256(b_arr.tobytes()).digest(),
     )
     if key not in _PQ_LUT_CACHE:
         qrows = KNN._collected_queries(queries, query_id_col, query_vec_col)
@@ -1779,7 +1788,7 @@ def _bq_pack(v, start: int) -> "F.Column":
     if isinstance(v, str):
         return _cached_expr(
             ("bqpack", v, start),
-            f"aggregate(slice({v}, {start}, {BQ_HALF}), "
+            f"aggregate(slice({_sql_ident(v)}, {start}, {BQ_HALF}), "
             "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + "
             "(CASE WHEN x > 0 THEN 1 ELSE 0 END))",
         )

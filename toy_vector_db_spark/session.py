@@ -85,10 +85,27 @@ def configure(spark: SparkSession) -> SparkSession:
     # shape of the flag's fast path (is_debugging_enabled reads it
     # first) and only skips error-message call-site decoration — see
     # the get_spark builder comment for the measured construction cost.
+    # Round 15 (advice r14): respect an EXPLICIT opt-in — if the session
+    # was built with dataFrameDebugging.enabled=true, leave the cache
+    # alone (conf.get with a None default returns the set value only
+    # when the user actually set it); and only write the cache on a
+    # pyspark whose is_debugging_enabled/_enable_debugging_cache pair
+    # exists (the shape this fast path is written against), so a future
+    # pyspark that renames the mechanism is left at its defaults.
     try:
-        from pyspark.errors import utils as _errors_utils
+        explicit = spark.conf.get(
+            "spark.python.sql.dataFrameDebugging.enabled", None
+        )
+    except Exception:
+        explicit = None
+    if not (explicit or "").lower() == "true":
+        try:
+            from pyspark.errors import utils as _errors_utils
 
-        _errors_utils._enable_debugging_cache = False
-    except (ImportError, AttributeError):
-        pass  # older/newer pyspark without the cache: keep defaults
+            if hasattr(_errors_utils, "is_debugging_enabled") and hasattr(
+                _errors_utils, "_enable_debugging_cache"
+            ):
+                _errors_utils._enable_debugging_cache = False
+        except ImportError:
+            pass  # older/newer pyspark without the cache: keep defaults
     return spark
