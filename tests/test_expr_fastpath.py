@@ -306,3 +306,28 @@ def test_str_fastpath_non_identifier_names_fall_back(spark):
     assert [round(x, 6) for x in rows[0]["nv"]] == [0.6, 0.8]
     assert rows[0]["ws"] == 3
     assert rows[0]["cn"] > 0
+
+
+def test_simhash_sql_vs_column(spark, sf_dir):
+    """Round 15: the memoized SQL SimHash fold must be bit-identical to
+    the Python-Column SWAR builder it replaced, including on the 16-bit
+    fallback branch (docs past 255 tokens) and the injected near-dup
+    corpus the dedup keys actually hash."""
+    from toy_vector_db_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = D.with_injected_dups(docs)
+    # a >255-token doc to engage the 16-bit spacing branch
+    long_doc = spark.createDataFrame(
+        [(999_999_999, " ".join(f"w{i % 97}" for i in range(400)))],
+        "doc_id long, text string",
+    )
+    corpus = corpus.unionByName(long_doc)
+    rows = corpus.select(
+        D._cached_expr(("simhash32", "text"), D._simhash_sig_sql("text"))
+        .alias("s"),
+        D._simhash_sig_column().alias("c"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["s"] == r["c"]

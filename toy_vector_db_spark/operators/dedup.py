@@ -434,6 +434,82 @@ def _swar_simhash(hs, spacing: int):
     return F.aggregate(hs, zero, _merge, _finish)
 
 
+def _swar_simhash_sql(hs: str, spacing: int) -> str:
+    """SQL twin of _swar_simhash over an hs array fragment — mirrors the
+    Column form term by term (same masks, same shift/and/count ops, same
+    CASE thresholds, same cast points), so the parsed expression computes
+    identical longs; pinned in tests/test_expr_fastpath.py and by the
+    simhash oracle hashes."""
+    nslots = spacing
+    lanes = 32 // spacing
+    mask = sum(1 << (i * spacing) for i in range(lanes))
+    counter_mask = (1 << spacing) - 1
+    per_tok = ", ".join(
+        f"CAST(shiftright(h, {s}) & {mask} AS BIGINT)" for s in range(nslots)
+    ) + ", CAST(1 AS BIGINT)"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        s, grp = b % nslots, b // nslots
+        cnt = (
+            f"(shiftright(element_at(acc, {s + 1}), {spacing * grp}) "
+            f"& {counter_mask})"
+        )
+        terms.append(
+            f"(CASE WHEN {cnt} * 2 > element_at(acc, {nslots + 1}) "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return (
+        f"aggregate({hs}, array_repeat(CAST(0 AS BIGINT), {nslots + 1}), "
+        f"(acc, h) -> zip_with(acc, array({per_tok}), (a, v) -> a + v), "
+        f"acc -> CAST({' + '.join(terms)} AS BIGINT))"
+    )
+
+
+def _simhash_sig_sql(text_col: str) -> str:
+    """The whole per-row SimHash column as one SQL fragment: tokenize,
+    48-bit md5 hash per token, then the spacing-selected SWAR fold —
+    the exact CASE ladder of _simhash_sig_column below."""
+    t = text_col
+    hs = (
+        f"transform(split({t}, ' '), s -> "
+        "CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT))"
+    )
+    ntok = f"size(split({t}, ' '))"
+    err = (
+        "'simhash: SWAR counters need <=65535 tokens/doc; "
+        "chunk longer docs first'"
+    )
+    return (
+        f"CASE WHEN {ntok} <= {_SWAR_MAX_TOKENS} "
+        f"THEN {_swar_simhash_sql(hs, 8)} "
+        f"WHEN {ntok} <= {_SWAR_MAX_TOKENS_16} "
+        f"THEN {_swar_simhash_sql(hs, 16)} "
+        f"ELSE raise_error({err}) END"
+    )
+
+
+def _simhash_sig_column() -> Column:
+    """The Python-Column form of the SimHash signature expression — the
+    parity reference for the memoized SQL fast path (round 15: building
+    this costs ~450 py4j round-trips per call — two SWAR folds with a
+    32-term finish lambda — measured as ~0.4-0.5 s of
+    simhash_signatures' 0.97 s bench median)."""
+    hs = F.transform(F.split(F.col("text"), " "), md5_int)
+    ntok = F.size(F.split(F.col("text"), " "))
+    return (
+        F.when(ntok <= F.lit(_SWAR_MAX_TOKENS), _swar_simhash(hs, 8))
+        .when(ntok <= F.lit(_SWAR_MAX_TOKENS_16), _swar_simhash(hs, 16))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "simhash: SWAR counters need <=65535 tokens/doc; "
+                    "chunk longer docs first"
+                )
+            )
+        )
+    )
+
+
 def simhash_signatures(corpus: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: tokens → 48-bit hash → per-bit ±1 votes
     weighted by token multiplicity → sign.
@@ -455,21 +531,16 @@ def simhash_signatures(corpus: DataFrame) -> DataFrame:
     docs past 65,535 tokens raise, by which point a 100 TB corpus chunks
     first (see operators/chunking.py). CASE branches evaluate lazily per
     row, so short docs (all fixtures max at 100 tokens) pay only the
-    byte-spaced fast path and hash identically to previous rounds."""
-    hs = F.transform(F.split(F.col("text"), " "), md5_int)
-    ntok = F.size(F.split(F.col("text"), " "))
-    sig = (
-        F.when(ntok <= F.lit(_SWAR_MAX_TOKENS), _swar_simhash(hs, 8))
-        .when(ntok <= F.lit(_SWAR_MAX_TOKENS_16), _swar_simhash(hs, 16))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "simhash: SWAR counters need <=65535 tokens/doc; "
-                    "chunk longer docs first"
-                )
-            )
-        )
-    )
+    byte-spaced fast path and hash identically to previous rounds.
+
+    Round 15 (guide §7.3 driver discipline): the signature column is a
+    memoized JVM-parsed expression — the Column builders above cost
+    ~450 py4j round-trips per call (two SWAR folds, a 32-term finish
+    lambda), ~0.4-0.5 s of every simhash key's construction. The SQL
+    twin mirrors the Column form op for op (_simhash_sig_column stays
+    as the parity reference, pinned bit-equal in
+    tests/test_expr_fastpath.py and by the oracle hashes)."""
+    sig = _cached_expr(("simhash32", "text"), _simhash_sig_sql("text"))
     return corpus.select("doc_id", sig.alias("simhash"))
 
 

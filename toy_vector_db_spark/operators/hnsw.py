@@ -434,10 +434,24 @@ def hnsw_index(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the index: sharded vectors + their HNSW edge lists, both
-    persisted and computed exactly once."""
-    parted = _with_part(
-        base.select(id_col, vec_col), num_partitions, id_col
-    ).persist()
+    persisted and computed exactly once.
+
+    The vector table is persisted ALREADY HASH-PARTITIONED on the shard
+    key (round 15, guide §2.4): every downstream groupBy("part") —
+    the edge build, the pack cogroup, and EVERY serving cogroup — needs
+    ClusteredDistribution(part), so caching the exchanged layout makes
+    the per-serve exchange of the heavy vector side (the 64-double
+    embedding column) a build-time cost paid once instead of a
+    per-search shuffle. This is the in-memory form of writing the index
+    table bucketed by shard key. Same rows, same per-shard groups —
+    partitioning only decides placement, and the kernels sort by id
+    within each shard."""
+    spark = base.sparkSession
+    parted = (
+        _with_part(base.select(id_col, vec_col), num_partitions, id_col)
+        .repartition(spark.sparkContext.defaultParallelism, "part")
+        .persist()
+    )
     edges = _edges_from_parted(parted, id_col, vec_col).persist()
     edges.count()  # force the build (parted materializes as its input)
     return parted, edges
@@ -934,20 +948,14 @@ def knn_hnsw_routed(
     )
     base_c = base.select(id_col, vec_col).join(assign, id_col)
 
-    from toy_vector_db_spark.functions import vector as V
-
-    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "qd", V.distance(query_vec_col, "centroid_vec")
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("qd").asc(), F.col("centroid_id").asc()
-    )
-    # alias the routing key on the query side: both frames share the cents
-    # lineage and Spark flags the cogroup keys as an ambiguous self-join
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(query_id_col, query_vec_col, F.col("centroid_id").alias("cell"))
+    # zero-shuffle routing via _ivf_probes (round 15 — see
+    # knn_hnsw_routed_prebuilt); alias the routing key on the query
+    # side: both frames share the cents lineage and Spark flags the
+    # cogroup keys as an ambiguous self-join
+    probes = similarity._ivf_probes(
+        queries, cents, nprobe, query_id_col, query_vec_col
+    ).select(
+        query_id_col, query_vec_col, F.col("centroid_id").alias("cell")
     )
 
     def _search_cell(base_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1011,11 +1019,16 @@ def routed_index(
     assign = similarity.ivf_assign(base, cents, id_col, vec_col).select(
         id_col, "centroid_id"
     )
+    # persisted hash-partitioned on the cell key (round 15, guide §2.4
+    # — see hnsw_index): the per-cell edge build, the pack cogroup and
+    # every routed serving cogroup reuse this layout instead of
+    # re-shuffling the vector table per call
     cells = (
         base.select(id_col, vec_col)
         .join(assign, id_col)
         .withColumn("part", F.col("centroid_id").cast("int"))
         .select(id_col, vec_col, "part")
+        .repartition(base.sparkSession.sparkContext.defaultParallelism, "part")
         .persist()
     )
     edges = _edges_from_parted(cells, id_col, vec_col).persist()
@@ -1064,27 +1077,25 @@ def knn_hnsw_routed_prebuilt(
     core. Build cost is paid once (``routed_index``), not per invocation
     (round-1 fix: the fused path rebuilt every cell graph every run).
     Bit-identical to the fused ``knn_hnsw_routed`` — asserted in tests."""
-    from pyspark.sql import Window
-
-    from toy_vector_db_spark.functions import vector as V
+    from toy_vector_db_spark.operators import similarity
 
     if nprobe is None:
         nprobe = similarity_nprobe()
 
-    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "qd", V.distance(query_vec_col, "centroid_vec")
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("qd").asc(), F.col("centroid_id").asc()
-    )
-    routed = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(
-            query_id_col,
-            query_vec_col,
-            F.col("centroid_id").cast("int").alias("part"),
-        )
+    # zero-shuffle routing (round 15, guide §2.4): route through the
+    # IVF family's _ivf_probes — the collapsed array-of-structs
+    # broadcast + per-row array_sort/slice, proven rank-equivalent to
+    # the previous crossJoin + row_number window in round 6 (same qd
+    # doubles: identical dot/magnitude folds in identical order; same
+    # (qd, centroid_id) lexicographic tie-break). The window form
+    # shuffled nq×C scored rows through an exchange on EVERY serve;
+    # probing is now pure map-side projection feeding the cogroup.
+    routed = similarity._ivf_probes(
+        queries, cents, nprobe, query_id_col, query_vec_col
+    ).select(
+        query_id_col,
+        query_vec_col,
+        F.col("centroid_id").cast("int").alias("part"),
     )
     return _prebuilt_search(
         cells, edges, routed, k, ef,
