@@ -305,7 +305,19 @@ def minhash_lsh_pairs(
     hashed = docs.select(
         "doc_id", shingle_hashes_of_text("text").alias("hs")
     )
-    sig = hashed.select("doc_id", *minhash_from_hashes("hs"))
+    # materialize the signature table ONCE (round 15, guide §1/§2.3):
+    # the band self-join's two branches, the mega-bucket guard, and its
+    # anti-join each re-evaluated this subtree — the md5 shingle pass
+    # over the whole corpus ran ~4× per pair build (noop-timed: the
+    # bands projection costs 0.26 s, the candidate join step 1.08 s —
+    # almost all re-hashing). The signature frame is |corpus| rows of
+    # 17 longs; localCheckpoint (the dup_clusters round-14 discipline)
+    # materializes it inside the timed build and cuts the lineage so
+    # every downstream branch reads the 700 KB table instead of
+    # re-hashing. Values are deterministic — same rows either way.
+    sig = hashed.select(
+        "doc_id", *minhash_from_hashes("hs")
+    ).localCheckpoint(eager=True)
 
     # slim (doc_id, band, sig) frame for the bucket self-join; the
     # banding array is a constant expression over the m0..m15 columns —
@@ -705,6 +717,17 @@ def dup_clusters(corpus: DataFrame, threshold: float = 0.4) -> DataFrame:
         # exponential blowup would stall the driver long before the
         # executors — per-round plan truncation is the standard CC-loop
         # discipline (guide §3.3/§7.3).
+        # Cluster-deployment note (round 15, verdict r14 item 9):
+        # localCheckpoint storage is NON-REPLICATED executor memory —
+        # on a real cluster, losing an executor mid-loop kills the job
+        # (local mode has no such failure unit). The production-grade
+        # variant swaps these two localCheckpoint calls for reliable
+        # checkpoint() under sc.setCheckpointDir (HDFS/object store) —
+        # same per-round truncation, recomputable blocks — at the cost
+        # of a distributed write per round. Keep localCheckpoint where
+        # the CC loop's wall-clock per round matters more than
+        # mid-round fault recovery (the loop is idempotent and cheap
+        # to restart from the persisted pair cache).
         new_full = (
             labels.withColumn("_own", F.col("cluster_id"))
             .unionByName(nbr)
@@ -913,6 +936,14 @@ def span_dedup_scrub(corpus: DataFrame, w: int = SPAN_W) -> DataFrame:
             )
         ).alias("pos", "span"),
     )
+    # materialize the span table ONCE (round 15): the firsts aggregate
+    # and the survivors probe side each re-ran the split+explode over
+    # the corpus (noop-timed: spans 0.50 s, but the join step 1.35 s —
+    # mostly the second explode). This is the "shared intermediate" the
+    # scale note below already prescribed for 100 TB; at fixture scale
+    # localCheckpoint is the in-memory form. Same rows, same doubles —
+    # measured 1.7-1.9 → 1.2-1.4 s with collect-identical output.
+    spans = spans.localCheckpoint(eager=True)
     firsts = spans.groupBy("span").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     ).select(
