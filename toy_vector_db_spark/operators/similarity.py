@@ -682,7 +682,19 @@ def cached_cell_vectors(
         vec_col,
     )
     if key not in _CELL_VECTORS_CACHE:
-        assign = cached_trained_assign(base, id_col, vec_col)
+        # build the serving table in ONE materializing job (round 15):
+        # the previous shape first persisted+counted the bare assignment
+        # frame, then persisted+counted this join of it — two sequential
+        # jobs over the same corpus inside the ivf_train build key. The
+        # assignment rides inline here, and the _ASSIGN_CACHE entry
+        # becomes a projection of this persisted frame (identical rows:
+        # the inner join on the id preserves every (id, centroid_id)
+        # pair), so consumers that only need the assignment scan the
+        # same cached storage.
+        cents = cached_trained_centroids(base, id_col=id_col, vec_col=vec_col)
+        assign = ivf_assign(base, cents, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
         cv = (
             base.withColumn("_v_mag", V.magnitude(vec_col))
             .join(assign, id_col)
@@ -691,6 +703,14 @@ def cached_cell_vectors(
         )
         cv.count()
         _CELL_VECTORS_CACHE[key] = cv
+        akey = (
+            base.sparkSession.sparkContext.applicationId,
+            base.semanticHash(),
+            id_col,
+            vec_col,
+        )
+        if akey not in _ASSIGN_CACHE:
+            _ASSIGN_CACHE[akey] = cv.select(id_col, "centroid_id")
     return _CELL_VECTORS_CACHE[key]
 
 
